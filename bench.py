@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Driver benchmark entry point: prints ONE JSON line.
+
+Headline metric: mean fused 3x3 Winograd+BN+ReLU 128->128 latency (the
+reference's flagship case, 59 us on TITAN X — BASELINE.md). vs_baseline is
+the ratio of our latency to that 59 us number (<1.0 means faster than the
+reference's hand-tuned CUDA kernel on its own hardware).
+"""
+
+import json
+import sys
+
+REFERENCE_US = 59.0  # custom CUDA kernel, mode 0 (/root/reference/README.md:27)
+
+
+def main() -> int:
+    from winograd_tpu.bench.cli import run_case
+
+    r = run_case(0, iterations=100, warmup=2, strict=True)
+    # Steady-state per-op device latency (scan protocol, utils/timing.py) —
+    # comparable to the reference's timed region, which excludes transfers
+    # and brackets only kernel launches + one sync.
+    value = r["pallas_device_us"]
+    print(
+        json.dumps(
+            {
+                "metric": "winograd3x3_128_fused_latency",
+                "value": round(value, 2),
+                "unit": "us",
+                "vs_baseline": round(value / REFERENCE_US, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,46 @@
+"""Bottleneck block / stage composition through the fused Pallas kernels."""
+
+import numpy as np
+import jax
+
+from winograd_tpu.config import CASES, PARITY_ATOL
+from winograd_tpu.datagen.generate import make_block_case
+from winograd_tpu.models import resnet
+
+
+def _params_from_case(case):
+    keys = (
+        "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "s_mid", "b_mid",
+        "w_expand", "s_expand", "b_expand",
+    )
+    return {k: case[k] for k in keys}
+
+
+def test_block_pallas_matches_golden():
+    cfg = CASES[6]
+    case = make_block_case(cfg, seed=6)
+    params = _params_from_case(case)
+    out = np.asarray(resnet.bottleneck_block_pallas(case["x"], params))
+    err = np.abs(out - case["golden"]).max()
+    # Three chained convs: allow 10x the single-layer bar.
+    assert err < 10 * PARITY_ATOL, f"block max err {err}"
+
+
+def test_block_baseline_matches_golden():
+    cfg = CASES[6]
+    case = make_block_case(cfg, seed=6)
+    params = _params_from_case(case)
+    out = np.asarray(resnet.bottleneck_block_baseline(case["x"], params))
+    err = np.abs(out - case["golden"]).max()
+    assert err < 10 * PARITY_ATOL, f"block max err {err}"
+
+
+def test_init_and_stage():
+    params = [
+        resnet.init_bottleneck_params(i, c_io=128, c_mid=128) for i in range(2)
+    ]
+    x = jax.random.normal(jax.random.PRNGKey(9), (14, 14, 128))
+    out = resnet.resnet_stage_pallas(x, params)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(out) >= 0).all()  # final ReLU

@@ -1,0 +1,53 @@
+"""Fused single-kernel Winograd Pallas pipeline vs the numpy golden model.
+
+Covers the reference's two 3x3 cases (modes 0/1), the output-channel-slice
+grid path, batching, and the no-ReLU variant.
+"""
+
+import numpy as np
+import pytest
+
+from winograd_tpu.config import CASES, PARITY_ATOL
+from winograd_tpu.datagen.generate import make_winograd_case
+from winograd_tpu.kernels import transforms
+from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+from winograd_tpu.ops import reference
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+def test_reference_cases(mode):
+    cfg = CASES[mode]
+    case = make_winograd_case(cfg, seed=mode)
+    out = np.asarray(
+        conv3x3_bn_winograd_pallas(case["x"], case["u"], case["scale"], case["bias"], relu=cfg.relu)
+    )
+    assert out.shape == case["golden"].shape
+    err = np.abs(out - case["golden"]).max()
+    assert err < PARITY_ATOL, f"mode {mode}: max err {err}"
+
+
+def test_cout_slicing_grid():
+    """tile_co < Cout exercises the j grid dimension + phase-1 reuse."""
+    rng = np.random.default_rng(0)
+    x = (rng.random((14, 14, 128), dtype=np.float32) - 0.5)
+    w = (rng.random((256, 128, 3, 3), dtype=np.float32) - 0.5)
+    s = (rng.random(256, dtype=np.float32) - 0.5)
+    b = (rng.random(256, dtype=np.float32) - 0.5)
+    u = transforms.transform_filter(w)
+    gold = reference.conv3x3_bn_relu(x, w, s, b, relu=True)
+    out = np.asarray(conv3x3_bn_winograd_pallas(x, u, s, b, relu=True, tile_co=128))
+    np.testing.assert_allclose(out, gold, atol=PARITY_ATOL)
+
+
+def test_batched_and_no_relu():
+    rng = np.random.default_rng(1)
+    x = (rng.random((2, 14, 14, 128), dtype=np.float32) - 0.5)
+    w = (rng.random((128, 128, 3, 3), dtype=np.float32) - 0.5)
+    s = (rng.random(128, dtype=np.float32) - 0.5)
+    b = (rng.random(128, dtype=np.float32) - 0.5)
+    u = transforms.transform_filter(w)
+    gold = reference.conv3x3_bn_relu(x, w, s, b, relu=False)
+    out = np.asarray(conv3x3_bn_winograd_pallas(x, u, s, b, relu=False))
+    assert out.shape == (2, 14, 14, 128)
+    assert (np.asarray(out) < 0).any(), "no-ReLU output should have negatives"
+    np.testing.assert_allclose(out, gold, atol=PARITY_ATOL)

@@ -1,0 +1,50 @@
+"""winograd_tpu — a TPU-native framework of fused ResNet-inference kernels.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the CUDA
+reference (bssrdf/CUDA-Winograd): fused Conv+BatchNorm(inference)+ReLU
+operators for the 14x14 stage of a ResNet bottleneck block —
+
+* F(4x4, 3x3) Winograd convolution (128->128, 256->256) as a SINGLE fused
+  Pallas kernel: input tile transform -> 36 batched per-tile GEMMs on the
+  MXU -> inverse transform with the folded-BN FMA and ReLU in the epilogue,
+  staged entirely through VMEM (the reference round-trips each phase
+  through global memory: /root/reference/Kernel128_winograd.cu:240-241).
+* 1x1 pointwise convolution (512->128, 128->512, 1024->256, 256->1024) as
+  one parameterized fused Pallas GEMM+BN(+ReLU) kernel (the reference has
+  four hand-written variants: Kernel128_one.cu, Kernel256_one.cu).
+* A jitted XLA baseline path (lax.conv_general_dilated + FMA + ReLU) that
+  plays the role cuDNN plays in the reference: correctness oracle and
+  performance baseline, run in-process by the benchmark harness.
+* A numpy data generator producing the reference's artifact set (inputs,
+  offline Winograd-transformed weights, folded BN parameters) plus float32
+  golden outputs, with seed control (the reference has none).
+* A benchmark CLI reproducing the reference protocol: modes 0..5 (+ block
+  modes), 100 iterations, 2 warmups, elementwise parity with HARD failure
+  on tolerance breach (the reference's checker never fails: util.c:46-63).
+* A ResNet bottleneck-block model family and multi-chip parallel layer
+  (jax.sharding.Mesh + pjit/shard_map) for batched deployment.
+* A native C++ host-runtime library (binary blob IO, timing, differential
+  checking) mirroring the reference's C host layer (util.c), bound via
+  ctypes with a pure-Python fallback.
+"""
+
+from winograd_tpu.config import CASES, LayerConfig, BlockConfig, case_config
+from winograd_tpu.ops import jnp_ops, reference
+from winograd_tpu.baseline import xla as baseline_xla
+from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CASES",
+    "LayerConfig",
+    "BlockConfig",
+    "case_config",
+    "jnp_ops",
+    "reference",
+    "baseline_xla",
+    "conv1x1_bn_pallas",
+    "conv3x3_bn_winograd_pallas",
+    "__version__",
+]

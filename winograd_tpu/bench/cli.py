@@ -1,0 +1,177 @@
+"""Benchmark CLI — the reference's Test.c harness, rebuilt for TPU.
+
+`python -m winograd_tpu.bench <mode>` runs one case (modes 0-5 match the
+reference CLI, /root/reference/Test.c:17-44; 6/7 add the composed block):
+100 iterations, 2 warmups, mean of the rest (Test.c:14,45-48), timing both
+the custom Pallas path and the XLA baseline (the "cuDNN role") — and, unlike
+the reference (whose checker never fails, util.c:46-63), exits NONZERO if
+either path breaches parity with the float64 numpy golden model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.baseline import xla as baseline
+from winograd_tpu.config import (
+    BENCH_ITERATIONS,
+    BENCH_WARMUP,
+    CASES,
+    BlockConfig,
+    PARITY_ATOL,
+)
+from winograd_tpu.datagen.generate import make_case
+from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+from winograd_tpu.models import resnet
+from winograd_tpu.utils.checker import ParityError, output_checker
+from winograd_tpu.utils.timing import bench_loop, bench_scan
+
+
+def _check(name: str, out: np.ndarray, golden: np.ndarray, strict: bool):
+    res = output_checker(np.asarray(out), golden, tol=PARITY_ATOL)
+    print(f"  [{name}] {res}", file=sys.stderr)
+    if strict and not res.ok():
+        raise ParityError(f"{name}: parity breach: {res}")
+    return res
+
+
+def run_case(
+    mode: int,
+    iterations: int = BENCH_ITERATIONS,
+    warmup: int = BENCH_WARMUP,
+    seed: int = 0,
+    strict: bool = True,
+    scan_len: int | None = None,
+) -> Dict:
+    """Run one benchmark case; returns a dict of timings and parity stats."""
+    cfg = CASES[mode]
+    case = make_case(mode, seed=seed)
+    golden = case["golden"]
+    dev = jax.devices()[0]
+    if scan_len is None:
+        scan_len = 512 if jax.default_backend() == "tpu" else 4
+
+    if isinstance(cfg, BlockConfig):
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        params = {
+            k: jax.device_put(jnp.asarray(case[k]), dev)
+            for k in (
+                "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "s_mid",
+                "b_mid", "w_expand", "s_expand", "b_expand",
+            )
+        }
+        block_jit = jax.jit(resnet.bottleneck_block_pallas)
+        pallas_fn = lambda: block_jit(x, params)
+        baseline_fn = lambda: baseline.bottleneck_block(x, params)
+        core_pallas = lambda x_: resnet.bottleneck_block_pallas(x_, params)
+        core_xla = lambda x_: baseline.bottleneck_block(x_, params)
+    elif cfg.kind == "winograd3x3":
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        u = jax.device_put(jnp.asarray(case["u"]), dev)
+        w = jax.device_put(jnp.asarray(case["w"]), dev)
+        s = jax.device_put(jnp.asarray(case["scale"]), dev)
+        b = jax.device_put(jnp.asarray(case["bias"]), dev)
+        pallas_fn = lambda: conv3x3_bn_winograd_pallas(x, u, s, b, relu=cfg.relu)
+        baseline_fn = lambda: baseline.conv3x3_bn_relu(x, w, s, b, relu=cfg.relu)
+        core_pallas = lambda x_: conv3x3_bn_winograd_pallas(x_, u, s, b, relu=cfg.relu)
+        core_xla = lambda x_: baseline.conv3x3_bn_relu(x_, w, s, b, relu=cfg.relu)
+    else:
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        w = jax.device_put(jnp.asarray(case["w"]), dev)
+        s = jax.device_put(jnp.asarray(case["scale"]), dev)
+        b = jax.device_put(jnp.asarray(case["bias"]), dev)
+        pallas_fn = lambda: conv1x1_bn_pallas(x, w, s, b, relu=cfg.relu)
+        baseline_fn = lambda: baseline.conv1x1_bn(x, w, s, b, relu=cfg.relu)
+        core_pallas = lambda x_: conv1x1_bn_pallas(x_, w, s, b, relu=cfg.relu)
+        core_xla = lambda x_: baseline.conv1x1_bn(x_, w, s, b, relu=cfg.relu)
+
+    # Parity first (both paths vs the independent golden model).
+    check_pallas = _check(f"{cfg.name}/pallas", pallas_fn(), golden, strict)
+    check_baseline = _check(f"{cfg.name}/xla", baseline_fn(), golden, strict)
+
+    r_pallas = bench_loop(f"{cfg.name}/pallas", pallas_fn, iterations, warmup)
+    r_baseline = bench_loop(f"{cfg.name}/xla", baseline_fn, iterations, warmup)
+    r_pallas.device_us = bench_scan(core_pallas, x, scan_len=scan_len)
+    r_baseline.device_us = bench_scan(core_xla, x, scan_len=scan_len)
+    print(f"  {r_pallas}", file=sys.stderr)
+    print(f"  {r_baseline}", file=sys.stderr)
+
+    return {
+        "mode": mode,
+        "name": cfg.name,
+        "backend": jax.default_backend(),
+        "pallas_mean_us": r_pallas.mean_us,
+        "pallas_min_us": r_pallas.min_us,
+        "pallas_chained_us": r_pallas.chained_us,
+        "pallas_device_us": r_pallas.device_us,
+        "xla_mean_us": r_baseline.mean_us,
+        "xla_min_us": r_baseline.min_us,
+        "xla_chained_us": r_baseline.chained_us,
+        "xla_device_us": r_baseline.device_us,
+        "iterations": r_pallas.iterations,
+        "max_error_pallas": check_pallas.max_error,
+        "max_error_xla": check_baseline.max_error,
+        "parity_ok": check_pallas.ok() and check_baseline.ok(),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="winograd_tpu benchmark harness")
+    ap.add_argument("mode", nargs="?", default="all",
+                    help="case 0-7 or 'all' (reference modes: 0-5)")
+    ap.add_argument("--iterations", type=int, default=BENCH_ITERATIONS)
+    ap.add_argument("--warmup", type=int, default=BENCH_WARMUP)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json", action="store_true", help="emit JSON results to stdout")
+    ap.add_argument("--no-strict", action="store_true",
+                    help="report parity breaches without failing")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); kernels run in "
+                         "interpret mode off-TPU")
+    args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.mode == "all":
+        modes = sorted(CASES)
+    else:
+        try:
+            modes = [int(args.mode)]
+        except ValueError:
+            ap.error(f"mode must be an integer 0-{max(CASES)} or 'all', got {args.mode!r}")
+        if modes[0] not in CASES:
+            ap.error(f"unknown mode {modes[0]}; valid modes: {sorted(CASES)}")
+    results = []
+    failed = False
+    for m in modes:
+        print(f"=== mode {m}: {CASES[m].name} ===", file=sys.stderr)
+        try:
+            results.append(
+                run_case(m, args.iterations, args.warmup, args.seed, strict=not args.no_strict)
+            )
+        except ParityError as e:
+            print(f"  PARITY FAILURE: {e}", file=sys.stderr)
+            failed = True
+    if args.json:
+        print(json.dumps(results))
+    else:
+        for r in results:
+            print(
+                f"mode {r['mode']:>2} {r['name']:<24} "
+                f"pallas device {r['pallas_device_us']:8.1f} us (mean {r['pallas_mean_us']:8.1f}) | "
+                f"xla device {r['xla_device_us']:8.1f} us (mean {r['xla_mean_us']:8.1f}) | "
+                f"max_err {r['max_error_pallas']:.2e}"
+            )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,96 @@
+"""Static configuration registry for the benchmark cases.
+
+The reference's configuration "system" is three tiers of hard-coded
+constants (mode selector in /root/reference/Test.c:17-20, data paths in the
+four headers, launch geometry at call sites). Here every case is a frozen
+dataclass; shapes stay static per case, which is exactly what XLA wants.
+
+Mode numbering matches the reference CLI (/root/reference/Test.c:17-44,
+README.md:15-18):
+    0: 3x3 Winograd 128->128 + BN + ReLU
+    1: 3x3 Winograd 256->256 + BN + ReLU
+    2: 1x1 512->128  + BN + ReLU   (bottleneck "in",  kernel_128_1_in)
+    3: 1x1 128->512  + BN          (bottleneck "out", kernel_128_1_out — NO ReLU,
+                                    /root/reference/Kernel128_one.cu:271-272)
+    4: 1x1 1024->256 + BN + ReLU   (kernel_256_1_in)
+    5: 1x1 256->1024 + BN          (kernel_256_1_out — NO ReLU,
+                                    /root/reference/Kernel256_one.cu:273)
+Extensions beyond the reference:
+    6: full residual bottleneck block 1024->256->256->1024 + skip (N=1)
+    7: batched residual block (data-parallel ready)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerConfig:
+    """One fused conv+BN(+ReLU) layer case."""
+
+    name: str
+    kind: str  # "winograd3x3" | "pointwise"
+    cin: int
+    cout: int
+    hw: int = 14  # square feature map side
+    relu: bool = True
+    # Winograd tile algebra F(m x m, r x r); fixed at F(4,3) like the reference.
+    tile_m: int = 4
+    tile_r: int = 3
+
+    @property
+    def tiles_per_side(self) -> int:
+        return -(-self.hw // self.tile_m)  # cdiv
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_per_side ** 2
+
+    @property
+    def alpha(self) -> int:
+        """Winograd input-tile side (m + r - 1 = 6 for F(4,3))."""
+        return self.tile_m + self.tile_r - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    """ResNet bottleneck block: 1x1 reduce -> 3x3 winograd -> 1x1 expand + skip."""
+
+    name: str
+    c_io: int = 1024
+    c_mid: int = 256
+    hw: int = 14
+    batch: int = 1
+
+
+CASES: Dict[int, object] = {
+    0: LayerConfig("winograd3x3_128", "winograd3x3", 128, 128, relu=True),
+    1: LayerConfig("winograd3x3_256", "winograd3x3", 256, 256, relu=True),
+    2: LayerConfig("pointwise_512_128", "pointwise", 512, 128, relu=True),
+    3: LayerConfig("pointwise_128_512", "pointwise", 128, 512, relu=False),
+    4: LayerConfig("pointwise_1024_256", "pointwise", 1024, 256, relu=True),
+    5: LayerConfig("pointwise_256_1024", "pointwise", 256, 1024, relu=False),
+    6: BlockConfig("bottleneck_block", batch=1),
+    7: BlockConfig("bottleneck_block_batched", batch=8),
+}
+
+
+def case_config(mode: int):
+    if mode not in CASES:
+        raise ValueError(f"unknown mode {mode}; valid modes: {sorted(CASES)}")
+    return CASES[mode]
+
+
+# Benchmark protocol constants (reference: /root/reference/Test.c:14,45-48 —
+# 100 iterations, first 2 discarded as warmup, mean of the remaining 98).
+BENCH_ITERATIONS = 100
+BENCH_WARMUP = 2
+
+# Correctness bar: the reference checks |diff| > 1e-5 elementwise and accepts
+# <0.1% violations (report.pdf section 5; /root/reference/util.c:55). Our bar
+# (BASELINE.json) is max abs err < 1e-4 vs the float32 numpy golden model.
+PARITY_ATOL = 1e-4
+PARITY_FRACTION_TOL = 1e-3
+BN_EPS = 1e-5

@@ -1,0 +1,160 @@
+"""Data/parameter generator — the reference's L0 layer, rebuilt.
+
+Reproduces the artifact contract of /root/reference/data_generator.py —
+random NHWC inputs, 3x3 OIHW weights with the OFFLINE Winograd filter
+transform (G g G^T, written position-major as [36][Cin][Cout],
+data_generator.py:63-78), raw BN parameters AND offline-folded scale/bias
+(data_generator.py:41-47,107-113), 1x1 weights in [Cin][Cout] layout — as
+raw little-endian float32 .bin files, plus three deliberate upgrades
+(SURVEY.md §3.4, §4):
+
+* Seed control (the reference has none).
+* Every case gets its own complete file set — the reference's default
+  __main__ omits the 256-channel Winograd files and aliases all four 1x1
+  cases onto the same 1024-channel blobs (README.md:29 "[BUGGY NUMBERS]").
+* float64-accumulated GOLDEN OUTPUTS are emitted next to the inputs, so
+  correctness is checked against an independent oracle rather than only
+  vendor-vs-custom (the reference's check would pass if both shared a bug).
+
+All cases are also constructible in memory (make_*_case) — the bench and
+tests use that path; the .bin files exist for the artifact contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict
+
+import numpy as np
+
+from winograd_tpu.config import BN_EPS, CASES, BlockConfig, LayerConfig
+from winograd_tpu.kernels import transforms
+from winograd_tpu.ops import reference
+from winograd_tpu.utils.io import save_parameter
+
+
+def _rand(rng: np.random.Generator, *shape, scale: float = 1.0) -> np.ndarray:
+    return ((rng.random(shape) - 0.5) * scale).astype(np.float32)
+
+
+def _bn_params(rng: np.random.Generator, channels: int, scale: float = 1.0):
+    gamma = _rand(rng, channels, scale=scale)
+    beta = _rand(rng, channels, scale=scale)
+    mean = _rand(rng, channels, scale=scale)
+    # Variance offset keeps sqrt well-conditioned (reference uses *3+5 / *20+5).
+    var = (rng.random(channels) * 3 + 5).astype(np.float32)
+    s, b = transforms.fold_batchnorm(gamma, beta, mean, var, eps=BN_EPS)
+    return dict(gamma=gamma, beta=beta, mean=mean, var=var, scale=s, bias=b)
+
+
+def make_winograd_case(cfg: LayerConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """3x3 Winograd case: input, OIHW weights, transformed U, folded BN, golden."""
+    rng = np.random.default_rng(seed)
+    x = _rand(rng, cfg.hw, cfg.hw, cfg.cin)
+    w = _rand(rng, cfg.cout, cfg.cin, 3, 3)
+    bn = _bn_params(rng, cfg.cout)
+    u = transforms.transform_filter(w)
+    golden = reference.conv3x3_bn_relu(x, w, bn["scale"], bn["bias"], relu=cfg.relu)
+    return dict(x=x, w=w, u=u, golden=golden, **bn)
+
+
+def make_pointwise_case(cfg: LayerConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """1x1 case: input, (Cin, Cout) weights, folded BN, golden."""
+    rng = np.random.default_rng(seed)
+    x = _rand(rng, cfg.hw, cfg.hw, cfg.cin)
+    w = _rand(rng, cfg.cin, cfg.cout)
+    bn = _bn_params(rng, cfg.cout)
+    golden = reference.conv1x1_bn(x, w, bn["scale"], bn["bias"], relu=cfg.relu)
+    return dict(x=x, w=w, golden=golden, **bn)
+
+
+def make_block_case(cfg: BlockConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Full bottleneck block: params for all three convs + skip, golden."""
+    rng = np.random.default_rng(seed)
+    shape = (cfg.hw, cfg.hw, cfg.c_io) if cfg.batch == 1 else (cfg.batch, cfg.hw, cfg.hw, cfg.c_io)
+    x = _rand(rng, *shape)
+    w_reduce = _rand(rng, cfg.c_io, cfg.c_mid)
+    bn1 = _bn_params(rng, cfg.c_mid)
+    w_mid = _rand(rng, cfg.c_mid, cfg.c_mid, 3, 3)
+    bn2 = _bn_params(rng, cfg.c_mid)
+    w_expand = _rand(rng, cfg.c_mid, cfg.c_io)
+    bn3 = _bn_params(rng, cfg.c_io)
+    golden = reference.bottleneck_block(
+        x,
+        w_reduce, bn1["scale"], bn1["bias"],
+        w_mid, bn2["scale"], bn2["bias"],
+        w_expand, bn3["scale"], bn3["bias"],
+    )
+    return dict(
+        x=x,
+        w_reduce=w_reduce, s_reduce=bn1["scale"], b_reduce=bn1["bias"],
+        w_mid=w_mid, u_mid=transforms.transform_filter(w_mid),
+        s_mid=bn2["scale"], b_mid=bn2["bias"],
+        w_expand=w_expand, s_expand=bn3["scale"], b_expand=bn3["bias"],
+        golden=golden,
+    )
+
+
+def make_case(mode: int, seed: int = 0) -> Dict[str, np.ndarray]:
+    cfg = CASES[mode]
+    if isinstance(cfg, BlockConfig):
+        return make_block_case(cfg, seed)
+    if cfg.kind == "winograd3x3":
+        return make_winograd_case(cfg, seed)
+    return make_pointwise_case(cfg, seed)
+
+
+def _write_winograd_files(outdir: str, cfg: LayerConfig, case: Dict[str, np.ndarray]):
+    c = cfg.cin
+    pad_side = cfg.hw + 2
+    xp = np.pad(case["x"], ((1, 1), (1, 1), (0, 0)))
+    assert xp.shape == (pad_side, pad_side, c)
+    save_parameter(f"{outdir}/input_{cfg.hw}_1_{c}.bin", xp)
+    save_parameter(f"{outdir}/weight_NCHW_{c}_{cfg.cout}.bin", case["w"])
+    save_parameter(f"{outdir}/weight_winograd_{c}_{cfg.cout}.bin", case["u"])
+    for name, key in [
+        ("bnScale", "gamma"), ("bnBias", "beta"), ("eMean", "mean"), ("eVar", "var"),
+        ("bnScale_winograd", "scale"), ("bnBias_winograd", "bias"),
+    ]:
+        save_parameter(f"{outdir}/{name}_{cfg.cout}.bin", case[key])
+    save_parameter(f"{outdir}/golden_winograd_{c}_{cfg.cout}.bin", case["golden"])
+
+
+def _write_pointwise_files(outdir: str, cfg: LayerConfig, case: Dict[str, np.ndarray]):
+    tag = f"{cfg.cin}_{cfg.cout}"
+    save_parameter(f"{outdir}/input_one_{cfg.hw}_{tag}.bin", case["x"])
+    save_parameter(f"{outdir}/weight_one_{tag}.bin", case["w"])
+    for name, key in [
+        ("bnScale_one", "gamma"), ("bnBias_one", "beta"),
+        ("eMean_one", "mean"), ("eVar_one", "var"),
+        ("bnScale_myKernel_one", "scale"), ("bnBias_myKernel_one", "bias"),
+    ]:
+        save_parameter(f"{outdir}/{name}_{tag}.bin", case[key])
+    save_parameter(f"{outdir}/golden_one_{tag}.bin", case["golden"])
+
+
+def generate_all(outdir: str = "data", seed: int = 0) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    for mode, cfg in CASES.items():
+        case = make_case(mode, seed=seed + mode)
+        if isinstance(cfg, BlockConfig):
+            np.savez(os.path.join(outdir, f"{cfg.name}.npz"), **case)
+        elif cfg.kind == "winograd3x3":
+            _write_winograd_files(outdir, cfg, case)
+        else:
+            _write_pointwise_files(outdir, cfg, case)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Generate winograd_tpu data artifacts.")
+    ap.add_argument("--outdir", default="data")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    generate_all(args.outdir, args.seed)
+    print(f"artifacts written to {args.outdir}/ (seed {args.seed})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,84 @@
+"""ResNet bottleneck block / stage, composed from the fused TPU kernels.
+
+The reference benchmarks the six fused layers of a ResNet bottleneck block
+at the 14x14 stage in isolation (SURVEY.md §2); the block itself is never
+composed in code (only in the report's Figure 1). This module IS that
+composition, in both flavors:
+
+* bottleneck_block_pallas — the production path: fused Pallas pointwise
+  reduce (+ReLU), fused single-kernel Winograd 3x3 (+ReLU), fused pointwise
+  expand (NO ReLU — /root/reference/Kernel128_one.cu:271-272), skip add +
+  final ReLU.
+* bottleneck_block_baseline — the same math through the jitted XLA ops
+  (differentiable; used by the training path and as the block oracle).
+
+Parameters live in a plain dict pytree (idiomatic functional JAX — no
+framework dependency), with BN offline-folded into (scale, bias) pairs and
+the 3x3 filter offline-Winograd-transformed, matching the reference's
+preprocessing contract (data_generator.py:41-47,63-78).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.kernels import transforms
+from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+from winograd_tpu.ops import jnp_ops
+
+BottleneckParams = Dict[str, jax.Array]
+
+
+def init_bottleneck_params(
+    key: jax.Array | int, c_io: int = 1024, c_mid: int = 256
+) -> BottleneckParams:
+    """He-style random init, BN pre-folded to identity-ish scale/bias."""
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    k1, k2, k3 = jax.random.split(key, 3)
+    w_mid = jax.random.normal(k2, (c_mid, c_mid, 3, 3), jnp.float32) * np.sqrt(
+        2.0 / (9 * c_mid)
+    )
+    params = {
+        "w_reduce": jax.random.normal(k1, (c_io, c_mid), jnp.float32) * np.sqrt(2.0 / c_io),
+        "s_reduce": jnp.ones((c_mid,), jnp.float32),
+        "b_reduce": jnp.zeros((c_mid,), jnp.float32),
+        "w_mid": w_mid,
+        "s_mid": jnp.ones((c_mid,), jnp.float32),
+        "b_mid": jnp.zeros((c_mid,), jnp.float32),
+        "w_expand": jax.random.normal(k3, (c_mid, c_io), jnp.float32) * np.sqrt(2.0 / c_mid),
+        "s_expand": jnp.ones((c_io,), jnp.float32),
+        "b_expand": jnp.zeros((c_io,), jnp.float32),
+    }
+    params["u_mid"] = winograd_transform_params(w_mid)
+    return params
+
+
+def winograd_transform_params(w_mid: jax.Array) -> jax.Array:
+    """Offline filter transform for the 3x3 conv: (Cout,Cin,3,3) -> (36,Cin,Cout)."""
+    return jnp.asarray(transforms.transform_filter(np.asarray(w_mid)))
+
+
+def bottleneck_block_pallas(x: jax.Array, params: BottleneckParams) -> jax.Array:
+    """Fused-kernel bottleneck: three Pallas kernels + skip. x: (..., H, W, Cio)."""
+    h = conv1x1_bn_pallas(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
+    h = conv3x3_bn_winograd_pallas(h, params["u_mid"], params["s_mid"], params["b_mid"], relu=True)
+    h = conv1x1_bn_pallas(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
+    return jnp.maximum(h + x, 0.0)
+
+
+def bottleneck_block_baseline(x: jax.Array, params: BottleneckParams) -> jax.Array:
+    """XLA-ops bottleneck (differentiable oracle; uses raw w_mid, not u_mid)."""
+    return jnp_ops.bottleneck_block(x, params)
+
+
+def resnet_stage_pallas(x: jax.Array, params_list) -> jax.Array:
+    """A stack of bottleneck blocks (e.g. ResNet-50 conv4_x is 6 of these)."""
+    for params in params_list:
+        x = bottleneck_block_pallas(x, params)
+    return x

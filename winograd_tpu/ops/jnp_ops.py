@@ -1,0 +1,61 @@
+"""Pure-jnp fused operators: differentiable, jit-able, device-agnostic.
+
+These are the framework's *functional* definition of each op — used as the
+training-capable path (they have gradients for free), as a second oracle for
+the Pallas kernels, and as the building blocks of the multi-chip sharded
+model (XLA inserts the collectives when inputs are sharded over a Mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bn_act(y: jax.Array, scale: jax.Array, bias: jax.Array, relu: bool) -> jax.Array:
+    out = y * scale + bias
+    return jnp.maximum(out, 0.0) if relu else out
+
+
+def conv3x3_bn_relu(x, w, scale, bias, relu: bool = True) -> jax.Array:
+    """Fused 3x3 conv (pad 1, cross-correlation) + folded BN + ReLU.
+
+    x: (N, H, W, Cin) or (H, W, Cin); w: (Cout, Cin, 3, 3) (reference's
+    NCHW-filter convention, data_generator.py:55-61).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    # OIHW -> HWIO for lax conv with NHWC activations.
+    w_hwio = jnp.transpose(w, (2, 3, 1, 0))
+    y = jax.lax.conv_general_dilated(
+        x,
+        w_hwio,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = bn_act(y, scale, bias, relu)
+    return y[0] if squeeze else y
+
+
+def conv1x1_bn(x, w, scale, bias, relu: bool) -> jax.Array:
+    """Fused pointwise conv + folded BN (+ ReLU). x: (..., Cin); w: (Cin, Cout)."""
+    y = jnp.dot(
+        x, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    return bn_act(y, scale, bias, relu)
+
+
+def bottleneck_block(x, params) -> jax.Array:
+    """ResNet bottleneck with identity skip; params is a dict pytree.
+
+    Keys: w_reduce (Cio, Cmid), s_reduce, b_reduce, w_mid (Cmid, Cmid, 3, 3)
+    [OIHW], s_mid, b_mid, w_expand (Cmid, Cio), s_expand, b_expand.
+    """
+    h = conv1x1_bn(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
+    h = conv3x3_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
+    h = conv1x1_bn(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
+    return jnp.maximum(h + x, 0.0)

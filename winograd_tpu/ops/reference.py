@@ -1,0 +1,83 @@
+"""Numpy golden models (float64 accumulation, cast to float32 at the end).
+
+The fused ops mirror the reference's semantics exactly:
+* conv3x3 "same" (pad 1) + folded-BN FMA + ReLU — the Winograd cases
+  (/root/reference/Kernel128_winograd.cu kernels compute cross-correlation,
+  matching cuDNN CUDNN_CROSS_CORRELATION).
+* conv1x1 + folded-BN FMA with ReLU optional — the pointwise cases; the
+  expand layers have NO ReLU (/root/reference/Kernel128_one.cu:271-272,
+  Kernel256_one.cu:273).
+
+Layouts are channels-last (HWC / NHWC), the TPU-native choice (channels on
+the 128-wide lane dimension) — and also what the reference's input files use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def conv3x3_same(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Cross-correlation, 3x3, pad 1, stride 1.
+
+    x: (H, W, Cin) or (N, H, W, Cin); w: (Cout, Cin, 3, 3). Returns same
+    spatial shape with Cout channels, float64.
+    """
+    if x.ndim == 3:
+        return conv3x3_same(x[None], w)[0]
+    n, h, wd, cin = x.shape
+    cout = w.shape[0]
+    xp = np.pad(x.astype(np.float64), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = np.zeros((n, h, wd, cout), dtype=np.float64)
+    wk = w.astype(np.float64)
+    for r in range(3):
+        for s in range(3):
+            patch = xp[:, r : r + h, s : s + wd, :]  # (N,H,W,Cin)
+            out += np.einsum("nhwc,oc->nhwo", patch, wk[:, :, r, s])
+    return out
+
+
+def conv1x1(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Pointwise conv. x: (..., Cin); w: (Cin, Cout). Returns float64."""
+    return x.astype(np.float64) @ w.astype(np.float64)
+
+
+def bn_act(y: np.ndarray, scale: np.ndarray, bias: np.ndarray, relu: bool) -> np.ndarray:
+    """Folded-BN FMA (+ optional ReLU) epilogue on the channel axis."""
+    out = y * scale.astype(np.float64) + bias.astype(np.float64)
+    if relu:
+        out = np.maximum(out, 0.0)
+    return out
+
+
+def conv3x3_bn_relu(x, w, scale, bias, relu: bool = True) -> np.ndarray:
+    """Golden model for the Winograd cases. Returns float32."""
+    return bn_act(conv3x3_same(x, w), scale, bias, relu).astype(np.float32)
+
+
+def conv1x1_bn(x, w, scale, bias, relu: bool) -> np.ndarray:
+    """Golden model for the pointwise cases. Returns float32."""
+    return bn_act(conv1x1(x, w), scale, bias, relu).astype(np.float32)
+
+
+def bottleneck_block(
+    x,
+    w_reduce,
+    s_reduce,
+    b_reduce,
+    w_mid,
+    s_mid,
+    b_mid,
+    w_expand,
+    s_expand,
+    b_expand,
+) -> np.ndarray:
+    """ResNet v1 bottleneck with identity skip (golden model), float32 out.
+
+    1x1 reduce (+BN+ReLU) -> 3x3 (+BN+ReLU) -> 1x1 expand (+BN, no ReLU)
+    -> add skip -> ReLU.
+    """
+    h1 = bn_act(conv1x1(x, w_reduce), s_reduce, b_reduce, relu=True)
+    h2 = bn_act(conv3x3_same(h1, w_mid), s_mid, b_mid, relu=True)
+    h3 = bn_act(conv1x1(h2, w_expand), s_expand, b_expand, relu=False)
+    return np.maximum(h3 + x.astype(np.float64), 0.0).astype(np.float32)

@@ -1,0 +1,16 @@
+"""Multi-chip parallel layer: Mesh construction, shardings, train/infer steps."""
+
+from winograd_tpu.parallel.mesh import make_mesh, block_shardings
+from winograd_tpu.parallel.data_parallel import (
+    sharded_block_inference,
+    make_train_step,
+    init_train_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "block_shardings",
+    "sharded_block_inference",
+    "make_train_step",
+    "init_train_state",
+]

