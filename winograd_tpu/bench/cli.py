@@ -50,10 +50,22 @@ def run_case(
     seed: int = 0,
     strict: bool = True,
     scan_len: int | None = None,
+    data_dir: str | None = None,
+    profile_dir: str | None = None,
 ) -> Dict:
-    """Run one benchmark case; returns a dict of timings and parity stats."""
+    """Run one benchmark case; returns a dict of timings and parity stats.
+
+    With data_dir, inputs/weights/golden come from the on-disk artifact set
+    (the reference's consumption model); otherwise they are generated
+    in-memory with the same seeded generator.
+    """
     cfg = CASES[mode]
-    case = make_case(mode, seed=seed)
+    if data_dir is not None:
+        from winograd_tpu.datagen.generate import load_case
+
+        case = load_case(mode, data_dir)
+    else:
+        case = make_case(mode, seed=seed)
     golden = case["golden"]
     dev = jax.devices()[0]
     if scan_len is None:
@@ -97,6 +109,13 @@ def run_case(
     check_pallas = _check(f"{cfg.name}/pallas", pallas_fn(), golden, strict)
     check_baseline = _check(f"{cfg.name}/xla", baseline_fn(), golden, strict)
 
+    if profile_dir is not None:
+        # Aux tracing subsystem: the reference has only a wall clock
+        # (util.c:5-13); on TPU jax.profiler gives per-kernel device traces.
+        with jax.profiler.trace(profile_dir):
+            jax.block_until_ready(pallas_fn())
+            jax.block_until_ready(baseline_fn())
+
     r_pallas = bench_loop(f"{cfg.name}/pallas", pallas_fn, iterations, warmup)
     r_baseline = bench_loop(f"{cfg.name}/xla", baseline_fn, iterations, warmup)
     r_pallas.device_us = bench_scan(core_pallas, x, scan_len=scan_len)
@@ -136,6 +155,13 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); kernels run in "
                          "interpret mode off-TPU")
+    ap.add_argument("--data-dir", default=None,
+                    help="load inputs/weights/golden from this artifact "
+                         "directory (winograd-tpu-datagen output) instead of "
+                         "generating in memory")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="dump a jax.profiler trace of one iteration per "
+                         "case to DIR (view with tensorboard/xprof)")
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -155,7 +181,15 @@ def main(argv=None) -> int:
         print(f"=== mode {m}: {CASES[m].name} ===", file=sys.stderr)
         try:
             results.append(
-                run_case(m, args.iterations, args.warmup, args.seed, strict=not args.no_strict)
+                run_case(
+                    m,
+                    args.iterations,
+                    args.warmup,
+                    args.seed,
+                    strict=not args.no_strict,
+                    data_dir=args.data_dir,
+                    profile_dir=args.profile,
+                )
             )
         except ParityError as e:
             print(f"  PARITY FAILURE: {e}", file=sys.stderr)

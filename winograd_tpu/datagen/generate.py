@@ -146,6 +146,44 @@ def generate_all(outdir: str = "data", seed: int = 0) -> None:
             _write_pointwise_files(outdir, cfg, case)
 
 
+def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
+    """Load a case from on-disk artifacts (the reference's consumption path:
+    kernels read raw blobs by path, e.g. Kernel128_winograd.cu:216-252).
+    Returns the same dict structure as make_case."""
+    from winograd_tpu.utils.io import get_parameter
+
+    cfg = CASES[mode]
+    if isinstance(cfg, BlockConfig):
+        with np.load(os.path.join(data_dir, f"{cfg.name}.npz")) as z:
+            return {k: z[k] for k in z.files}
+    d = data_dir
+    hw = cfg.hw
+    if cfg.kind == "winograd3x3":
+        c, co = cfg.cin, cfg.cout
+        xp = get_parameter(f"{d}/input_{hw}_1_{c}.bin", (hw + 2) ** 2 * c).reshape(
+            hw + 2, hw + 2, c
+        )
+        return dict(
+            x=np.ascontiguousarray(xp[1 : hw + 1, 1 : hw + 1, :]),
+            w=get_parameter(f"{d}/weight_NCHW_{c}_{co}.bin", co * c * 9).reshape(co, c, 3, 3),
+            u=get_parameter(f"{d}/weight_winograd_{c}_{co}.bin", 36 * c * co).reshape(36, c, co),
+            scale=get_parameter(f"{d}/bnScale_winograd_{co}.bin", co),
+            bias=get_parameter(f"{d}/bnBias_winograd_{co}.bin", co),
+            golden=get_parameter(f"{d}/golden_winograd_{c}_{co}.bin", hw * hw * co).reshape(
+                hw, hw, co
+            ),
+        )
+    ci, co = cfg.cin, cfg.cout
+    tag = f"{ci}_{co}"
+    return dict(
+        x=get_parameter(f"{d}/input_one_{hw}_{tag}.bin", hw * hw * ci).reshape(hw, hw, ci),
+        w=get_parameter(f"{d}/weight_one_{tag}.bin", ci * co).reshape(ci, co),
+        scale=get_parameter(f"{d}/bnScale_myKernel_one_{tag}.bin", co),
+        bias=get_parameter(f"{d}/bnBias_myKernel_one_{tag}.bin", co),
+        golden=get_parameter(f"{d}/golden_one_{tag}.bin", hw * hw * co).reshape(hw, hw, co),
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Generate winograd_tpu data artifacts.")
     ap.add_argument("--outdir", default="data")

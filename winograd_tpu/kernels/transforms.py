@@ -66,9 +66,57 @@ AT = np.array(
     dtype=np.float64,
 )
 
-ALPHA = 6  # input tile side (m + r - 1)
-TILE_M = 4  # output tile side
+# --- F(2x2, 3x3) matrices (interpolation points 0, ±1, inf) ----------------
+# The smaller tile trades more tile-GEMM rows (49 tiles on a 14x14 map vs 16)
+# for less FLOP reduction — on the MXU the extra rows mean ~3x better
+# systolic-array utilization per position, so both algebras are first-class
+# and selectable per layer.
+
+BT2 = np.array(
+    [
+        [1, 0, -1, 0],
+        [0, 1, 1, 0],
+        [0, -1, 1, 0],
+        [0, 1, 0, -1],
+    ],
+    dtype=np.float64,
+)
+
+G2 = np.array(
+    [
+        [1.0, 0.0, 0.0],
+        [0.5, 0.5, 0.5],
+        [0.5, -0.5, 0.5],
+        [0.0, 0.0, 1.0],
+    ],
+    dtype=np.float64,
+)
+
+AT2 = np.array(
+    [
+        [1, 1, 1, 0],
+        [0, 1, -1, -1],
+    ],
+    dtype=np.float64,
+)
+
+ALPHA = 6  # F(4,3) input tile side (m + r - 1)
+TILE_M = 4  # F(4,3) output tile side
 TILE_R = 3  # filter side
+
+_MATS = {4: (BT, G, AT), 2: (BT2, G2, AT2)}
+
+
+def matrices(m: int = 4):
+    """(Bt, G, At) for F(m x m, 3x3); m in {2, 4}."""
+    if m not in _MATS:
+        raise ValueError(f"unsupported Winograd tile size m={m}; choose 2 or 4")
+    return _MATS[m]
+
+
+def alpha(m: int = 4) -> int:
+    return m + TILE_R - 1
+
 
 # --- Kronecker (vectorized-tile) forms --------------------------------------
 
@@ -78,17 +126,20 @@ BT_KRON = np.kron(BT, BT)
 AT_KRON = np.kron(AT, AT)
 
 
-def bt_kron(dtype=np.float32) -> np.ndarray:
-    return BT_KRON.astype(dtype)
+def bt_kron(dtype=np.float32, m: int = 4) -> np.ndarray:
+    bt = matrices(m)[0]
+    return np.kron(bt, bt).astype(dtype)
 
 
-def at_kron(dtype=np.float32) -> np.ndarray:
-    return AT_KRON.astype(dtype)
+def at_kron(dtype=np.float32, m: int = 4) -> np.ndarray:
+    at = matrices(m)[2]
+    return np.kron(at, at).astype(dtype)
 
 
-def transform_filter(w: np.ndarray, dtype=np.float32) -> np.ndarray:
-    """Offline Winograd filter transform: (Cout, Cin, 3, 3) -> (36, Cin, Cout).
+def transform_filter(w: np.ndarray, dtype=np.float32, m: int = 4) -> np.ndarray:
+    """Offline Winograd filter transform: (Cout, Cin, 3, 3) -> (a^2, Cin, Cout).
 
+    a = m + 2 (6 for F(4,3) -> 36 positions, 4 for F(2,3) -> 16 positions).
     Output layout is position-major with a (Cin, Cout) GEMM-ready matrix per
     tile position — the same layout the reference writes to disk
     (data_generator.py:72-75: offset = cin*Cout + cout, element-position-major),
@@ -97,9 +148,11 @@ def transform_filter(w: np.ndarray, dtype=np.float32) -> np.ndarray:
     """
     cout, cin, r, r2 = w.shape
     assert r == TILE_R and r2 == TILE_R, f"expected 3x3 filters, got {r}x{r2}"
+    g = matrices(m)[1]
+    a = alpha(m)
     # U[o, i] = G @ w[o, i] @ G^T : contract with einsum over both 3-dims.
-    u = np.einsum("ar,oirs,bs->aboi", G, w.astype(np.float64), G)  # (6,6,Cout,Cin)
-    u = u.reshape(ALPHA * ALPHA, cout, cin).transpose(0, 2, 1)  # (36, Cin, Cout)
+    u = np.einsum("ar,oirs,bs->aboi", g, w.astype(np.float64), g)  # (a,a,Cout,Cin)
+    u = u.reshape(a * a, cout, cin).transpose(0, 2, 1)  # (a^2, Cin, Cout)
     return np.ascontiguousarray(u.astype(dtype))
 
 

@@ -1,0 +1,141 @@
+"""Differentiable wrappers: fused Pallas forward + custom XLA backward.
+
+The reference is inference-only ("no training related operations",
+report.pdf §1). A deployable TPU framework wants gradients, so the fused
+kernels get custom VJPs (the pattern in the Pallas guide): the FORWARD pass
+runs the single fused Pallas kernel; the BACKWARD pass runs standard XLA
+convolution/GEMM transposes with rematerialization of the pre-BN
+activation z (one extra conv/GEMM instead of storing z — trading FLOPs for
+memory, the right trade on HBM-bound TPUs).
+
+Parameterization is by the RAW weights (w, gamma-folded scale/bias): the
+offline Winograd filter transform G g G^T is itself a fixed linear map, so
+it is applied inside the traced forward (differentiable, fused by XLA into
+the step) — the trained w is exported and re-transformed offline for
+deployment, preserving the reference's artifact contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from winograd_tpu.kernels import transforms
+from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def filter_transform_jnp(w: jax.Array, m: int = 4) -> jax.Array:
+    """Differentiable G g G^T: (Cout, Cin, 3, 3) -> (a^2, Cin, Cout)."""
+    g = jnp.asarray(transforms.matrices(m)[1], jnp.float32)
+    a = transforms.alpha(m)
+    u = jnp.einsum("ar,oirs,bs->aboi", g, w, g, precision=_HI)
+    cout, cin = w.shape[0], w.shape[1]
+    return u.reshape(a * a, cout, cin).transpose(0, 2, 1)
+
+
+# --- pointwise ---------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def conv1x1_bn_train(x, w, scale, bias, relu: bool):
+    """Differentiable fused 1x1 conv + BN (+ReLU); Pallas forward."""
+    return conv1x1_bn_pallas(x, w, scale, bias, relu)
+
+
+def _pw_fwd(x, w, scale, bias, relu):
+    y = conv1x1_bn_pallas(x, w, scale, bias, relu)
+    return y, (x, w, scale, y)
+
+
+def _pw_bwd(relu, res, g):
+    x, w, scale, y = res
+    if relu:
+        g = jnp.where(y > 0, g, 0.0)
+    # Rematerialize pre-BN activation for d(scale).
+    z = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=_HI)
+    gs = g * scale
+    lead = tuple(range(x.ndim - 1))
+    dx = jnp.dot(gs, w.T, preferred_element_type=jnp.float32, precision=_HI)
+    dw = jnp.tensordot(x, gs, axes=(lead, lead)).astype(w.dtype)
+    dscale = jnp.sum(z * g, axis=lead)
+    dbias = jnp.sum(g, axis=lead)
+    return dx, dw, dscale, dbias
+
+
+conv1x1_bn_train.defvjp(_pw_fwd, _pw_bwd)
+
+
+# --- 3x3 winograd ------------------------------------------------------------
+
+
+def _conv3x3(x, w):
+    """Cross-correlation, SAME pad, NHWC x OIHW (helper for fwd/bwd)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.transpose(w, (2, 3, 1, 0)),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+    return y[0] if squeeze else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3x3_bn_winograd_train(x, w, scale, bias, relu: bool = True, m: int = 4):
+    """Differentiable fused 3x3 Winograd conv + BN (+ReLU); Pallas forward.
+
+    w is the RAW (Cout, Cin, 3, 3) filter; the Winograd transform runs
+    inside the trace (filter_transform_jnp).
+    """
+    u = filter_transform_jnp(w, m)
+    return conv3x3_bn_winograd_pallas(x, u, scale, bias, relu)
+
+
+def _wg_fwd(x, w, scale, bias, relu, m):
+    u = filter_transform_jnp(w, m)
+    y = conv3x3_bn_winograd_pallas(x, u, scale, bias, relu)
+    return y, (x, w, scale, y)
+
+
+def _wg_bwd(relu, m, res, g):
+    x, w, scale, y = res
+    if relu:
+        g = jnp.where(y > 0, g, 0.0)
+    gs = g * scale
+    # dx: correlate gs with the spatially-flipped, channel-transposed filter.
+    w_t = jnp.transpose(w[:, :, ::-1, ::-1], (1, 0, 2, 3))  # (Cin, Cout, 3, 3)
+    dx = _conv3x3(gs, w_t)
+    # dw[o,c,r,s] = sum_{n,i,j} gs[n,i,j,o] * xpad[n,i+r,j+s,c]
+    x4 = x if x.ndim == 4 else x[None]
+    g4 = gs if gs.ndim == 4 else gs[None]
+    h, wd = x4.shape[1], x4.shape[2]
+    xpad = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw_parts = []
+    for r in range(3):
+        row = []
+        for s in range(3):
+            patch = xpad[:, r : r + h, s : s + wd, :]
+            row.append(
+                jnp.einsum("nijo,nijc->oc", g4, patch, precision=_HI)
+            )
+        dw_parts.append(row)
+    dw = jnp.stack([jnp.stack(row, axis=-1) for row in dw_parts], axis=-2)  # (O,C,3,3)
+    # Rematerialize pre-BN activation for d(scale).
+    z = _conv3x3(x, w)
+    lead = tuple(range(g.ndim - 1))
+    dscale = jnp.sum(z * g, axis=lead)
+    dbias = jnp.sum(g, axis=lead)
+    return dx, dw.astype(w.dtype), dscale, dbias
+
+
+conv3x3_bn_winograd_train.defvjp(_wg_fwd, _wg_bwd)

