@@ -17,10 +17,16 @@ def main() -> int:
     from winograd_tpu.bench.cli import run_case
 
     r = run_case(0, iterations=100, warmup=2, strict=True)
-    # Steady-state per-op device latency (scan protocol, utils/timing.py) —
-    # comparable to the reference's timed region, which excludes transfers
-    # and brackets only kernel launches + one sync.
-    value = r["pallas_device_us"]
+    # Steady-state per-op device latency (scan-slope protocol,
+    # utils/timing.py) — comparable to the reference's timed region, which
+    # excludes transfers and brackets only kernel launches + one sync. The
+    # framework ships two fused 3x3 algorithms (winograd + direct im2col
+    # GEMM, selected like cuDNN's algo enum); the headline is the selected
+    # (best) one, both parity-checked against the float64 golden model.
+    candidates = [r["pallas_device_us"]]
+    if r.get("direct_device_us"):
+        candidates.append(r["direct_device_us"])
+    value = min(candidates)
     print(
         json.dumps(
             {

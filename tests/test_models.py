@@ -10,8 +10,8 @@ from winograd_tpu.models import resnet
 
 def _params_from_case(case):
     keys = (
-        "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "s_mid", "b_mid",
-        "w_expand", "s_expand", "b_expand",
+        "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "w9_mid", "s_mid",
+        "b_mid", "w_expand", "s_expand", "b_expand",
     )
     return {k: case[k] for k in keys}
 
@@ -20,10 +20,11 @@ def test_block_pallas_matches_golden():
     cfg = CASES[6]
     case = make_block_case(cfg, seed=6)
     params = _params_from_case(case)
-    out = np.asarray(resnet.bottleneck_block_pallas(case["x"], params))
-    err = np.abs(out - case["golden"]).max()
-    # Three chained convs: allow 10x the single-layer bar.
-    assert err < 10 * PARITY_ATOL, f"block max err {err}"
+    for algo in ("direct", "winograd"):
+        out = np.asarray(resnet.bottleneck_block_pallas(case["x"], params, algo3x3=algo))
+        err = np.abs(out - case["golden"]).max()
+        # Three chained convs: allow 10x the single-layer bar.
+        assert err < 10 * PARITY_ATOL, f"block[{algo}] max err {err}"
 
 
 def test_block_baseline_matches_golden():

@@ -36,6 +36,18 @@ def test_sharded_inference_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
 
 
+def test_sharded_pallas_inference_matches_single_device(mesh):
+    from winograd_tpu.parallel import sharded_block_inference_pallas
+    from winograd_tpu.models.resnet import bottleneck_block_pallas
+
+    c_io, c_mid = 128, 128  # pallas kernels want lane-width channels
+    params = init_bottleneck_params(0, c_io=c_io, c_mid=c_mid)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 14, 14, c_io), jnp.float32)
+    single = bottleneck_block_pallas(x, params)
+    sharded = sharded_block_inference_pallas(mesh, params, x)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
 def test_train_step_decreases_loss(mesh):
     c_io, c_mid = 32, 16
     params, momentum = init_train_state(jax.random.PRNGKey(0), c_io=c_io, c_mid=c_mid)

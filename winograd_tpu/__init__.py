@@ -33,6 +33,7 @@ from winograd_tpu.ops import jnp_ops, reference
 from winograd_tpu.baseline import xla as baseline_xla
 from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
 from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
 
 __version__ = "0.1.0"
 
@@ -46,5 +47,6 @@ __all__ = [
     "baseline_xla",
     "conv1x1_bn_pallas",
     "conv3x3_bn_winograd_pallas",
+    "conv3x3_bn_direct_pallas",
     "__version__",
 ]

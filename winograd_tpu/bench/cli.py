@@ -69,16 +69,18 @@ def run_case(
     golden = case["golden"]
     dev = jax.devices()[0]
     if scan_len is None:
-        scan_len = 512 if jax.default_backend() == "tpu" else 4
+        scan_len = 4096 if jax.default_backend() == "tpu" else 4
 
+    core_direct = None
     if isinstance(cfg, BlockConfig):
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         params = {
             k: jax.device_put(jnp.asarray(case[k]), dev)
             for k in (
-                "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "s_mid",
-                "b_mid", "w_expand", "s_expand", "b_expand",
+                "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "w9_mid",
+                "s_mid", "b_mid", "w_expand", "s_expand", "b_expand",
             )
+            if k in case
         }
         block_jit = jax.jit(resnet.bottleneck_block_pallas)
         pallas_fn = lambda: block_jit(x, params)
@@ -86,15 +88,24 @@ def run_case(
         core_pallas = lambda x_: resnet.bottleneck_block_pallas(x_, params)
         core_xla = lambda x_: baseline.bottleneck_block(x_, params)
     elif cfg.kind == "winograd3x3":
+        from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
+
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         u = jax.device_put(jnp.asarray(case["u"]), dev)
         w = jax.device_put(jnp.asarray(case["w"]), dev)
+        w9 = jax.device_put(
+            jnp.asarray(case["w9"]) if "w9" in case else direct_filter(jnp.asarray(case["w"])),
+            dev,
+        )
         s = jax.device_put(jnp.asarray(case["scale"]), dev)
         b = jax.device_put(jnp.asarray(case["bias"]), dev)
         pallas_fn = lambda: conv3x3_bn_winograd_pallas(x, u, s, b, relu=cfg.relu)
         baseline_fn = lambda: baseline.conv3x3_bn_relu(x, w, s, b, relu=cfg.relu)
         core_pallas = lambda x_: conv3x3_bn_winograd_pallas(x_, u, s, b, relu=cfg.relu)
         core_xla = lambda x_: baseline.conv3x3_bn_relu(x_, w, s, b, relu=cfg.relu)
+        # Second in-house algorithm (im2col GEMM) — measured alongside, the
+        # way the reference contrasts cuDNN algo 6 vs algo 0.
+        core_direct = lambda x_: conv3x3_bn_direct_pallas(x_, w9, s, b, relu=cfg.relu)
     else:
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         w = jax.device_put(jnp.asarray(case["w"]), dev)
@@ -105,9 +116,12 @@ def run_case(
         core_pallas = lambda x_: conv1x1_bn_pallas(x_, w, s, b, relu=cfg.relu)
         core_xla = lambda x_: baseline.conv1x1_bn(x_, w, s, b, relu=cfg.relu)
 
-    # Parity first (both paths vs the independent golden model).
+    # Parity first (all paths vs the independent golden model).
     check_pallas = _check(f"{cfg.name}/pallas", pallas_fn(), golden, strict)
     check_baseline = _check(f"{cfg.name}/xla", baseline_fn(), golden, strict)
+    check_direct = None
+    if core_direct is not None:
+        check_direct = _check(f"{cfg.name}/direct", core_direct(x), golden, strict)
 
     if profile_dir is not None:
         # Aux tracing subsystem: the reference has only a wall clock
@@ -120,6 +134,10 @@ def run_case(
     r_baseline = bench_loop(f"{cfg.name}/xla", baseline_fn, iterations, warmup)
     r_pallas.device_us = bench_scan(core_pallas, x, scan_len=scan_len)
     r_baseline.device_us = bench_scan(core_xla, x, scan_len=scan_len)
+    direct_device_us = None
+    if core_direct is not None:
+        direct_device_us = bench_scan(core_direct, x, scan_len=scan_len)
+        print(f"  {cfg.name}/direct: device {direct_device_us:.1f} us", file=sys.stderr)
     print(f"  {r_pallas}", file=sys.stderr)
     print(f"  {r_baseline}", file=sys.stderr)
 
@@ -135,10 +153,16 @@ def run_case(
         "xla_min_us": r_baseline.min_us,
         "xla_chained_us": r_baseline.chained_us,
         "xla_device_us": r_baseline.device_us,
+        "direct_device_us": direct_device_us,
         "iterations": r_pallas.iterations,
         "max_error_pallas": check_pallas.max_error,
         "max_error_xla": check_baseline.max_error,
-        "parity_ok": check_pallas.ok() and check_baseline.ok(),
+        "max_error_direct": check_direct.max_error if check_direct else None,
+        "parity_ok": (
+            check_pallas.ok()
+            and check_baseline.ok()
+            and (check_direct is None or check_direct.ok())
+        ),
     }
 
 

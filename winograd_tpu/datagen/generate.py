@@ -49,14 +49,18 @@ def _bn_params(rng: np.random.Generator, channels: int, scale: float = 1.0):
 
 
 def make_winograd_case(cfg: LayerConfig, seed: int = 0) -> Dict[str, np.ndarray]:
-    """3x3 Winograd case: input, OIHW weights, transformed U, folded BN, golden."""
+    """3x3 case: input, OIHW weights, offline artifacts for BOTH conv
+    algorithms (Winograd U and im2col W9), folded BN, golden."""
+    from winograd_tpu.kernels.direct import direct_filter
+
     rng = np.random.default_rng(seed)
     x = _rand(rng, cfg.hw, cfg.hw, cfg.cin)
     w = _rand(rng, cfg.cout, cfg.cin, 3, 3)
     bn = _bn_params(rng, cfg.cout)
     u = transforms.transform_filter(w)
+    w9 = np.asarray(direct_filter(w))
     golden = reference.conv3x3_bn_relu(x, w, bn["scale"], bn["bias"], relu=cfg.relu)
-    return dict(x=x, w=w, u=u, golden=golden, **bn)
+    return dict(x=x, w=w, u=u, w9=w9, golden=golden, **bn)
 
 
 def make_pointwise_case(cfg: LayerConfig, seed: int = 0) -> Dict[str, np.ndarray]:
@@ -86,10 +90,13 @@ def make_block_case(cfg: BlockConfig, seed: int = 0) -> Dict[str, np.ndarray]:
         w_mid, bn2["scale"], bn2["bias"],
         w_expand, bn3["scale"], bn3["bias"],
     )
+    from winograd_tpu.kernels.direct import direct_filter
+
     return dict(
         x=x,
         w_reduce=w_reduce, s_reduce=bn1["scale"], b_reduce=bn1["bias"],
         w_mid=w_mid, u_mid=transforms.transform_filter(w_mid),
+        w9_mid=np.asarray(direct_filter(w_mid)),
         s_mid=bn2["scale"], b_mid=bn2["bias"],
         w_expand=w_expand, s_expand=bn3["scale"], b_expand=bn3["bias"],
         golden=golden,

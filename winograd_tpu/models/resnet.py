@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from winograd_tpu.kernels import transforms
+from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
 from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
 from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
 from winograd_tpu.ops import jnp_ops
@@ -56,6 +57,7 @@ def init_bottleneck_params(
         "b_expand": jnp.zeros((c_io,), jnp.float32),
     }
     params["u_mid"] = winograd_transform_params(w_mid)
+    params["w9_mid"] = jnp.asarray(direct_filter(np.asarray(w_mid)))
     return params
 
 
@@ -64,10 +66,25 @@ def winograd_transform_params(w_mid: jax.Array) -> jax.Array:
     return jnp.asarray(transforms.transform_filter(np.asarray(w_mid)))
 
 
-def bottleneck_block_pallas(x: jax.Array, params: BottleneckParams) -> jax.Array:
-    """Fused-kernel bottleneck: three Pallas kernels + skip. x: (..., H, W, Cio)."""
+def bottleneck_block_pallas(
+    x: jax.Array, params: BottleneckParams, algo3x3: str = "auto"
+) -> jax.Array:
+    """Fused-kernel bottleneck: three Pallas kernels + skip. x: (..., H, W, Cio).
+
+    algo3x3 selects the 3x3 algorithm (the role cuDNN's algo enum plays in
+    the reference): "direct" (im2col GEMM — fastest measured at inference
+    batch 1), "winograd", or "auto" (direct when the w9_mid artifact is
+    present, winograd otherwise).
+    """
     h = conv1x1_bn_pallas(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
-    h = conv3x3_bn_winograd_pallas(h, params["u_mid"], params["s_mid"], params["b_mid"], relu=True)
+    if algo3x3 == "auto":
+        algo3x3 = "direct" if "w9_mid" in params else "winograd"
+    if algo3x3 == "direct":
+        h = conv3x3_bn_direct_pallas(h, params["w9_mid"], params["s_mid"], params["b_mid"], relu=True)
+    elif algo3x3 == "winograd":
+        h = conv3x3_bn_winograd_pallas(h, params["u_mid"], params["s_mid"], params["b_mid"], relu=True)
+    else:
+        raise ValueError(f"unknown algo3x3 {algo3x3!r}")
     h = conv1x1_bn_pallas(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
     return jnp.maximum(h + x, 0.0)
 

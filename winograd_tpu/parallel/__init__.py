@@ -3,6 +3,7 @@
 from winograd_tpu.parallel.mesh import make_mesh, block_shardings
 from winograd_tpu.parallel.data_parallel import (
     sharded_block_inference,
+    sharded_block_inference_pallas,
     make_train_step,
     init_train_state,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "make_mesh",
     "block_shardings",
     "sharded_block_inference",
+    "sharded_block_inference_pallas",
     "make_train_step",
     "init_train_state",
 ]

@@ -29,11 +29,40 @@ def sharded_block_inference(mesh, params, x):
     return fn(x, jax.device_put(params, p_sh))
 
 
+def sharded_block_inference_pallas(mesh, params, x, algo3x3: str = "auto"):
+    """Data-parallel fused-kernel inference: shard_map over the "data" axis,
+    each device running the single fused Pallas kernels on its batch shard
+    (params replicated — the serving layout for this model size; TP sharding
+    of the fused kernels themselves is a cross-chip-Pallas follow-up)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from winograd_tpu.models.resnet import bottleneck_block_pallas
+
+    n_data = mesh.shape["data"]
+    assert x.shape[0] % n_data == 0, (x.shape, n_data)
+
+    def local_fn(x_local, params_local):
+        return bottleneck_block_pallas(x_local, params_local, algo3x3=algo3x3)
+
+    p_spec = jax.tree.map(lambda _: P(), params)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data", None, None, None), p_spec),
+        out_specs=P("data", None, None, None),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )
+    return jax.jit(fn)(x, params)
+
+
 def init_train_state(key, c_io: int, c_mid: int):
     """Params + momentum buffers for SGD."""
     params = init_bottleneck_params(key, c_io=c_io, c_mid=c_mid)
-    params.pop("u_mid")  # training uses the raw 3x3 filter; u_mid is an
-    # inference-time offline artifact (re-derived after training).
+    # Training uses the raw 3x3 filter; u_mid/w9_mid are inference-time
+    # offline artifacts (re-derived after training).
+    params.pop("u_mid")
+    params.pop("w9_mid")
     momentum = jax.tree.map(jnp.zeros_like, params)
     return params, momentum
 

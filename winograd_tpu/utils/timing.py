@@ -108,8 +108,8 @@ def bench_loop(
 def bench_scan(
     core: Callable[[jax.Array], jax.Array],
     x: jax.Array,
-    scan_len: int = 512,
-    repeats: int = 3,
+    scan_len: int = 4096,
+    repeats: int = 5,
 ) -> float:
     """Per-op DEVICE time: run `core` inside ONE jitted lax.scan, iterations
     serialized by a data dependency, so host dispatch is paid once. The
@@ -124,7 +124,10 @@ def bench_scan(
     (1 + 0*y[...,:1]), which XLA cannot fold away (NaN semantics) and which
     adds only a VPU-trivial epilogue per step.
     """
-    l_short = max(scan_len // 8, 2)
+    # The spread between the two lengths must make L*t_op dwarf the jitter of
+    # the constant floor (~ms through a remote-dispatch tunnel), so the short
+    # leg is ~1/64 of the long one.
+    l_short = max(scan_len // 64, 2)
 
     def make(length):
         @jax.jit
