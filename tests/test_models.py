@@ -36,6 +36,21 @@ def test_block_baseline_matches_golden():
     assert err < 10 * PARITY_ATOL, f"block max err {err}"
 
 
+def test_conv4x_stage_matches_golden():
+    """Mode 8: the full ResNet-50 conv4_x stage (6 chained bottlenecks)."""
+    from winograd_tpu.datagen.generate import block_params_list, make_block_case
+
+    cfg = CASES[8]
+    assert cfg.blocks == 6
+    case = make_block_case(cfg, seed=8)
+    # Guard against vanishing activations making the parity check trivial.
+    assert np.abs(case["golden"]).max() > 1e-2
+    params_list = block_params_list(cfg, case)
+    out = np.asarray(resnet.resnet_stage_pallas(case["x"], params_list))
+    err = np.abs(out - case["golden"]).max()
+    assert err < 10 * PARITY_ATOL, f"stage max err {err}"
+
+
 def test_init_and_stage():
     params = [
         resnet.init_bottleneck_params(i, c_io=128, c_mid=128) for i in range(2)

@@ -72,6 +72,34 @@ def test_checker_shift_aware():
     assert res.max_error == 0.0
 
 
+def test_parallel_loader_roundtrip(tmp_path):
+    from winograd_tpu.utils.io import get_parameters
+
+    rng = np.random.default_rng(4)
+    spec, want = {}, {}
+    for i in range(12):
+        data = rng.standard_normal(100 + i).astype(np.float32)
+        path = str(tmp_path / f"blob{i}.bin")
+        save_parameter(path, data)
+        spec[path] = data.size
+        want[path] = data
+    got = get_parameters(spec, threads=4)
+    for path in spec:
+        np.testing.assert_array_equal(got[path], want[path])
+
+
+def test_load_case_roundtrip(tmp_path):
+    from winograd_tpu.datagen.generate import generate_all, load_case, make_case
+
+    outdir = str(tmp_path / "data")
+    generate_all(outdir, seed=0)
+    for mode in (0, 3, 6):
+        mem = make_case(mode, seed=mode)
+        disk = load_case(mode, outdir)
+        np.testing.assert_allclose(disk["x"], mem["x"], atol=0)
+        np.testing.assert_allclose(disk["golden"], mem["golden"], atol=0)
+
+
 def test_native_python_parity(tmp_path):
     """If the native lib built, it must agree with the numpy fallback."""
     if not native.available():

@@ -39,6 +39,24 @@ def test_cout_slicing_grid():
     np.testing.assert_allclose(out, gold, atol=PARITY_ATOL)
 
 
+def test_batch_tiling_nb():
+    """nb > 1 packs several images' tiles into one GEMM row block; results
+    must be identical to the per-image path."""
+    rng = np.random.default_rng(7)
+    x = (rng.random((4, 14, 14, 128), dtype=np.float32) - 0.5)
+    w = (rng.random((128, 128, 3, 3), dtype=np.float32) - 0.5)
+    s = (rng.random(128, dtype=np.float32) - 0.5)
+    b = (rng.random(128, dtype=np.float32) - 0.5)
+    u = transforms.transform_filter(w)
+    gold = reference.conv3x3_bn_relu(x, w, s, b, relu=True)
+    out1 = np.asarray(conv3x3_bn_winograd_pallas(x, u, s, b, relu=True, nb=1))
+    out2 = np.asarray(conv3x3_bn_winograd_pallas(x, u, s, b, relu=True, nb=2))
+    out4 = np.asarray(conv3x3_bn_winograd_pallas(x, u, s, b, relu=True, nb=4))
+    np.testing.assert_allclose(out1, gold, atol=PARITY_ATOL)
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_array_equal(out2, out4)
+
+
 def test_batched_and_no_relu():
     rng = np.random.default_rng(1)
     x = (rng.random((2, 14, 14, 128), dtype=np.float32) - 0.5)

@@ -73,20 +73,26 @@ def run_case(
 
     core_direct = None
     if isinstance(cfg, BlockConfig):
+        from winograd_tpu.datagen.generate import block_params_list
+        from winograd_tpu.ops import jnp_ops
+
         x = jax.device_put(jnp.asarray(case["x"]), dev)
-        params = {
-            k: jax.device_put(jnp.asarray(case[k]), dev)
-            for k in (
-                "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "w9_mid",
-                "s_mid", "b_mid", "w_expand", "s_expand", "b_expand",
-            )
-            if k in case
-        }
-        block_jit = jax.jit(resnet.bottleneck_block_pallas)
-        pallas_fn = lambda: block_jit(x, params)
-        baseline_fn = lambda: baseline.bottleneck_block(x, params)
-        core_pallas = lambda x_: resnet.bottleneck_block_pallas(x_, params)
-        core_xla = lambda x_: baseline.bottleneck_block(x_, params)
+        params_list = [
+            {k: jax.device_put(jnp.asarray(v), dev) for k, v in p.items()}
+            for p in block_params_list(cfg, case)
+        ]
+
+        def xla_stage(x_):
+            for p in params_list:
+                x_ = jnp_ops.bottleneck_block(x_, p)
+            return x_
+
+        stage_pallas = jax.jit(lambda x_: resnet.resnet_stage_pallas(x_, params_list))
+        stage_xla = jax.jit(xla_stage)
+        pallas_fn = lambda: stage_pallas(x)
+        baseline_fn = lambda: stage_xla(x)
+        core_pallas = stage_pallas
+        core_xla = stage_xla
     elif cfg.kind == "winograd3x3":
         from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
 

@@ -56,13 +56,18 @@ class LayerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class BlockConfig:
-    """ResNet bottleneck block: 1x1 reduce -> 3x3 winograd -> 1x1 expand + skip."""
+    """ResNet bottleneck block(s): 1x1 reduce -> 3x3 -> 1x1 expand + skip.
+
+    blocks > 1 chains that many bottlenecks — e.g. 6 is ResNet-50's full
+    conv4_x stage, the stage whose layers the reference benchmarks in
+    isolation (report.pdf §1)."""
 
     name: str
     c_io: int = 1024
     c_mid: int = 256
     hw: int = 14
     batch: int = 1
+    blocks: int = 1
 
 
 CASES: Dict[int, object] = {
@@ -74,6 +79,7 @@ CASES: Dict[int, object] = {
     5: LayerConfig("pointwise_256_1024", "pointwise", 256, 1024, relu=False),
     6: BlockConfig("bottleneck_block", batch=1),
     7: BlockConfig("bottleneck_block_batched", batch=8),
+    8: BlockConfig("resnet50_conv4x_stage", batch=1, blocks=6),
 }
 
 

@@ -74,33 +74,60 @@ def make_pointwise_case(cfg: LayerConfig, seed: int = 0) -> Dict[str, np.ndarray
 
 
 def make_block_case(cfg: BlockConfig, seed: int = 0) -> Dict[str, np.ndarray]:
-    """Full bottleneck block: params for all three convs + skip, golden."""
-    rng = np.random.default_rng(seed)
-    shape = (cfg.hw, cfg.hw, cfg.c_io) if cfg.batch == 1 else (cfg.batch, cfg.hw, cfg.hw, cfg.c_io)
-    x = _rand(rng, *shape)
-    w_reduce = _rand(rng, cfg.c_io, cfg.c_mid)
-    bn1 = _bn_params(rng, cfg.c_mid)
-    w_mid = _rand(rng, cfg.c_mid, cfg.c_mid, 3, 3)
-    bn2 = _bn_params(rng, cfg.c_mid)
-    w_expand = _rand(rng, cfg.c_mid, cfg.c_io)
-    bn3 = _bn_params(rng, cfg.c_io)
-    golden = reference.bottleneck_block(
-        x,
-        w_reduce, bn1["scale"], bn1["bias"],
-        w_mid, bn2["scale"], bn2["bias"],
-        w_expand, bn3["scale"], bn3["bias"],
-    )
+    """Bottleneck block(s): params for each block's three convs, composed
+    golden. For cfg.blocks > 1 (a full ResNet stage), block i's params are
+    prefixed "bi_"; block 0 keeps unprefixed names for compatibility."""
     from winograd_tpu.kernels.direct import direct_filter
 
-    return dict(
-        x=x,
-        w_reduce=w_reduce, s_reduce=bn1["scale"], b_reduce=bn1["bias"],
-        w_mid=w_mid, u_mid=transforms.transform_filter(w_mid),
-        w9_mid=np.asarray(direct_filter(w_mid)),
-        s_mid=bn2["scale"], b_mid=bn2["bias"],
-        w_expand=w_expand, s_expand=bn3["scale"], b_expand=bn3["bias"],
-        golden=golden,
-    )
+    rng = np.random.default_rng(seed)
+    # BN scale magnitudes are damped for deep stacks so activations stay
+    # O(1) through cfg.blocks chained blocks.
+    bn_scale = 1.0 if cfg.blocks == 1 else 0.5
+    shape = (cfg.hw, cfg.hw, cfg.c_io) if cfg.batch == 1 else (cfg.batch, cfg.hw, cfg.hw, cfg.c_io)
+    x = _rand(rng, *shape)
+    case: Dict[str, np.ndarray] = dict(x=x)
+    h = x
+    for i in range(cfg.blocks):
+        w_reduce = _rand(rng, cfg.c_io, cfg.c_mid)
+        bn1 = _bn_params(rng, cfg.c_mid, scale=bn_scale)
+        w_mid = _rand(rng, cfg.c_mid, cfg.c_mid, 3, 3)
+        bn2 = _bn_params(rng, cfg.c_mid, scale=bn_scale)
+        w_expand = _rand(rng, cfg.c_mid, cfg.c_io)
+        bn3 = _bn_params(rng, cfg.c_io, scale=bn_scale)
+        h = reference.bottleneck_block(
+            h,
+            w_reduce, bn1["scale"], bn1["bias"],
+            w_mid, bn2["scale"], bn2["bias"],
+            w_expand, bn3["scale"], bn3["bias"],
+        )
+        prefix = "" if i == 0 else f"b{i}_"
+        case.update({
+            f"{prefix}w_reduce": w_reduce,
+            f"{prefix}s_reduce": bn1["scale"], f"{prefix}b_reduce": bn1["bias"],
+            f"{prefix}w_mid": w_mid,
+            f"{prefix}u_mid": transforms.transform_filter(w_mid),
+            f"{prefix}w9_mid": np.asarray(direct_filter(w_mid)),
+            f"{prefix}s_mid": bn2["scale"], f"{prefix}b_mid": bn2["bias"],
+            f"{prefix}w_expand": w_expand,
+            f"{prefix}s_expand": bn3["scale"], f"{prefix}b_expand": bn3["bias"],
+        })
+    case["golden"] = h
+    return case
+
+
+_BLOCK_KEYS = (
+    "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "w9_mid",
+    "s_mid", "b_mid", "w_expand", "s_expand", "b_expand",
+)
+
+
+def block_params_list(cfg: BlockConfig, case: Dict[str, np.ndarray]):
+    """Extract the per-block param dicts from a make_block_case dict."""
+    out = []
+    for i in range(cfg.blocks):
+        prefix = "" if i == 0 else f"b{i}_"
+        out.append({k: case[f"{prefix}{k}"] for k in _BLOCK_KEYS if f"{prefix}{k}" in case})
+    return out
 
 
 def make_case(mode: int, seed: int = 0) -> Dict[str, np.ndarray]:
@@ -157,7 +184,7 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     """Load a case from on-disk artifacts (the reference's consumption path:
     kernels read raw blobs by path, e.g. Kernel128_winograd.cu:216-252).
     Returns the same dict structure as make_case."""
-    from winograd_tpu.utils.io import get_parameter
+    from winograd_tpu.utils.io import get_parameters
 
     cfg = CASES[mode]
     if isinstance(cfg, BlockConfig):
@@ -167,27 +194,40 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     hw = cfg.hw
     if cfg.kind == "winograd3x3":
         c, co = cfg.cin, cfg.cout
-        xp = get_parameter(f"{d}/input_{hw}_1_{c}.bin", (hw + 2) ** 2 * c).reshape(
-            hw + 2, hw + 2, c
-        )
+        spec = {
+            f"{d}/input_{hw}_1_{c}.bin": (hw + 2) ** 2 * c,
+            f"{d}/weight_NCHW_{c}_{co}.bin": co * c * 9,
+            f"{d}/weight_winograd_{c}_{co}.bin": 36 * c * co,
+            f"{d}/bnScale_winograd_{co}.bin": co,
+            f"{d}/bnBias_winograd_{co}.bin": co,
+            f"{d}/golden_winograd_{c}_{co}.bin": hw * hw * co,
+        }
+        blobs = get_parameters(spec)
+        xp = blobs[f"{d}/input_{hw}_1_{c}.bin"].reshape(hw + 2, hw + 2, c)
         return dict(
             x=np.ascontiguousarray(xp[1 : hw + 1, 1 : hw + 1, :]),
-            w=get_parameter(f"{d}/weight_NCHW_{c}_{co}.bin", co * c * 9).reshape(co, c, 3, 3),
-            u=get_parameter(f"{d}/weight_winograd_{c}_{co}.bin", 36 * c * co).reshape(36, c, co),
-            scale=get_parameter(f"{d}/bnScale_winograd_{co}.bin", co),
-            bias=get_parameter(f"{d}/bnBias_winograd_{co}.bin", co),
-            golden=get_parameter(f"{d}/golden_winograd_{c}_{co}.bin", hw * hw * co).reshape(
-                hw, hw, co
-            ),
+            w=blobs[f"{d}/weight_NCHW_{c}_{co}.bin"].reshape(co, c, 3, 3),
+            u=blobs[f"{d}/weight_winograd_{c}_{co}.bin"].reshape(36, c, co),
+            scale=blobs[f"{d}/bnScale_winograd_{co}.bin"],
+            bias=blobs[f"{d}/bnBias_winograd_{co}.bin"],
+            golden=blobs[f"{d}/golden_winograd_{c}_{co}.bin"].reshape(hw, hw, co),
         )
     ci, co = cfg.cin, cfg.cout
     tag = f"{ci}_{co}"
+    spec = {
+        f"{d}/input_one_{hw}_{tag}.bin": hw * hw * ci,
+        f"{d}/weight_one_{tag}.bin": ci * co,
+        f"{d}/bnScale_myKernel_one_{tag}.bin": co,
+        f"{d}/bnBias_myKernel_one_{tag}.bin": co,
+        f"{d}/golden_one_{tag}.bin": hw * hw * co,
+    }
+    blobs = get_parameters(spec)
     return dict(
-        x=get_parameter(f"{d}/input_one_{hw}_{tag}.bin", hw * hw * ci).reshape(hw, hw, ci),
-        w=get_parameter(f"{d}/weight_one_{tag}.bin", ci * co).reshape(ci, co),
-        scale=get_parameter(f"{d}/bnScale_myKernel_one_{tag}.bin", co),
-        bias=get_parameter(f"{d}/bnBias_myKernel_one_{tag}.bin", co),
-        golden=get_parameter(f"{d}/golden_one_{tag}.bin", hw * hw * co).reshape(hw, hw, co),
+        x=blobs[f"{d}/input_one_{hw}_{tag}.bin"].reshape(hw, hw, ci),
+        w=blobs[f"{d}/weight_one_{tag}.bin"].reshape(ci, co),
+        scale=blobs[f"{d}/bnScale_myKernel_one_{tag}.bin"],
+        bias=blobs[f"{d}/bnBias_myKernel_one_{tag}.bin"],
+        golden=blobs[f"{d}/golden_one_{tag}.bin"].reshape(hw, hw, co),
     )
 
 

@@ -74,21 +74,23 @@ def _dot_kw(precision: str):
 
 
 def _winograd_kernel(
-    x_ref,       # (1, H, W, Cin)     dense input, one image
+    x_ref,       # (NB, H, W, Cin)    dense input, NB images per grid step
     u_ref,       # (a2, Cin, TILE_CO) transformed filter slice
     bb_ref,      # (a2, a2)           Bt (x) Bt
     aa_ref,      # (m2, a2)           At (x) At
     scale_ref,   # (1, TILE_CO)
     bias_ref,    # (1, TILE_CO)
-    out_ref,     # (1, H, W, TILE_CO)
-    xpad_ref,    # scratch (mT+2, mT+2, Cin)  zero-padded staging
-    d_ref,       # scratch (a2, NT*Cin)       lane-concat tile staging
-    v_ref,       # scratch (a2, NT, Cin)      transformed tiles, GEMM layout
-    m_ref,       # scratch (a2, NT, TILE_CO)
-    mf_ref,      # scratch (a2, NT*TILE_CO)
+    out_ref,     # (NB, H, W, TILE_CO)
+    xpad_ref,    # scratch (NB, mT+2, mT+2, Cin)  zero-padded staging
+    d_ref,       # scratch (a2, NB*NT*Cin)        lane-concat tile staging
+    v_ref,       # scratch (a2, NB*NT, Cin)       transformed tiles, GEMM layout
+    m_ref,       # scratch (a2, NB*NT, TILE_CO)
+    mf_ref,      # scratch (a2, NB*NT*TILE_CO)
     *,
     m: int,
-    tiles: int,
+    nb: int,
+    tiles_h: int,
+    tiles_w: int,
     h: int,
     w: int,
     cin: int,
@@ -98,29 +100,37 @@ def _winograd_kernel(
     dot_kw = _dot_kw(precision)
     a = m + 2
     a2 = a * a
-    nt = tiles * tiles
-    side = m * tiles
+    nt = tiles_h * tiles_w
+    side_h = m * tiles_h
+    side_w = m * tiles_w
     j = pl.program_id(1)
 
     # Phase 0+1 — pad into VMEM, extract tiles, input transform as ONE
-    # matmul over all tiles. Only needed once per image; skipped when
-    # revisiting the same x for another output-channel slice (j > 0).
+    # matmul over all NB*NT tiles. Tiles of all NB images share one GEMM
+    # row block, so the per-position tile GEMMs see NB*NT rows — at NB=8,
+    # NT=16 that is a full 128-row MXU block (the key throughput lever the
+    # per-image reference kernels cannot express). Only needed once per
+    # image block; skipped when revisiting the same x for another
+    # output-channel slice (j > 0).
     @pl.when(j == 0)
     def _input_transform():
-        # Zero only the border strips, copy the interior once.
-        xpad_ref[0:1, :, :] = jnp.zeros((1, side + 2, cin), jnp.float32)
-        xpad_ref[h + 1 :, :, :] = jnp.zeros((side + 1 - h, side + 2, cin), jnp.float32)
-        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cin), jnp.float32)
-        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, side + 1 - w, cin), jnp.float32)
-        xpad_ref[1 : h + 1, 1 : w + 1, :] = x_ref[0]
+        for b in range(nb):
+            # Zero only the border strips, copy the interior once.
+            xpad_ref[b, 0:1, :, :] = jnp.zeros((1, side_w + 2, cin), jnp.float32)
+            xpad_ref[b, h + 1 :, :, :] = jnp.zeros((side_h + 1 - h, side_w + 2, cin), jnp.float32)
+            xpad_ref[b, 1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cin), jnp.float32)
+            xpad_ref[b, 1 : h + 1, w + 1 :, :] = jnp.zeros((h, side_w + 1 - w, cin), jnp.float32)
+            xpad_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
 
-        for t in range(nt):
-            th, tw = divmod(t, tiles)
-            patch = xpad_ref[th * m : th * m + a, tw * m : tw * m + a, :]
-            d_ref[:, t * cin : (t + 1) * cin] = patch.reshape(a2, cin)
-        vf = jnp.dot(bb_ref[:], d_ref[:], **dot_kw)  # (a2, NT*Cin)
-        for t in range(nt):
-            v_ref[:, t, :] = vf[:, t * cin : (t + 1) * cin]
+        for b in range(nb):
+            for t in range(nt):
+                th, tw = divmod(t, tiles_w)
+                patch = xpad_ref[b, th * m : th * m + a, tw * m : tw * m + a, :]
+                g = b * nt + t
+                d_ref[:, g * cin : (g + 1) * cin] = patch.reshape(a2, cin)
+        vf = jnp.dot(bb_ref[:], d_ref[:], **dot_kw)  # (a2, NB*NT*Cin)
+        for g in range(nb * nt):
+            v_ref[:, g, :] = vf[:, g * cin : (g + 1) * cin]
 
     # Phase 2 — batched per-position tile GEMMs on the MXU (the hot loop).
     m_ref[:] = jax.lax.dot_general(
@@ -133,25 +143,29 @@ def _winograd_kernel(
     # Phase 3 — inverse transform as ONE matmul, then BN FMA + ReLU;
     # edge tiles stored with statically clipped slices (no output crop).
     tile_co = out_ref.shape[-1]
-    for t in range(nt):
-        mf_ref[:, t * tile_co : (t + 1) * tile_co] = m_ref[:, t, :]
-    yf = jnp.dot(aa_ref[:], mf_ref[:], **dot_kw)  # (m2, NT*TILE_CO)
+    for g in range(nb * nt):
+        mf_ref[:, g * tile_co : (g + 1) * tile_co] = m_ref[:, g, :]
+    yf = jnp.dot(aa_ref[:], mf_ref[:], **dot_kw)  # (m2, NB*NT*TILE_CO)
     scale = scale_ref[:]
     bias = bias_ref[:]
-    for t in range(nt):
-        th, tw = divmod(t, tiles)
-        y = yf[:, t * tile_co : (t + 1) * tile_co] * scale + bias
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        y = y.reshape(m, m, tile_co)
-        rh = min(m, h - th * m)
-        rw = min(m, w - tw * m)
-        out_ref[0, th * m : th * m + rh, tw * m : tw * m + rw, :] = y[:rh, :rw]
+    for b in range(nb):
+        for t in range(nt):
+            th, tw = divmod(t, tiles_w)
+            g = b * nt + t
+            y = yf[:, g * tile_co : (g + 1) * tile_co] * scale + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            y = y.reshape(m, m, tile_co)
+            rh = min(m, h - th * m)
+            rw = min(m, w - tw * m)
+            out_ref[b, th * m : th * m + rh, tw * m : tw * m + rw, :] = y[:rh, :rw]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "m", "tiles", "tile_co", "interpret", "precision"),
+    static_argnames=(
+        "relu", "m", "nb", "tiles_h", "tiles_w", "tile_co", "interpret", "precision"
+    ),
 )
 def _winograd_dense(
     x: jax.Array,       # (N, H, W, Cin) dense
@@ -162,7 +176,9 @@ def _winograd_dense(
     bias2d: jax.Array,   # (1, Cout)
     relu: bool,
     m: int,
-    tiles: int,
+    nb: int,
+    tiles_h: int,
+    tiles_w: int,
     tile_co: int,
     interpret: bool,
     precision: str,
@@ -171,14 +187,16 @@ def _winograd_dense(
     a2 = (m + 2) * (m + 2)
     m2 = m * m
     cout = u.shape[2]
-    nt = tiles * tiles
-    side = m * tiles
+    nt = tiles_h * tiles_w
+    side_h, side_w = m * tiles_h, m * tiles_w
     n_j = cout // tile_co
 
     kernel = functools.partial(
         _winograd_kernel,
         m=m,
-        tiles=tiles,
+        nb=nb,
+        tiles_h=tiles_h,
+        tiles_w=tiles_w,
         h=h,
         w=w,
         cin=cin,
@@ -188,9 +206,9 @@ def _winograd_dense(
     flops = n * (2 * a2 * nt * cin * cout + 2 * nt * a2 * (a2 * cin + m2 * cout))
     return pl.pallas_call(
         kernel,
-        grid=(n, n_j),
+        grid=(n // nb, n_j),
         in_specs=[
-            pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((a2, cin, tile_co), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((a2, a2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m2, a2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -198,15 +216,15 @@ def _winograd_dense(
             pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+            (nb, h, w, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((side + 2, side + 2, cin), jnp.float32),
-            pltpu.VMEM((a2, nt * cin), jnp.float32),
-            pltpu.VMEM((a2, nt, cin), jnp.float32),
-            pltpu.VMEM((a2, nt, tile_co), jnp.float32),
-            pltpu.VMEM((a2, nt * tile_co), jnp.float32),
+            pltpu.VMEM((nb, side_h + 2, side_w + 2, cin), jnp.float32),
+            pltpu.VMEM((a2, nb * nt * cin), jnp.float32),
+            pltpu.VMEM((a2, nb * nt, cin), jnp.float32),
+            pltpu.VMEM((a2, nb * nt, tile_co), jnp.float32),
+            pltpu.VMEM((a2, nb * nt * tile_co), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -217,9 +235,21 @@ def _winograd_dense(
     )(x, u, bb, aa, scale2d, bias2d)
 
 
+def _vmem_bytes(
+    m: int, nb: int, tiles_h: int, tiles_w: int, h: int, w: int, cin: int, tile_co: int
+) -> int:
+    """Estimated kernel VMEM: scratch + double-buffered in/out/u blocks."""
+    a2 = (m + 2) * (m + 2)
+    nt = tiles_h * tiles_w
+    pad_hw = (m * tiles_h + 2) * (m * tiles_w + 2)
+    scratch = nb * pad_hw * cin + 2 * a2 * nb * nt * cin + 2 * a2 * nb * nt * tile_co
+    blocks = 2 * (nb * h * w * (cin + tile_co) + a2 * cin * tile_co)
+    return 4 * (scratch + blocks)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "tile_co", "interpret", "precision"),
+    static_argnames=("relu", "nb", "tile_co", "interpret", "precision"),
 )
 def conv3x3_bn_winograd_pallas(
     x: jax.Array,
@@ -228,6 +258,7 @@ def conv3x3_bn_winograd_pallas(
     bias: jax.Array,
     relu: bool = True,
     *,
+    nb: int | None = None,
     tile_co: int | None = None,
     interpret: bool | None = None,
     precision: str = "highest",
@@ -250,8 +281,7 @@ def conv3x3_bn_winograd_pallas(
     m = {36: 4, 16: 2}.get(u.shape[0])
     assert m is not None, f"filter leading dim {u.shape[0]} is not 36 (F(4,3)) or 16 (F(2,3))"
     cout = u.shape[2]
-    tiles = _cdiv(h, m)
-    assert _cdiv(w, m) == tiles, "square feature maps only for now"
+    tiles_h, tiles_w = _cdiv(h, m), _cdiv(w, m)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -262,6 +292,22 @@ def conv3x3_bn_winograd_pallas(
     if tile_co is None:
         tile_co = cout if a2 * cin * cout * 4 <= 5 * 2**20 else 128
     assert cout % tile_co == 0, (cout, tile_co)
+
+    # Images per grid step: grow the tile-GEMM row block toward the MXU's
+    # 128 rows (NT rows per image), bounded by a VMEM budget on the five
+    # scratch buffers.
+    nt = tiles_h * tiles_w
+    if nb is None:
+        nb = 1
+        while (
+            nb * 2 <= n
+            and n % (nb * 2) == 0
+            and nb * 2 * nt <= 128
+            and _vmem_bytes(m, nb * 2, tiles_h, tiles_w, h, w, cin, tile_co)
+            <= 14 * 2**20
+        ):
+            nb *= 2
+    assert n % nb == 0, (n, nb)
 
     bb = jnp.asarray(transforms.bt_kron(np.float32, m=m))
     aa = jnp.asarray(transforms.at_kron(np.float32, m=m))
@@ -274,7 +320,9 @@ def conv3x3_bn_winograd_pallas(
         bias.reshape(1, cout).astype(jnp.float32),
         relu,
         m,
-        tiles,
+        nb,
+        tiles_h,
+        tiles_w,
         tile_co,
         interpret,
         precision,

@@ -16,6 +16,9 @@
 #include <cstdio>
 #include <cmath>
 #include <ctime>
+#include <atomic>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -74,6 +77,31 @@ long long wt_output_checker(const float* a, const float* b, long long len,
   }
   if (max_error) *max_error = max_err;
   return count;
+}
+
+// Parallel blob loader: read n files concurrently on a small thread pool
+// (the reference loads its blobs serially on the main thread,
+// util.c:28-44 / Kernel128_winograd.cu:216-252; artifact sets here are
+// 10+ files per case, so overlap the IO). outs[i] must hold counts[i]
+// floats. Returns the number of files fully read.
+long long wt_read_many_f32(const char** paths, float** outs,
+                           const long long* counts, long long n,
+                           long long threads) {
+  if (threads < 1) threads = 1;
+  if (threads > n) threads = n;
+  std::atomic<long long> next(0), ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      long long i = next.fetch_add(1);
+      if (i >= n) return;
+      if (wt_read_f32(paths[i], outs[i], counts[i]) == counts[i]) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve((size_t)threads);
+  for (long long t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
 }
 
 }  // extern "C"

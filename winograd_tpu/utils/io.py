@@ -37,6 +37,32 @@ def get_parameter(path: str | os.PathLike, size: int) -> np.ndarray:
     return out
 
 
+def get_parameters(spec: dict[str, int], threads: int = 8) -> dict[str, np.ndarray]:
+    """Load many blobs concurrently: {path: size} -> {path: array}.
+
+    Uses the native thread-pool loader (wt_read_many_f32) when available —
+    the reference loads its 10+ per-case blobs serially on the main thread.
+    """
+    paths = list(spec)
+    outs = {p: np.empty(spec[p], dtype=np.float32) for p in paths}
+    lib = native.load()
+    if lib is not None and paths:
+        c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        c_outs = (ctypes.POINTER(ctypes.c_float) * len(paths))(
+            *[outs[p].ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for p in paths]
+        )
+        c_counts = (ctypes.c_longlong * len(paths))(*[spec[p] for p in paths])
+        ok = lib.wt_read_many_f32(c_paths, c_outs, c_counts, len(paths), threads)
+        if ok != len(paths):
+            # Fall through to the serial path for a precise error message.
+            for p in paths:
+                outs[p] = get_parameter(p, spec[p])
+        return outs
+    for p in paths:
+        outs[p] = get_parameter(p, spec[p])
+    return outs
+
+
 def save_parameter(path: str | os.PathLike, data: np.ndarray) -> None:
     """Write a float32 array as a raw little-endian blob."""
     path = os.fspath(path)

@@ -66,6 +66,14 @@ def load():
             ctypes.c_longlong,
             ctypes.c_longlong,
         ]
+        lib.wt_read_many_f32.restype = ctypes.c_longlong
+        lib.wt_read_many_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+        ]
         lib.wt_output_checker.restype = ctypes.c_longlong
         lib.wt_output_checker.argtypes = [
             ctypes.POINTER(ctypes.c_float),
