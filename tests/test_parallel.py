@@ -65,6 +65,36 @@ def test_train_step_decreases_loss(mesh):
     assert u.shape == (36, c_mid, c_mid)
 
 
+def test_tp_pointwise_reduce_matches(mesh):
+    from winograd_tpu.parallel import conv1x1_bn_tp_reduce
+    from winograd_tpu.ops import jnp_ops
+
+    cin, cout = 256, 128
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(k[0], (4, 14, 14, cin), jnp.float32)
+    w = jax.random.normal(k[1], (cin, cout), jnp.float32) * 0.1
+    s = jax.random.normal(k[2], (cout,), jnp.float32)
+    b = jax.random.normal(k[3], (cout,), jnp.float32)
+    want = jnp_ops.conv1x1_bn(x, w, s, b, relu=True)
+    got = conv1x1_bn_tp_reduce(mesh, x, w, s, b, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_tp_pointwise_expand_matches(mesh):
+    from winograd_tpu.parallel import conv1x1_bn_tp_expand
+    from winograd_tpu.ops import jnp_ops
+
+    cin, cout = 128, 256
+    k = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = jax.random.normal(k[0], (4, 14, 14, cin), jnp.float32)
+    w = jax.random.normal(k[1], (cin, cout), jnp.float32) * 0.1
+    s = jax.random.normal(k[2], (cout,), jnp.float32)
+    b = jax.random.normal(k[3], (cout,), jnp.float32)
+    want = jnp_ops.conv1x1_bn(x, w, s, b, relu=False)
+    got = conv1x1_bn_tp_expand(mesh, x, w, s, b, relu=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_block_shardings_cover_all_params(mesh):
     _, p_sh = block_shardings(mesh)
     params = init_bottleneck_params(0, c_io=32, c_mid=16)

@@ -1,6 +1,10 @@
 """Multi-chip parallel layer: Mesh construction, shardings, train/infer steps."""
 
 from winograd_tpu.parallel.mesh import make_mesh, block_shardings
+from winograd_tpu.parallel.tensor_parallel import (
+    conv1x1_bn_tp_reduce,
+    conv1x1_bn_tp_expand,
+)
 from winograd_tpu.parallel.data_parallel import (
     sharded_block_inference,
     sharded_block_inference_pallas,
@@ -15,4 +19,6 @@ __all__ = [
     "sharded_block_inference_pallas",
     "make_train_step",
     "init_train_state",
+    "conv1x1_bn_tp_reduce",
+    "conv1x1_bn_tp_expand",
 ]
