@@ -20,7 +20,7 @@ def test_block_pallas_matches_golden():
     cfg = CASES[6]
     case = make_block_case(cfg, seed=6)
     params = _params_from_case(case)
-    for algo in ("direct", "winograd"):
+    for algo in ("fused", "direct", "winograd"):
         out = np.asarray(resnet.bottleneck_block_pallas(case["x"], params, algo3x3=algo))
         err = np.abs(out - case["golden"]).max()
         # Three chained convs: allow 10x the single-layer bar.

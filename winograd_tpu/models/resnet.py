@@ -69,16 +69,21 @@ def winograd_transform_params(w_mid: jax.Array) -> jax.Array:
 def bottleneck_block_pallas(
     x: jax.Array, params: BottleneckParams, algo3x3: str = "auto"
 ) -> jax.Array:
-    """Fused-kernel bottleneck: three Pallas kernels + skip. x: (..., H, W, Cio).
+    """Fused-kernel bottleneck. x: (..., H, W, Cio).
 
-    algo3x3 selects the 3x3 algorithm (the role cuDNN's algo enum plays in
-    the reference): "direct" (im2col GEMM — fastest measured at inference
-    batch 1), "winograd", or "auto" (direct when the w9_mid artifact is
-    present, winograd otherwise).
+    algo3x3 selects the implementation (the role cuDNN's algo enum plays in
+    the reference): "fused" (the whole block as ONE Pallas megakernel —
+    kernels/block.py, fastest measured), "direct" / "winograd" (three
+    per-layer fused kernels with that 3x3 algorithm), or "auto" (fused when
+    the w9_mid artifact is present, winograd otherwise).
     """
-    h = conv1x1_bn_pallas(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
     if algo3x3 == "auto":
-        algo3x3 = "direct" if "w9_mid" in params else "winograd"
+        algo3x3 = "fused" if "w9_mid" in params else "winograd"
+    if algo3x3 == "fused":
+        from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
+
+        return bottleneck_block_fused_pallas(x, params)
+    h = conv1x1_bn_pallas(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
     if algo3x3 == "direct":
         h = conv3x3_bn_direct_pallas(h, params["w9_mid"], params["s_mid"], params["b_mid"], relu=True)
     elif algo3x3 == "winograd":
