@@ -1,0 +1,51 @@
+"""Serving engine: artifact/checkpoint loading, single-chip and DP serving."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.config import CASES
+from winograd_tpu.datagen.generate import block_params_list, make_block_case
+from winograd_tpu.engine import BottleneckEngine
+from winograd_tpu.parallel import make_mesh
+
+
+def test_engine_matches_golden():
+    case = make_block_case(CASES[6], seed=6)
+    engine = BottleneckEngine(block_params_list(CASES[6], case))
+    out = np.asarray(engine(case["x"]))
+    assert np.abs(out - case["golden"]).max() < 1e-3
+
+
+def test_engine_stage_and_throughput():
+    cfg = CASES[8]
+    case = make_block_case(cfg, seed=8)
+    engine = BottleneckEngine(block_params_list(cfg, case))
+    out = np.asarray(engine(case["x"]))
+    assert np.abs(out - case["golden"]).max() < 1e-3
+    stats = engine.throughput(batch=2, iters=2)
+    assert stats["images_per_sec"] > 0
+
+
+def test_engine_data_parallel_matches_single():
+    case = make_block_case(CASES[6], seed=3)
+    params = block_params_list(CASES[6], case)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 14, 14, 1024), jnp.float32)
+    single = BottleneckEngine(params)(x)
+    mesh = make_mesh(8, model_axis=1)
+    sharded = BottleneckEngine(params, mesh=mesh)(x)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_engine_from_checkpoint(tmp_path):
+    from winograd_tpu.models import init_bottleneck_params, save_params
+    from winograd_tpu.models.resnet import bottleneck_block_pallas
+
+    params = init_bottleneck_params(0, c_io=128, c_mid=128)
+    raw = {k: np.asarray(v) for k, v in params.items() if k not in ("u_mid", "w9_mid")}
+    path = str(tmp_path / "ckpt.npz")
+    save_params(path, raw)
+    engine = BottleneckEngine.from_checkpoint(path)
+    x = jax.random.normal(jax.random.PRNGKey(1), (14, 14, 128), jnp.float32)
+    want = bottleneck_block_pallas(x, params)
+    np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(want), atol=1e-5)

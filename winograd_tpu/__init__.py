@@ -34,6 +34,7 @@ from winograd_tpu.baseline import xla as baseline_xla
 from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
 from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
 from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+from winograd_tpu.engine import BottleneckEngine
 
 __version__ = "0.1.0"
 
@@ -48,5 +49,6 @@ __all__ = [
     "conv1x1_bn_pallas",
     "conv3x3_bn_winograd_pallas",
     "conv3x3_bn_direct_pallas",
+    "BottleneckEngine",
     "__version__",
 ]

@@ -224,6 +224,9 @@ def main(argv=None) -> int:
         except ParityError as e:
             print(f"  PARITY FAILURE: {e}", file=sys.stderr)
             failed = True
+        except (FileNotFoundError, ValueError) as e:
+            print(f"  DATA ERROR: {e}", file=sys.stderr)
+            failed = True
     if args.json:
         print(json.dumps(results))
     else:

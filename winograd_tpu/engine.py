@@ -1,0 +1,104 @@
+"""Inference engine: the serving layer over the fused kernels.
+
+Ties the framework together for deployment: load offline artifacts (native
+threaded IO) or a checkpoint, pin parameters to device(s) once, jit once,
+and serve batches — single-chip or data-parallel over a Mesh. The
+reference's nearest analog is each benchmark entry point re-allocating,
+re-uploading and re-freeing everything per call
+(/root/reference/Kernel128_winograd.cu:215-434); a serving path wants the
+opposite: weights resident, one compiled program, steady-state latency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.models.resnet import bottleneck_block_pallas
+
+
+class BottleneckEngine:
+    """Serves a stack of bottleneck blocks through the fused Pallas kernels.
+
+    params_list: one param dict per block (models/resnet.py layout, with the
+    offline w9_mid/u_mid artifacts). With a mesh, inputs are batch-sharded
+    over the "data" axis and each device runs the megakernel on its shard.
+    """
+
+    def __init__(
+        self,
+        params_list,
+        mesh=None,
+        algo3x3: str = "auto",
+    ):
+        self.algo3x3 = algo3x3
+        self.mesh = mesh
+        dev = jax.devices()[0]
+        if mesh is None:
+            self.params_list = [
+                {k: jax.device_put(jnp.asarray(v), dev) for k, v in p.items()}
+                for p in params_list
+            ]
+            self._fn = jax.jit(self._stage)
+        else:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.params_list = [
+                {k: jax.device_put(jnp.asarray(v), rep) for k, v in p.items()}
+                for p in params_list
+            ]
+            inner = shard_map(
+                lambda x, ps: self._stage(x, ps),
+                mesh=mesh,
+                in_specs=(P("data", None, None, None), jax.tree.map(lambda _: P(), self.params_list)),
+                out_specs=P("data", None, None, None),
+                check_vma=False,
+            )
+            self._fn = jax.jit(inner)
+
+    def _stage(self, x, params_list=None):
+        for p in params_list if params_list is not None else self.params_list:
+            x = bottleneck_block_pallas(x, p, algo3x3=self.algo3x3)
+        return x
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "BottleneckEngine":
+        """Build from a models.checkpoint npz (single block), deriving the
+        offline inference artifacts from the trained weights."""
+        from winograd_tpu.kernels.direct import direct_filter
+        from winograd_tpu.models.checkpoint import load_params
+        from winograd_tpu.models.resnet import winograd_transform_params
+
+        params, _ = load_params(path)
+        params.setdefault("u_mid", np.asarray(winograd_transform_params(jnp.asarray(params["w_mid"]))))
+        params.setdefault("w9_mid", np.asarray(direct_filter(params["w_mid"])))
+        return cls([params], **kw)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """Run the stage. x: (H, W, Cio) or (N, H, W, Cio)."""
+        return self._fn(jnp.asarray(x, jnp.float32), self.params_list)
+
+    def throughput(self, batch: int, c_io: Optional[int] = None, iters: int = 20) -> Dict:
+        """Steady-state images/sec at the given batch size."""
+        import time
+
+        c_io = c_io or self.params_list[0]["w_reduce"].shape[0]
+        hw = 14
+        x = jnp.zeros((batch, hw, hw, c_io), jnp.float32)
+        out = self(x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [self(x) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        return {
+            "batch": batch,
+            "iters": iters,
+            "images_per_sec": batch * iters / dt,
+            "latency_ms": dt / iters * 1e3,
+        }
