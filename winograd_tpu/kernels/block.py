@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HI = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+from winograd_tpu.kernels.direct import split_dot
 
 
 def _block_kernel(
@@ -45,12 +45,13 @@ def _block_kernel(
     w: int,
     cio: int,
     cmid: int,
+    precision: str,
 ):
     hw = h * w
     x2 = x_ref[0].reshape(hw, cio)
 
     # --- 1x1 reduce + BN + ReLU (MXU GEMM, epilogue on VPU) ---
-    h1 = jnp.dot(x2, wr_ref[:], **_HI) * s1_ref[:] + b1_ref[:]
+    h1 = split_dot(x2, wr_ref[:], precision) * s1_ref[:] + b1_ref[:]
     h1 = jnp.maximum(h1, 0.0)
 
     # --- 3x3 + BN + ReLU via in-VMEM im2col GEMM (kernels/direct.py) ---
@@ -64,21 +65,22 @@ def _block_kernel(
             patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
             k = (3 * r + s) * cmid
             col_ref[:, k : k + cmid] = patch
-    h2 = jnp.dot(col_ref[:], w9_ref[:], **_HI) * s2_ref[:] + b2_ref[:]
+    h2 = split_dot(col_ref[:], w9_ref[:], precision) * s2_ref[:] + b2_ref[:]
     h2 = jnp.maximum(h2, 0.0)
 
     # --- 1x1 expand + BN (no ReLU), skip add, final ReLU ---
-    h3 = jnp.dot(h2, we_ref[:], **_HI) * s3_ref[:] + b3_ref[:]
+    h3 = split_dot(h2, we_ref[:], precision) * s3_ref[:] + b3_ref[:]
     y = jnp.maximum(h3 + x2, 0.0)
     out_ref[0] = y.reshape(h, w, cio)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def bottleneck_block_fused_pallas(
     x: jax.Array,
     params: dict,
     *,
     interpret: bool | None = None,
+    precision: str = "bf16x3",
 ) -> jax.Array:
     """One-kernel bottleneck block. x: (H, W, Cio) or (N, H, W, Cio);
     params needs w_reduce/s_reduce/b_reduce, w9_mid/s_mid/b_mid,
@@ -95,7 +97,9 @@ def bottleneck_block_fused_pallas(
     def row(v, c):
         return jnp.asarray(v, jnp.float32).reshape(1, c)
 
-    kernel = functools.partial(_block_kernel, h=h, w=w, cio=cio, cmid=cmid)
+    kernel = functools.partial(
+        _block_kernel, h=h, w=w, cio=cio, cmid=cmid, precision=precision
+    )
     const = lambda i: (0, 0)
     flops = 2 * n * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
     out = pl.pallas_call(

@@ -38,20 +38,19 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _matmul_bn_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *, relu: bool, n_k: int):
+def _matmul_bn_kernel(
+    x_ref, w_ref, scale_ref, bias_ref, out_ref, *, relu: bool, n_k: int, precision: str
+):
     """One (TILE_P, TILE_K) x (TILE_K, TILE_N) MXU step with fused epilogue."""
+    from winograd_tpu.kernels.direct import split_dot
+
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += jnp.dot(
-        x_ref[:],
-        w_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    out_ref[:] += split_dot(x_ref[:], w_ref[:], precision)
 
     @pl.when(k == n_k - 1)
     def _epilogue():
@@ -61,7 +60,7 @@ def _matmul_bn_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *, relu: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "tile_p", "tile_n", "tile_k", "interpret"),
+    static_argnames=("relu", "tile_p", "tile_n", "tile_k", "interpret", "precision"),
 )
 def _conv1x1_bn_2d(
     x2d: jax.Array,
@@ -73,13 +72,14 @@ def _conv1x1_bn_2d(
     tile_n: int,
     tile_k: int,
     interpret: bool,
+    precision: str,
 ) -> jax.Array:
     p_pad, cin = x2d.shape
     cout = w.shape[1]
     n_p, n_n, n_k = p_pad // tile_p, cout // tile_n, cin // tile_k
 
     grid = (n_p, n_n, n_k)
-    kernel = functools.partial(_matmul_bn_kernel, relu=relu, n_k=n_k)
+    kernel = functools.partial(_matmul_bn_kernel, relu=relu, n_k=n_k, precision=precision)
     flops = 2 * p_pad * cin * cout
     return pl.pallas_call(
         kernel,
@@ -103,7 +103,7 @@ def _conv1x1_bn_2d(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "tile_p", "tile_n", "tile_k", "interpret"),
+    static_argnames=("relu", "tile_p", "tile_n", "tile_k", "interpret", "precision"),
 )
 def conv1x1_bn_pallas(
     x: jax.Array,
@@ -116,8 +116,12 @@ def conv1x1_bn_pallas(
     tile_n: int | None = None,
     tile_k: int | None = None,
     interpret: bool | None = None,
+    precision: str = "bf16x3",
 ) -> jax.Array:
     """Fused pointwise conv + BN (+ReLU).
+
+    Default precision "bf16x3" is f32-faithful to ~1e-5 for unit-scale data
+    (see kernels/direct.py:split_dot); pass "highest" for strict f32.
 
     x: (..., Cin) float32 (any leading dims, e.g. (H, W) or (N, H, W));
     w: (Cin, Cout) — the reference's on-disk weight layout
@@ -157,5 +161,6 @@ def conv1x1_bn_pallas(
         tn,
         tk,
         interpret,
+        precision,
     )
     return out[:p].reshape(*lead, cout)
