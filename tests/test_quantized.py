@@ -1,0 +1,36 @@
+"""Int8 quantized pointwise kernel: quantization-tier accuracy bounds."""
+
+import numpy as np
+import pytest
+
+from winograd_tpu.kernels.quantized import conv1x1_bn_int8_pallas, quantize_weights
+from winograd_tpu.ops import reference
+
+
+def test_weight_quantization_roundtrip():
+    rng = np.random.default_rng(0)
+    w = (rng.random((64, 32), dtype=np.float32) - 0.5)
+    w_q, s_w = quantize_weights(w)
+    assert w_q.dtype == np.int8 and s_w.shape == (32,)
+    # Per-column max maps to ±127.
+    assert np.abs(w_q).max() == 127
+    np.testing.assert_allclose(w_q * s_w, w, atol=np.abs(w).max() / 127 + 1e-7)
+
+
+@pytest.mark.parametrize("relu", [True, False])
+def test_int8_conv_matches_f32_at_8bit_tier(relu):
+    rng = np.random.default_rng(1)
+    x = (rng.random((14, 14, 256), dtype=np.float32) - 0.5)
+    w = (rng.random((256, 128), dtype=np.float32) - 0.5)
+    s = (rng.random(128, dtype=np.float32) - 0.5)
+    b = (rng.random(128, dtype=np.float32) - 0.5)
+    gold = reference.conv1x1_bn(x, w, s, b, relu=relu)
+    w_q, s_w = quantize_weights(w)
+    out = np.asarray(conv1x1_bn_int8_pallas(x, w_q, s_w, s, b, relu=relu))
+    # 8-bit tier: relative error vs the output scale, not the f32 bar.
+    denom = max(np.abs(gold).max(), 1.0)
+    rel = np.abs(out - gold).max() / denom
+    assert rel < 2e-2, f"int8 relative error {rel}"
+    # And it must be far better than pure noise: correlation ~ 1.
+    corr = np.corrcoef(out.ravel(), gold.ravel())[0, 1]
+    assert corr > 0.999
