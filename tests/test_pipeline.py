@@ -1,0 +1,40 @@
+"""GPipe-style pipeline over the conv4_x stage, on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from winograd_tpu.config import CASES
+from winograd_tpu.datagen.generate import block_params_list, make_block_case
+from winograd_tpu.ops import jnp_ops
+from winograd_tpu.parallel.pipeline import make_pipe_mesh, pipelined_stage_inference
+
+
+@pytest.mark.parametrize("n_stages,microbatch", [(2, 2), (3, 1)])
+def test_pipeline_matches_sequential(n_stages, microbatch):
+    cfg = CASES[8]  # 6 blocks — divisible by 2 and 3 stages
+    case = make_block_case(cfg, seed=11)
+    params_list = block_params_list(cfg, case)
+    n = 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, 14, 14, cfg.c_io), jnp.float32) * 0.1
+
+    def sequential(x_):
+        for p in params_list:
+            x_ = jnp_ops.bottleneck_block(x_, p)
+        return x_
+
+    want = np.asarray(jax.jit(sequential)(x))
+    mesh = make_pipe_mesh(n_stages)
+    got = np.asarray(pipelined_stage_inference(mesh, params_list, x, microbatch=microbatch))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pipeline_rejects_indivisible():
+    cfg = CASES[8]
+    case = make_block_case(cfg, seed=11)
+    params_list = block_params_list(cfg, case)
+    mesh = make_pipe_mesh(4)  # 6 blocks do not split over 4 stages
+    x = jnp.zeros((4, 14, 14, cfg.c_io))
+    with pytest.raises(AssertionError):
+        pipelined_stage_inference(mesh, params_list, x, microbatch=2)

@@ -11,6 +11,7 @@ from winograd_tpu.parallel.data_parallel import (
     make_train_step,
     init_train_state,
 )
+from winograd_tpu.parallel.pipeline import make_pipe_mesh, pipelined_stage_inference
 
 __all__ = [
     "make_mesh",
@@ -21,4 +22,6 @@ __all__ = [
     "init_train_state",
     "conv1x1_bn_tp_reduce",
     "conv1x1_bn_tp_expand",
+    "make_pipe_mesh",
+    "pipelined_stage_inference",
 ]

@@ -1,0 +1,126 @@
+"""Pipeline parallelism over a bottleneck stage (GPipe-style, shard_map).
+
+The deepest model family here (ResNet-50 conv4_x: 6 chained bottlenecks) is
+the natural pipeline target: split the blocks across a "pipe" mesh axis,
+stream microbatches through, hand activations to the next stage with
+jax.lax.ppermute over ICI. Schedule is plain GPipe: M microbatches take
+M + P - 1 steps on P stages (the P-1 bubble steps compute on stale buffers
+and are masked out of the output).
+
+Layout: per-stage block parameters are STACKED on a leading axis sharded
+over "pipe" (every stage owns the same number of blocks, so the stack is
+dense); inputs/outputs live on stage 0 / stage P-1 respectively and the
+result is reconstituted with one psum (only the last stage contributes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from winograd_tpu.ops import jnp_ops
+
+_BLOCK_KEYS = (
+    "w_reduce", "s_reduce", "b_reduce", "w_mid", "s_mid", "b_mid",
+    "w_expand", "s_expand", "b_expand",
+)
+
+
+def make_pipe_mesh(n_stages: int) -> Mesh:
+    devices = jax.devices()
+    assert len(devices) >= n_stages, (len(devices), n_stages)
+    return Mesh(np.asarray(devices[:n_stages]), axis_names=("pipe",))
+
+
+def _stack_stage_params(params_list: List[dict], n_stages: int) -> dict:
+    """(P stages, blocks_per_stage, ...) stacked params, pipe-shardable."""
+    n_blocks = len(params_list)
+    assert n_blocks % n_stages == 0, (n_blocks, n_stages)
+    bps = n_blocks // n_stages
+    out = {}
+    for key in _BLOCK_KEYS:
+        per_stage = [
+            jnp.stack([jnp.asarray(params_list[s * bps + i][key]) for i in range(bps)])
+            for s in range(n_stages)
+        ]
+        out[key] = jnp.stack(per_stage)  # (P, bps, ...)
+    return out
+
+
+def pipelined_stage_inference(
+    mesh: Mesh,
+    params_list: List[dict],
+    x: jax.Array,
+    microbatch: int,
+    block_fn: Optional[Callable] = None,
+) -> jax.Array:
+    """Run a stack of bottleneck blocks as a P-stage pipeline.
+
+    x: (N, H, W, C) with N % microbatch == 0; params_list: one dict per
+    block (raw w_mid layout — block_fn defaults to the XLA block; pass a
+    fused-kernel block for the Pallas path on hardware).
+    """
+    n_stages = mesh.shape["pipe"]
+    block_fn = block_fn or jnp_ops.bottleneck_block
+    n, h, w, c = x.shape
+    assert n % microbatch == 0, (n, microbatch)
+    m = n // microbatch
+    xm = x.reshape(m, microbatch, h, w, c)
+    stacked = _stack_stage_params(params_list, n_stages)
+    bps = len(params_list) // n_stages
+
+    def run_stage(buf, my_params):
+        for i in range(bps):
+            p = {k: my_params[k][0, i] for k in _BLOCK_KEYS}
+            buf = block_fn(buf, p)
+        return buf
+
+    def local_fn(xm_l, my_params):
+        stage = jax.lax.axis_index("pipe")
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def step(carry, t):
+            buf, outs = carry
+            # Stage 0 injects microbatch t (clamped; bubble steps masked later).
+            x_in = xm_l[jnp.minimum(t, m - 1)]
+            cur = jnp.where(stage == 0, x_in, buf)
+            y = run_stage(cur, my_params)
+            # Last stage's result at step t is microbatch t - (P - 1).
+            out_idx = t - (n_stages - 1)
+            valid = jnp.logical_and(stage == n_stages - 1, out_idx >= 0)
+            outs = jax.lax.cond(
+                valid,
+                lambda o: jax.lax.dynamic_update_slice(
+                    o, y[None], (jnp.maximum(out_idx, 0), 0, 0, 0, 0)
+                ),
+                lambda o: o,
+                outs,
+            )
+            buf = jax.lax.ppermute(y, "pipe", perm)
+            return (buf, outs), None
+
+        buf0 = jnp.zeros_like(xm_l[0])
+        outs0 = jnp.zeros_like(xm_l)
+        (_, outs), _ = jax.lax.scan(
+            step, (buf0, outs0), jnp.arange(m + n_stages - 1)
+        )
+        # Only the last stage holds real outputs; reconstitute with one psum.
+        return jax.lax.psum(
+            jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), "pipe"
+        )
+
+    p_specs = {k: P("pipe") for k in _BLOCK_KEYS}
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), p_specs),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(xm, stacked)
+    return out.reshape(n, h, w, c)
