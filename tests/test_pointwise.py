@@ -50,6 +50,18 @@ def test_k_and_n_tiling():
     assert np.abs(out - gold).max() < PARITY_ATOL
 
 
+def test_non_power_of_two_channels():
+    """Auto tile selection must pick DIVIDING tiles (cout=768 etc.)."""
+    rng = np.random.default_rng(5)
+    x = (rng.random((7, 7, 384), dtype=np.float32) - 0.5)
+    w = (rng.random((384, 768), dtype=np.float32) - 0.5)
+    s = (rng.random(768, dtype=np.float32) - 0.5)
+    b = (rng.random(768, dtype=np.float32) - 0.5)
+    gold = reference.conv1x1_bn(x, w, s, b, relu=True)
+    out = np.asarray(conv1x1_bn_pallas(x, w, s, b, relu=True))
+    assert np.abs(out - gold).max() < PARITY_ATOL
+
+
 def test_rejects_channel_mismatch():
     x = np.zeros((2, 2, 64), np.float32)
     w = np.zeros((128, 128), np.float32)

@@ -61,6 +61,40 @@ def test_checker_dense():
     assert not res.ok()
 
 
+def test_checker_fails_on_nan_and_inf():
+    """A NaN/Inf anywhere in the candidate must fail parity — `diff > tol`
+    is False for NaN, so the count must use the negated comparison."""
+    b = np.zeros((4, 4, 8), np.float32)
+    for bad in (np.nan, np.inf):
+        a = b.copy()
+        a[2, 2, 2] = bad
+        res = output_checker(a, b, tol=1e-4)
+        assert res.error_count >= 1
+        assert not res.ok()
+
+
+def test_checker_fails_on_catastrophic_outlier():
+    """ok() must enforce a hard max-error cap, not just the <0.1% violation
+    fraction — a few arbitrarily-wrong elements are still a failure."""
+    b = np.zeros((14, 14, 128), np.float32)
+    a = b.copy()
+    a[0, 0, :5] = 1e6  # 5/25088 elements: under the 0.1% fraction
+    res = output_checker(a, b, tol=1e-4)
+    assert res.error_fraction < 1e-3
+    assert not res.ok()
+
+
+def test_native_checker_nan_parity(tmp_path):
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    b = np.zeros((14, 14, 8), np.float32)
+    a = np.zeros((16, 16, 8), np.float32)
+    a[3, 3, 3] = np.nan
+    res = output_checker(a, b, length=14, channels=8, shift=1, tol=1e-4)
+    assert res.error_count >= 1
+    assert not res.ok()
+
+
 def test_checker_shift_aware():
     """The reference's padded-16x16-vs-dense-14x14 comparison (util.c:52-54)."""
     rng = np.random.default_rng(1)

@@ -175,7 +175,7 @@ def run_case(
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="winograd_tpu benchmark harness")
     ap.add_argument("mode", nargs="?", default="all",
-                    help="case 0-7 or 'all' (reference modes: 0-5)")
+                    help=f"case 0-{max(CASES)} or 'all' (reference modes: 0-5)")
     ap.add_argument("--iterations", type=int, default=BENCH_ITERATIONS)
     ap.add_argument("--warmup", type=int, default=BENCH_WARMUP)
     ap.add_argument("--seed", type=int, default=0)

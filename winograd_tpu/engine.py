@@ -83,12 +83,15 @@ class BottleneckEngine:
         """Run the stage. x: (H, W, Cio) or (N, H, W, Cio)."""
         return self._fn(jnp.asarray(x, jnp.float32), self.params_list)
 
-    def throughput(self, batch: int, c_io: Optional[int] = None, iters: int = 20) -> Dict:
-        """Steady-state images/sec at the given batch size."""
+    def throughput(
+        self, batch: int, c_io: Optional[int] = None, iters: int = 20, hw: int = 14
+    ) -> Dict:
+        """Steady-state images/sec at the given batch size and feature-map
+        side (hw must match the deployment shape — the compiled program is
+        shape-specific)."""
         import time
 
         c_io = c_io or self.params_list[0]["w_reduce"].shape[0]
-        hw = 14
         x = jnp.zeros((batch, hw, hw, c_io), jnp.float32)
         out = self(x)
         jax.block_until_ready(out)

@@ -165,7 +165,12 @@ def conv3x3_bn_direct_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_co is None:
-        tile_co = cout if 9 * cin * cout * 4 <= 6 * 2**20 else 128
+        if 9 * cin * cout * 4 <= 6 * 2**20:
+            tile_co = cout
+        else:
+            from winograd_tpu.kernels.pointwise import largest_divisor_leq
+
+            tile_co = largest_divisor_leq(cout, 128)
     assert cout % tile_co == 0, (cout, tile_co)
     out = _direct_dense(
         x.astype(jnp.float32),

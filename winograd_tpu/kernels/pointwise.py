@@ -38,6 +38,16 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
+def largest_divisor_leq(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (>= 1). Auto tile selection must
+    DIVIDE the dimension, not merely bound it — cout=768 with a blind
+    min(cout, 512) cap would crash the grid math."""
+    for d in range(min(n, cap), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def _matmul_bn_kernel(
     x_ref, w_ref, scale_ref, bias_ref, out_ref, *, relu: bool, n_k: int, precision: str
 ):
@@ -143,8 +153,8 @@ def conv1x1_bn_pallas(
     # Tile selection: MXU-aligned, sized so a (tile_p, tile_k) + (tile_k,
     # tile_n) + (tile_p, tile_n) working set stays a few MB of VMEM.
     tp = tile_p or min(_round_up(p, 128), 512)
-    tn = tile_n or min(cout, 512)
-    tk = tile_k or min(cin, 512)
+    tn = tile_n or largest_divisor_leq(cout, 512)
+    tk = tile_k or largest_divisor_leq(cin, 512)
     assert cout % tn == 0 and cin % tk == 0, (cin, cout, tn, tk)
 
     p_pad = _round_up(p, tp)

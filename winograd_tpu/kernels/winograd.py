@@ -290,7 +290,12 @@ def conv3x3_bn_winograd_pallas(
     # VMEM budget (~5 MB for U at Cin=256, tile_co=128).
     a2 = u.shape[0]
     if tile_co is None:
-        tile_co = cout if a2 * cin * cout * 4 <= 5 * 2**20 else 128
+        if a2 * cin * cout * 4 <= 5 * 2**20:
+            tile_co = cout
+        else:
+            from winograd_tpu.kernels.pointwise import largest_divisor_leq
+
+            tile_co = largest_divisor_leq(cout, 128)
     assert cout % tile_co == 0, (cout, tile_co)
 
     # Images per grid step: grow the tile-GEMM row block toward the MXU's

@@ -57,25 +57,29 @@ void wt_transpose_f32(const float* in, float* out, long long h, long long w) {
 
 // Shift-aware elementwise differential check (util.c:46-63).
 // A is (side_a, side_a, channels) with the valid region at +shift in both
-// spatial dims; B is dense (len, len, channels). Counts |a-b| > tol and
-// reports the max abs error. Returns the violation count.
+// spatial dims; B is dense (len, len, channels). Counts violations and
+// reports the max abs error. NaN diffs count as violations and poison
+// max_error (the reference's `> tol` comparison would silently pass NaN).
+// Returns the violation count.
 long long wt_output_checker(const float* a, const float* b, long long len,
                             long long channels, long long shift,
                             long long side_a, double tol, double* max_error) {
   long long count = 0;
   double max_err = 0.0;
+  bool saw_nan = false;
   for (long long x = 0; x < len; ++x) {
     for (long long y = 0; y < len; ++y) {
       for (long long c = 0; c < channels; ++c) {
         double va = a[((x + shift) * side_a + (y + shift)) * channels + c];
         double vb = b[(x * len + y) * channels + c];
         double diff = std::fabs(va - vb);
+        if (std::isnan(diff)) { saw_nan = true; ++count; continue; }
         if (diff > max_err) max_err = diff;
-        if (diff > tol) ++count;
+        if (!(diff <= tol)) ++count;
       }
     }
   }
-  if (max_error) *max_error = max_err;
+  if (max_error) *max_error = saw_nan ? std::nan("") : max_err;
   return count;
 }
 

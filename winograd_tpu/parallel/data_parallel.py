@@ -94,12 +94,16 @@ def make_train_step(mesh, lr: float = 1e-3, beta: float = 0.9, use_pallas: bool 
         params = jax.tree.map(lambda p, m: p - lr * m, params, momentum)
         return params, momentum, loss
 
-    def shard_tree(params):
-        return {k: p_sh_full[k] for k in params}
+    # Memoize the jit wrapper per param key-set so steady-state steps hit
+    # the compiled fast path instead of re-wrapping every call.
+    _cache = {}
 
     def jitted(params, momentum, x, target):
-        p_sh = shard_tree(params)
-        fn = jax.jit(step, in_shardings=(p_sh, p_sh, x_sh, x_sh))
+        key = frozenset(params)
+        fn = _cache.get(key)
+        if fn is None:
+            p_sh = {k: p_sh_full[k] for k in params}
+            fn = _cache[key] = jax.jit(step, in_shardings=(p_sh, p_sh, x_sh, x_sh))
         return fn(params, momentum, x, target)
 
     return jitted

@@ -33,6 +33,14 @@ class CheckResult:
         return self.error_count / max(self.total, 1)
 
     def ok(self, fraction_tol: float = PARITY_FRACTION_TOL) -> bool:
+        """Pass iff: max error is FINITE (NaN/Inf anywhere -> fail), no
+        element is catastrophically wrong (hard cap at 10x tol), and at most
+        `fraction_tol` of elements exceed tol (the reference's <0.1%
+        criterion, report.pdf §5)."""
+        if not np.isfinite(self.max_error):
+            return False
+        if self.max_error > 10.0 * self.tol:
+            return False
         return self.error_fraction <= fraction_tol
 
     def __str__(self) -> str:
@@ -61,10 +69,12 @@ def output_checker(
     b = np.ascontiguousarray(b, dtype=np.float32)
 
     if length is None or channels is None:
-        # Plain dense comparison of identically-shaped arrays.
+        # Plain dense comparison of identically-shaped arrays. NaN diffs
+        # must COUNT as violations (NaN > tol is False), hence ~(diff <= tol).
         assert a.shape == b.shape, (a.shape, b.shape)
         diff = np.abs(a.astype(np.float64) - b.astype(np.float64))
-        return CheckResult(float(diff.max(initial=0.0)), int((diff > tol).sum()), b.size, tol)
+        max_err = float(np.max(diff)) if diff.size else 0.0
+        return CheckResult(max_err, int((~(diff <= tol)).sum()), b.size, tol)
 
     side_a = a.shape[0]
     lib = native.load()
@@ -84,4 +94,5 @@ def output_checker(
 
     valid = a[shift : shift + length, shift : shift + length, :channels]
     diff = np.abs(valid.astype(np.float64) - b.astype(np.float64))
-    return CheckResult(float(diff.max(initial=0.0)), int((diff > tol).sum()), diff.size, tol)
+    max_err = float(np.max(diff)) if diff.size else 0.0
+    return CheckResult(max_err, int((~(diff <= tol)).sum()), diff.size, tol)
