@@ -17,6 +17,25 @@ def test_weight_quantization_roundtrip():
     np.testing.assert_allclose(w_q * s_w, w, atol=np.abs(w).max() / 127 + 1e-7)
 
 
+def test_int8_block_megakernel():
+    from winograd_tpu.config import CASES
+    from winograd_tpu.datagen.generate import block_params_list, make_block_case
+    from winograd_tpu.kernels.quantized import (
+        bottleneck_block_int8_pallas,
+        quantize_block_params,
+    )
+
+    case = make_block_case(CASES[6], seed=6)
+    params = block_params_list(CASES[6], case)[0]
+    qparams = quantize_block_params(params)
+    out = np.asarray(bottleneck_block_int8_pallas(case["x"], qparams))
+    gold = case["golden"]
+    rel = np.abs(out - gold).max() / max(np.abs(gold).max(), 1.0)
+    assert rel < 5e-2, f"int8 block relative error {rel}"
+    corr = np.corrcoef(out.ravel(), gold.ravel())[0, 1]
+    assert corr > 0.995
+
+
 @pytest.mark.parametrize("relu", [True, False])
 def test_int8_conv_matches_f32_at_8bit_tier(relu):
     rng = np.random.default_rng(1)

@@ -37,6 +37,20 @@ def quantize_weights(w) -> tuple:
     return w_q, s_w
 
 
+def _qdot(x, wq_ref, sw_row):
+    """Dynamic per-tensor activation quant + int8 MXU GEMM + dequant."""
+    s_x = jnp.max(jnp.abs(x)) / 127.0
+    s_x = jnp.where(s_x == 0, 1.0, s_x)
+    x_q = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q,
+        wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (s_x * sw_row)
+
+
 def _quant_matmul_kernel(
     x_ref,      # (P, Cin) f32
     wq_ref,     # (Cin, Cout) int8
@@ -47,18 +61,7 @@ def _quant_matmul_kernel(
     *,
     relu: bool,
 ):
-    x = x_ref[:]
-    # Dynamic symmetric per-tensor activation quantization on the VPU.
-    s_x = jnp.max(jnp.abs(x)) / 127.0
-    s_x = jnp.where(s_x == 0, 1.0, s_x)
-    x_q = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        x_q,
-        wq_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = acc.astype(jnp.float32) * (s_x * sw_ref[:])
+    y = _qdot(x_ref[:], wq_ref, sw_ref[:])
     y = y * scale_ref[:] + bias_ref[:]
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -112,3 +115,116 @@ def conv1x1_bn_int8_pallas(
         jnp.asarray(bias, jnp.float32).reshape(1, cout),
     )
     return out[:p].reshape(*lead, cout)
+
+
+# --- int8 bottleneck-block megakernel ---------------------------------------
+
+
+def quantize_block_params(params: dict) -> dict:
+    """Offline int8 quantization of a block's three weight matrices
+    (models/resnet.py layout) — BN scale/bias stay f32."""
+    out = {}
+    for key in ("w_reduce", "w9_mid", "w_expand"):
+        wq, sw = quantize_weights(np.asarray(params[key]))
+        out[f"{key}_q"] = wq
+        out[f"{key}_s"] = sw
+    for key in ("s_reduce", "b_reduce", "s_mid", "b_mid", "s_expand", "b_expand"):
+        out[key] = np.asarray(params[key], np.float32)
+    return out
+
+
+def _block_int8_kernel(
+    x_ref,
+    wr_ref, wr_s_ref, s1_ref, b1_ref,
+    w9_ref, w9_s_ref, s2_ref, b2_ref,
+    we_ref, we_s_ref, s3_ref, b3_ref,
+    out_ref,
+    xpad_ref,
+    col_ref,
+    *,
+    h: int,
+    w: int,
+    cio: int,
+    cmid: int,
+):
+    hw = h * w
+    x2 = x_ref[0].reshape(hw, cio)
+    h1 = jnp.maximum(_qdot(x2, wr_ref, wr_s_ref[:]) * s1_ref[:] + b1_ref[:], 0.0)
+
+    xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+    xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cmid)
+    for r in range(3):
+        for s in range(3):
+            patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
+            col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+    h2 = jnp.maximum(_qdot(col_ref[:], w9_ref, w9_s_ref[:]) * s2_ref[:] + b2_ref[:], 0.0)
+
+    h3 = _qdot(h2, we_ref, we_s_ref[:]) * s3_ref[:] + b3_ref[:]
+    out_ref[0] = jnp.maximum(h3 + x2, 0.0).reshape(h, w, cio)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bottleneck_block_int8_pallas(
+    x: jax.Array,
+    qparams: dict,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Int8 bottleneck megakernel: all three GEMMs int8 on the MXU,
+    activations dynamically quantized in VMEM between layers; BN/ReLU/skip
+    in f32. qparams from quantize_block_params. 8-bit accuracy tier."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, cio = x.shape
+    cmid = qparams["w_reduce_q"].shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def row(v, c):
+        return jnp.asarray(v, jnp.float32).reshape(1, c)
+
+    const = lambda i: (0, 0)
+    kernel = functools.partial(_block_int8_kernel, h=h, w=w, cio=cio, cmid=cmid)
+    specs = [pl.BlockSpec((1, h, w, cio), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)]
+    args = [x.astype(jnp.float32)]
+    for wkey, c_in, c_out in (
+        ("w_reduce", cio, cmid),
+        ("w9_mid", 9 * cmid, cmid),
+        ("w_expand", cmid, cio),
+    ):
+        bn = {"w_reduce": ("s_reduce", "b_reduce"), "w9_mid": ("s_mid", "b_mid"),
+              "w_expand": ("s_expand", "b_expand")}[wkey]
+        specs += [
+            pl.BlockSpec((c_in, c_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), const, memory_space=pltpu.VMEM),
+        ]
+        args += [
+            jnp.asarray(qparams[f"{wkey}_q"], jnp.int8),
+            row(qparams[f"{wkey}_s"], c_out),
+            row(qparams[bn[0]], c_out),
+            row(qparams[bn[1]], c_out),
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, h, w, cio), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cio), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
+            pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio),
+            bytes_accessed=8 * n * h * w * cio + cio * cmid * 2 + 9 * cmid * cmid,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[0] if squeeze else out
