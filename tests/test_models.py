@@ -1,6 +1,7 @@
 """Bottleneck block / stage composition through the fused Pallas kernels."""
 
 import numpy as np
+import pytest
 import jax
 
 from winograd_tpu.config import CASES, PARITY_ATOL
@@ -49,6 +50,19 @@ def test_conv4x_stage_matches_golden():
     out = np.asarray(resnet.resnet_stage_pallas(case["x"], params_list))
     err = np.abs(out - case["golden"]).max()
     assert err < 10 * PARITY_ATOL, f"stage max err {err}"
+
+
+@pytest.mark.parametrize("mode", [9, 10])
+def test_other_stage_geometries(mode):
+    """conv3_x (28x28, 512/128) and conv5_x (7x7, 2048/512) blocks; conv5_x
+    exceeds the megakernel's VMEM weight budget and must auto-fall back to
+    the per-layer kernels."""
+    cfg = CASES[mode]
+    case = make_block_case(cfg, seed=mode)
+    params = _params_from_case(case)
+    out = np.asarray(resnet.bottleneck_block_pallas(case["x"], params))
+    err = np.abs(out - case["golden"]).max()
+    assert err < 10 * PARITY_ATOL, f"mode {mode} max err {err}"
 
 
 def test_init_and_stage():

@@ -80,6 +80,10 @@ CASES: Dict[int, object] = {
     6: BlockConfig("bottleneck_block", batch=1),
     7: BlockConfig("bottleneck_block_batched", batch=8),
     8: BlockConfig("resnet50_conv4x_stage", batch=1, blocks=6),
+    # The other ResNet-50 stage geometries (the reference only covers the
+    # 14x14 conv4_x shapes): conv3_x at 28x28 and conv5_x at 7x7.
+    9: BlockConfig("resnet50_conv3x_block", c_io=512, c_mid=128, hw=28),
+    10: BlockConfig("resnet50_conv5x_block", c_io=2048, c_mid=512, hw=7),
 }
 
 

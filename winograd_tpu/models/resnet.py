@@ -78,7 +78,16 @@ def bottleneck_block_pallas(
     the w9_mid artifact is present, winograd otherwise).
     """
     if algo3x3 == "auto":
-        algo3x3 = "fused" if "w9_mid" in params else "winograd"
+        if "w9_mid" not in params:
+            algo3x3 = "winograd"
+        else:
+            # The megakernel keeps all three weight matrices VMEM-resident;
+            # fall back to the per-layer kernels when they would not fit
+            # (e.g. ResNet conv5_x: Cio=2048, Cmid=512 -> ~18 MB of weights).
+            cio = params["w_reduce"].shape[0]
+            cmid = params["w_reduce"].shape[1]
+            weight_bytes = 4 * (2 * cio * cmid + 9 * cmid * cmid)
+            algo3x3 = "fused" if weight_bytes <= 8 * 2**20 else "direct"
     if algo3x3 == "fused":
         from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
 
