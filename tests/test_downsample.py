@@ -1,0 +1,77 @@
+"""Stride-2 transition blocks and the multi-stage backbone composition."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from winograd_tpu.config import PARITY_ATOL
+from winograd_tpu.kernels.direct import direct_filter
+from winograd_tpu.models.downsample import (
+    conv3x3_s2_bn_relu_pallas,
+    downsample_bottleneck_block_pallas,
+    resnet50_stages,
+)
+from winograd_tpu.ops import reference
+
+
+def _rand(rng, *shape):
+    return (rng.random(shape, dtype=np.float32) - 0.5)
+
+
+def test_stride2_conv3x3_matches_golden():
+    rng = np.random.default_rng(0)
+    x = _rand(rng, 28, 28, 128)
+    w = _rand(rng, 64, 128, 3, 3)
+    s, b = _rand(rng, 64), _rand(rng, 64)
+    gold = reference.bn_act(reference.conv3x3_stride2(x, w), s, b, relu=True).astype(np.float32)
+    out = np.asarray(
+        conv3x3_s2_bn_relu_pallas(x, np.asarray(direct_filter(w)), s, b, relu=True)
+    )
+    assert out.shape == (14, 14, 64)
+    np.testing.assert_allclose(out, gold, atol=PARITY_ATOL)
+
+
+def _make_transition(rng, c_in, c_mid, c_out):
+    w_mid = _rand(rng, c_mid, c_mid, 3, 3)
+    return dict(
+        w_reduce=_rand(rng, c_in, c_mid), s_reduce=_rand(rng, c_mid), b_reduce=_rand(rng, c_mid),
+        w_mid=w_mid, w9_mid=np.asarray(direct_filter(w_mid)),
+        s_mid=_rand(rng, c_mid), b_mid=_rand(rng, c_mid),
+        w_expand=_rand(rng, c_mid, c_out), s_expand=_rand(rng, c_out), b_expand=_rand(rng, c_out),
+        w_proj=_rand(rng, c_in, c_out), s_proj=_rand(rng, c_out), b_proj=_rand(rng, c_out),
+    )
+
+
+def test_downsample_block_matches_golden():
+    rng = np.random.default_rng(1)
+    c_in, c_mid, c_out = 128, 64, 256
+    x = _rand(rng, 28, 28, c_in)
+    p = _make_transition(rng, c_in, c_mid, c_out)
+    gold = reference.downsample_bottleneck_block(
+        x,
+        p["w_reduce"], p["s_reduce"], p["b_reduce"],
+        p["w_mid"], p["s_mid"], p["b_mid"],
+        p["w_expand"], p["s_expand"], p["b_expand"],
+        p["w_proj"], p["s_proj"], p["b_proj"],
+    )
+    out = np.asarray(downsample_bottleneck_block_pallas(x, p))
+    assert out.shape == (14, 14, c_out)
+    assert np.abs(out - gold).max() < 10 * PARITY_ATOL
+
+
+def test_multi_stage_backbone_composes():
+    """28x28 stage -> transition -> 14x14 stage -> transition -> 7x7."""
+    from winograd_tpu.models.resnet import init_bottleneck_params
+
+    rng = np.random.default_rng(2)
+    stages = [
+        {"transition": None, "blocks": [init_bottleneck_params(0, c_io=128, c_mid=128)]},
+        {"transition": _make_transition(rng, 128, 128, 256),
+         "blocks": [init_bottleneck_params(1, c_io=256, c_mid=128)]},
+        {"transition": _make_transition(rng, 256, 128, 512),
+         "blocks": [init_bottleneck_params(2, c_io=512, c_mid=128)]},
+    ]
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 28, 28, 128), jnp.float32) * 0.1
+    out = resnet50_stages(x, stages)
+    assert out.shape == (2, 7, 7, 512)
+    assert np.isfinite(np.asarray(out)).all()

@@ -9,6 +9,10 @@ from winograd_tpu.models.resnet import (
     resnet_stage_pallas,
 )
 from winograd_tpu.models.checkpoint import save_params, load_params, export_artifacts
+from winograd_tpu.models.downsample import (
+    downsample_bottleneck_block_pallas,
+    resnet50_stages,
+)
 
 __all__ = [
     "BottleneckParams",
@@ -20,4 +24,6 @@ __all__ = [
     "save_params",
     "load_params",
     "export_artifacts",
+    "downsample_bottleneck_block_pallas",
+    "resnet50_stages",
 ]

@@ -1,0 +1,79 @@
+"""Downsampling bottleneck block (stage transition) and the full backbone.
+
+The reference benchmarks only identity-skip blocks at a fixed resolution;
+real ResNet deployment needs the stride-2 transition blocks between stages.
+Composition is TPU-first:
+
+* stride-2 1x1 (reduce at entry / projection shortcut): subsample the NHWC
+  activation (an XLA slice that fuses into the consumer) then the fused
+  pointwise Pallas GEMM — a stride-2 1x1 conv IS subsample+GEMM.
+* stride-2 3x3: strided im2col prepared with 9 strided slices (XLA fuses
+  them into one copy), then the same fused GEMM+BN+ReLU Pallas kernel the
+  1x1 path uses — the MXU sees a dense (H/2*W/2, 9*Cin) GEMM.
+
+`resnet50_stages` chains conv3_x -> conv4_x -> conv5_x with these
+transitions: a full multi-stage backbone through the fused kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+from winograd_tpu.models.resnet import bottleneck_block_pallas
+
+
+def _subsample(x: jax.Array) -> jax.Array:
+    return x[..., ::2, ::2, :]
+
+
+def _strided_im2col(x: jax.Array) -> jax.Array:
+    """(..., H, W, C) -> (..., ceil(H/2), ceil(W/2), 9*C) stride-2 SAME-pad
+    3x3 patches, channel-ordered to match kernels/direct.py's w9 layout."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    ho, wo = -(-h // 2), -(-w // 2)
+    xp = jnp.pad(x, ((0, 0), (1, 1 + 2 * ho - h), (1, 1 + 2 * wo - w), (0, 0)))
+    cols = [
+        xp[:, r : r + 2 * ho : 2, s : s + 2 * wo : 2, :]
+        for r in range(3)
+        for s in range(3)
+    ]
+    out = jnp.concatenate(cols, axis=-1)
+    return out[0] if squeeze else out
+
+
+def conv3x3_s2_bn_relu_pallas(x, w9, scale, bias, relu: bool = True) -> jax.Array:
+    """Stride-2 SAME 3x3 conv + BN (+ReLU): strided im2col + fused GEMM."""
+    cols = _strided_im2col(x)
+    return conv1x1_bn_pallas(cols, w9, scale, bias, relu=relu)
+
+
+def downsample_bottleneck_block_pallas(x: jax.Array, params: Dict) -> jax.Array:
+    """ResNet v1.5 transition block: 1x1 reduce -> stride-2 3x3 -> 1x1
+    expand, stride-2 1x1 projection shortcut. Extra params vs the identity
+    block: w_proj (Cin, Cout_io), s_proj, b_proj; w9_mid in direct layout."""
+    h = conv1x1_bn_pallas(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
+    h = conv3x3_s2_bn_relu_pallas(h, params["w9_mid"], params["s_mid"], params["b_mid"], relu=True)
+    h = conv1x1_bn_pallas(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
+    skip = conv1x1_bn_pallas(
+        _subsample(x), params["w_proj"], params["s_proj"], params["b_proj"], relu=False
+    )
+    return jnp.maximum(h + skip, 0.0)
+
+
+def resnet50_stages(x: jax.Array, stages: List[Dict]) -> jax.Array:
+    """Run a list of stages; each stage dict has optional "transition"
+    (downsample params) and "blocks" (list of identity-block params)."""
+    for stage in stages:
+        if stage.get("transition") is not None:
+            x = downsample_bottleneck_block_pallas(x, stage["transition"])
+        for p in stage["blocks"]:
+            x = bottleneck_block_pallas(x, p)
+    return x

@@ -60,6 +60,30 @@ def conv1x1_bn(x, w, scale, bias, relu: bool) -> np.ndarray:
     return bn_act(conv1x1(x, w), scale, bias, relu).astype(np.float32)
 
 
+def conv3x3_stride2(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """SAME-pad stride-2 3x3 cross-correlation = dense conv sampled at even
+    positions (output ceil(H/2) x ceil(W/2))."""
+    dense = conv3x3_same(x, w)
+    return dense[..., ::2, ::2, :] if x.ndim == 4 else dense[::2, ::2, :]
+
+
+def downsample_bottleneck_block(
+    x,
+    w_reduce, s_reduce, b_reduce,
+    w_mid, s_mid, b_mid,
+    w_expand, s_expand, b_expand,
+    w_proj, s_proj, b_proj,
+) -> np.ndarray:
+    """ResNet v1.5 downsampling bottleneck (golden): stride 2 on the 3x3,
+    stride-2 1x1 projection shortcut with BN (no ReLU), float32 out."""
+    h1 = bn_act(conv1x1(x, w_reduce), s_reduce, b_reduce, relu=True)
+    h2 = bn_act(conv3x3_stride2(h1, w_mid), s_mid, b_mid, relu=True)
+    h3 = bn_act(conv1x1(h2, w_expand), s_expand, b_expand, relu=False)
+    x_sub = x[..., ::2, ::2, :] if x.ndim == 4 else x[::2, ::2, :]
+    skip = bn_act(conv1x1(x_sub, w_proj), s_proj, b_proj, relu=False)
+    return np.maximum(h3 + skip, 0.0).astype(np.float32)
+
+
 def bottleneck_block(
     x,
     w_reduce,
