@@ -17,6 +17,7 @@ import time
 from typing import Callable, List
 
 import jax
+import jax.numpy as jnp
 
 from winograd_tpu.config import BENCH_ITERATIONS, BENCH_WARMUP
 from winograd_tpu.utils import native
@@ -120,9 +121,9 @@ def bench_scan(
     /root/reference/Kernel128_winograd.cu:261-270): the steady-state
     per-layer device latency a deployed network would see.
 
-    `core` maps x -> y (shapes may differ); the carry multiplies x by
-    (1 + 0*y[...,:1]), which XLA cannot fold away (NaN semantics) and which
-    adds only a VPU-trivial epilogue per step.
+    `core` maps x -> y (any output shape); the carry multiplies x by
+    (1 + 0*y[0]), which XLA cannot fold away (NaN semantics: 0*NaN != 0)
+    and which adds only a scalar-broadcast epilogue per step.
     """
     # The spread between the two lengths must make L*t_op dwarf the jitter of
     # the constant floor (~ms through a remote-dispatch tunnel), so the short
@@ -134,7 +135,7 @@ def bench_scan(
         def scan_n(x0):
             def body(c, _):
                 y = core(c)
-                c = c * (1.0 + 0.0 * y[..., :1])
+                c = c * (1.0 + 0.0 * jnp.ravel(y)[0])
                 return c, ()
 
             out, _ = jax.lax.scan(body, x0, None, length=length)
