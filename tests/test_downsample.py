@@ -59,6 +59,28 @@ def test_downsample_block_matches_golden():
     assert np.abs(out - gold).max() < 10 * PARITY_ATOL
 
 
+def test_jnp_downsample_matches_golden_and_is_differentiable():
+    from winograd_tpu.ops import jnp_ops
+
+    rng = np.random.default_rng(3)
+    c_in, c_mid, c_out = 64, 32, 128
+    x = _rand(rng, 14, 14, c_in)
+    p = _make_transition(rng, c_in, c_mid, c_out)
+    gold = reference.downsample_bottleneck_block(
+        x,
+        p["w_reduce"], p["s_reduce"], p["b_reduce"],
+        p["w_mid"], p["s_mid"], p["b_mid"],
+        p["w_expand"], p["s_expand"], p["b_expand"],
+        p["w_proj"], p["s_proj"], p["b_proj"],
+    )
+    out = np.asarray(jnp_ops.downsample_bottleneck_block(x, p))
+    np.testing.assert_allclose(out, gold, atol=1e-4)
+    # Gradients flow (training path for stage transitions).
+    loss = lambda w: jnp.sum(jnp_ops.downsample_bottleneck_block(x, {**p, "w_mid": w}) ** 2)
+    g = jax.grad(loss)(jnp.asarray(p["w_mid"]))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
 def test_multi_stage_backbone_composes():
     """28x28 stage -> transition -> 14x14 stage -> transition -> 7x7."""
     from winograd_tpu.models.resnet import init_bottleneck_params

@@ -49,6 +49,36 @@ def conv1x1_bn(x, w, scale, bias, relu: bool) -> jax.Array:
     return bn_act(y, scale, bias, relu)
 
 
+def conv3x3_s2_bn_relu(x, w, scale, bias, relu: bool = True) -> jax.Array:
+    """Stride-2 SAME 3x3 conv + BN (+ReLU), differentiable XLA path."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.transpose(w, (2, 3, 1, 0)),
+        window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = bn_act(y, scale, bias, relu)
+    return y[0] if squeeze else y
+
+
+def downsample_bottleneck_block(x, params) -> jax.Array:
+    """ResNet v1.5 transition block (differentiable XLA path; keys as in
+    models/downsample.py with raw w_mid)."""
+    h = conv1x1_bn(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
+    h = conv3x3_s2_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
+    h = conv1x1_bn(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
+    skip = conv1x1_bn(
+        x[..., ::2, ::2, :], params["w_proj"], params["s_proj"], params["b_proj"], relu=False
+    )
+    return jnp.maximum(h + skip, 0.0)
+
+
 def bottleneck_block(x, params) -> jax.Array:
     """ResNet bottleneck with identity skip; params is a dict pytree.
 
