@@ -62,7 +62,12 @@ class BottleneckEngine:
             self._fn = jax.jit(inner)
 
     def _stage(self, x, params_list=None):
-        for p in params_list if params_list is not None else self.params_list:
+        from winograd_tpu.models.resnet import resnet_stage_pallas
+
+        plist = params_list if params_list is not None else self.params_list
+        if self.algo3x3 == "auto" and len(plist) > 1:
+            return resnet_stage_pallas(x, plist)  # fused stage kernel when it fits
+        for p in plist:
             x = bottleneck_block_pallas(x, p, algo3x3=self.algo3x3)
         return x
 

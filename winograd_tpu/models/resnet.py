@@ -120,8 +120,33 @@ def bottleneck_block_train(x: jax.Array, params: BottleneckParams) -> jax.Array:
     return jnp.maximum(h + x, 0.0)
 
 
-def resnet_stage_pallas(x: jax.Array, params_list) -> jax.Array:
-    """A stack of bottleneck blocks (e.g. ResNet-50 conv4_x is 6 of these)."""
+def resnet_stage_pallas(x: jax.Array, params_list, algo: str = "auto") -> jax.Array:
+    """A stack of bottleneck blocks (e.g. ResNet-50 conv4_x is 6 of these).
+
+    algo: "fused_stage" runs the WHOLE stage as one Pallas kernel with
+    weight streaming (kernels/stage.py — fastest measured); "per_block"
+    chains block kernels; "auto" picks fused_stage when every block shares
+    the conv4_x-class geometry and has the direct-layout artifact.
+    """
+    if algo == "auto":
+        uniform = (
+            len(params_list) > 1
+            and all("w9_mid" in p for p in params_list)
+            and len({p["w_reduce"].shape for p in params_list}) == 1
+        )
+        if uniform:
+            cio, cmid = params_list[0]["w_reduce"].shape
+            # One block's weights, double-buffered, must fit next to the
+            # activation/col scratch (see kernels/stage.py).
+            uniform = 8 * (2 * cio * cmid + 9 * cmid * cmid) <= 10 * 2**20
+        algo = "fused_stage" if uniform else "per_block"
+    if algo == "fused_stage":
+        from winograd_tpu.kernels.stage import (
+            resnet_stage_fused_pallas,
+            stack_stage_params,
+        )
+
+        return resnet_stage_fused_pallas(x, stack_stage_params(params_list))
     for params in params_list:
         x = bottleneck_block_pallas(x, params)
     return x
