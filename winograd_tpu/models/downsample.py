@@ -70,10 +70,13 @@ def downsample_bottleneck_block_pallas(x: jax.Array, params: Dict) -> jax.Array:
 
 def resnet50_stages(x: jax.Array, stages: List[Dict]) -> jax.Array:
     """Run a list of stages; each stage dict has optional "transition"
-    (downsample params) and "blocks" (list of identity-block params)."""
+    (downsample params) and "blocks" (list of identity-block params).
+    Identity runs go through resnet_stage_pallas, which fuses a uniform
+    stage into ONE weight-streaming Pallas kernel when it fits."""
+    from winograd_tpu.models.resnet import resnet_stage_pallas
+
     for stage in stages:
         if stage.get("transition") is not None:
             x = downsample_bottleneck_block_pallas(x, stage["transition"])
-        for p in stage["blocks"]:
-            x = bottleneck_block_pallas(x, p)
+        x = resnet_stage_pallas(x, stage["blocks"])
     return x
