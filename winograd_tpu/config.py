@@ -23,7 +23,7 @@ Extensions beyond the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,7 +10,7 @@ gradients reduce over "data" and TP-sharded matmuls stay local.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Tuple
 
 import jax

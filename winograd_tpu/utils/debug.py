@@ -19,7 +19,7 @@ import contextlib
 from typing import Any
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
