@@ -24,7 +24,7 @@ def main() -> int:
     # GEMM, selected like cuDNN's algo enum); the headline is the selected
     # (best) one, both parity-checked against the float64 golden model.
     candidates = [r["pallas_device_us"]]
-    if r.get("direct_device_us"):
+    if r.get("direct_device_us") is not None:
         candidates.append(r["direct_device_us"])
     value = min(candidates)
     print(

@@ -100,7 +100,7 @@ BENCH_WARMUP = 2
 
 # Correctness bar: the reference checks |diff| > 1e-5 elementwise and accepts
 # <0.1% violations (report.pdf section 5; /root/reference/util.c:55). Our bar
-# (BASELINE.json) is max abs err < 1e-4 vs the float32 numpy golden model.
+# (BASELINE.json) is STRICT: max abs err <= 1e-4 vs the float64 numpy golden
+# model, enforced by CheckResult.ok() with no fraction allowance.
 PARITY_ATOL = 1e-4
-PARITY_FRACTION_TOL = 1e-3
 BN_EPS = 1e-5

@@ -93,11 +93,14 @@ class BottleneckEngine:
     ) -> Dict:
         """Steady-state images/sec at the given batch size and feature-map
         side (hw must match the deployment shape — the compiled program is
-        shape-specific)."""
+        shape-specific). Inputs are random (representative ReLU sparsity,
+        nothing constant-foldable), not zeros."""
         import time
 
         c_io = c_io or self.params_list[0]["w_reduce"].shape[0]
-        x = jnp.zeros((batch, hw, hw, c_io), jnp.float32)
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (batch, hw, hw, c_io), jnp.float32
+        )
         out = self(x)
         jax.block_until_ready(out)
         t0 = time.perf_counter()

@@ -13,7 +13,7 @@ import dataclasses
 
 import numpy as np
 
-from winograd_tpu.config import PARITY_ATOL, PARITY_FRACTION_TOL
+from winograd_tpu.config import PARITY_ATOL
 from winograd_tpu.utils import native
 
 
@@ -32,16 +32,12 @@ class CheckResult:
     def error_fraction(self) -> float:
         return self.error_count / max(self.total, 1)
 
-    def ok(self, fraction_tol: float = PARITY_FRACTION_TOL) -> bool:
-        """Pass iff: max error is FINITE (NaN/Inf anywhere -> fail), no
-        element is catastrophically wrong (hard cap at 10x tol), and at most
-        `fraction_tol` of elements exceed tol (the reference's <0.1%
-        criterion, report.pdf §5)."""
-        if not np.isfinite(self.max_error):
-            return False
-        if self.max_error > 10.0 * self.tol:
-            return False
-        return self.error_fraction <= fraction_tol
+    def ok(self) -> bool:
+        """Pass iff max error is FINITE (NaN/Inf anywhere -> fail) and
+        max_error <= tol — a strict max-abs-err bar, tighter than the
+        reference's <0.1%-violations criterion (report.pdf §5,
+        /root/reference/util.c:55)."""
+        return bool(np.isfinite(self.max_error)) and self.max_error <= self.tol
 
     def __str__(self) -> str:
         return (
