@@ -20,12 +20,14 @@ def main() -> int:
     # Steady-state per-op device latency (scan-slope protocol,
     # utils/timing.py) — comparable to the reference's timed region, which
     # excludes transfers and brackets only kernel launches + one sync. The
-    # framework ships two fused 3x3 algorithms (winograd + direct im2col
-    # GEMM, selected like cuDNN's algo enum); the headline is the selected
-    # (best) one, both parity-checked against the float64 golden model.
+    # framework ships three fused 3x3 algorithms (winograd F(2,3) — the
+    # flagship "pallas" path and fastest measured — plus F(4,3) and direct
+    # im2col GEMM, selected like cuDNN's algo enum); the headline is the
+    # best one, all parity-checked against the float64 golden model.
     candidates = [r["pallas_device_us"]]
-    if r.get("direct_device_us") is not None:
-        candidates.append(r["direct_device_us"])
+    for key in ("direct_device_us", "winograd_f43_device_us"):
+        if r.get(key) is not None:
+            candidates.append(r[key])
     value = min(candidates)
     print(
         json.dumps(

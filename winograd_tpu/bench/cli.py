@@ -72,6 +72,7 @@ def run_case(
         scan_len = 4096 if jax.default_backend() == "tpu" else 4
 
     core_direct = None
+    core_wino4 = None
     if isinstance(cfg, BlockConfig):
         from winograd_tpu.datagen.generate import block_params_list
         from winograd_tpu.ops import jnp_ops
@@ -94,10 +95,17 @@ def run_case(
         core_pallas = stage_pallas
         core_xla = stage_xla
     elif cfg.kind == "winograd3x3":
+        from winograd_tpu.kernels import transforms
         from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
 
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         u = jax.device_put(jnp.asarray(case["u"]), dev)
+        u2 = jax.device_put(
+            jnp.asarray(case["u2"])
+            if "u2" in case
+            else jnp.asarray(transforms.transform_filter(np.asarray(case["w"]), m=2)),
+            dev,
+        )
         w = jax.device_put(jnp.asarray(case["w"]), dev)
         w9 = jax.device_put(
             jnp.asarray(case["w9"]) if "w9" in case else direct_filter(jnp.asarray(case["w"])),
@@ -105,13 +113,16 @@ def run_case(
         )
         s = jax.device_put(jnp.asarray(case["scale"]), dev)
         b = jax.device_put(jnp.asarray(case["bias"]), dev)
-        pallas_fn = lambda: conv3x3_bn_winograd_pallas(x, u, s, b, relu=cfg.relu)
+        # Flagship: the F(2,3) Winograd megakernel (fastest measured algebra).
+        pallas_fn = lambda: conv3x3_bn_winograd_pallas(x, u2, s, b, relu=cfg.relu)
         baseline_fn = lambda: baseline.conv3x3_bn_relu(x, w, s, b, relu=cfg.relu)
-        core_pallas = lambda x_: conv3x3_bn_winograd_pallas(x_, u, s, b, relu=cfg.relu)
+        core_pallas = lambda x_: conv3x3_bn_winograd_pallas(x_, u2, s, b, relu=cfg.relu)
         core_xla = lambda x_: baseline.conv3x3_bn_relu(x_, w, s, b, relu=cfg.relu)
-        # Second in-house algorithm (im2col GEMM) — measured alongside, the
-        # way the reference contrasts cuDNN algo 6 vs algo 0.
+        # Additional in-house algorithms — measured alongside, the way the
+        # reference contrasts cuDNN algo 6 vs algo 0: direct im2col GEMM and
+        # the reference's own F(4,3) algebra.
         core_direct = lambda x_: conv3x3_bn_direct_pallas(x_, w9, s, b, relu=cfg.relu)
+        core_wino4 = lambda x_: conv3x3_bn_winograd_pallas(x_, u, s, b, relu=cfg.relu)
     else:
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         w = jax.device_put(jnp.asarray(case["w"]), dev)
@@ -128,6 +139,9 @@ def run_case(
     check_direct = None
     if core_direct is not None:
         check_direct = _check(f"{cfg.name}/direct", core_direct(x), golden, strict)
+    check_wino4 = None
+    if core_wino4 is not None:
+        check_wino4 = _check(f"{cfg.name}/winograd_f43", core_wino4(x), golden, strict)
 
     if profile_dir is not None:
         # Aux tracing subsystem: the reference has only a wall clock
@@ -144,6 +158,10 @@ def run_case(
     if core_direct is not None:
         direct_device_us = bench_scan(core_direct, x, scan_len=scan_len)
         print(f"  {cfg.name}/direct: device {direct_device_us:.1f} us", file=sys.stderr)
+    wino4_device_us = None
+    if core_wino4 is not None:
+        wino4_device_us = bench_scan(core_wino4, x, scan_len=scan_len)
+        print(f"  {cfg.name}/winograd_f43: device {wino4_device_us:.1f} us", file=sys.stderr)
     print(f"  {r_pallas}", file=sys.stderr)
     print(f"  {r_baseline}", file=sys.stderr)
 
@@ -160,14 +178,17 @@ def run_case(
         "xla_chained_us": r_baseline.chained_us,
         "xla_device_us": r_baseline.device_us,
         "direct_device_us": direct_device_us,
+        "winograd_f43_device_us": wino4_device_us,
         "iterations": r_pallas.iterations,
         "max_error_pallas": check_pallas.max_error,
         "max_error_xla": check_baseline.max_error,
         "max_error_direct": check_direct.max_error if check_direct else None,
+        "max_error_winograd_f43": check_wino4.max_error if check_wino4 else None,
         "parity_ok": (
             check_pallas.ok()
             and check_baseline.ok()
             and (check_direct is None or check_direct.ok())
+            and (check_wino4 is None or check_wino4.ok())
         ),
     }
 

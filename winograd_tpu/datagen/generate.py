@@ -57,10 +57,11 @@ def make_winograd_case(cfg: LayerConfig, seed: int = 0) -> Dict[str, np.ndarray]
     x = _rand(rng, cfg.hw, cfg.hw, cfg.cin)
     w = _rand(rng, cfg.cout, cfg.cin, 3, 3)
     bn = _bn_params(rng, cfg.cout)
-    u = transforms.transform_filter(w)
+    u = transforms.transform_filter(w)            # F(4,3), reference layout
+    u2 = transforms.transform_filter(w, m=2)      # F(2,3), the fast algebra
     w9 = np.asarray(direct_filter(w))
     golden = reference.conv3x3_bn_relu(x, w, bn["scale"], bn["bias"], relu=cfg.relu)
-    return dict(x=x, w=w, u=u, w9=w9, golden=golden, **bn)
+    return dict(x=x, w=w, u=u, u2=u2, w9=w9, golden=golden, **bn)
 
 
 def make_pointwise_case(cfg: LayerConfig, seed: int = 0) -> Dict[str, np.ndarray]:
@@ -147,6 +148,7 @@ def _write_winograd_files(outdir: str, cfg: LayerConfig, case: Dict[str, np.ndar
     save_parameter(f"{outdir}/input_{cfg.hw}_1_{c}.bin", xp)
     save_parameter(f"{outdir}/weight_NCHW_{c}_{cfg.cout}.bin", case["w"])
     save_parameter(f"{outdir}/weight_winograd_{c}_{cfg.cout}.bin", case["u"])
+    save_parameter(f"{outdir}/weight_winograd2_{c}_{cfg.cout}.bin", case["u2"])
     for name, key in [
         ("bnScale", "gamma"), ("bnBias", "beta"), ("eMean", "mean"), ("eVar", "var"),
         ("bnScale_winograd", "scale"), ("bnBias_winograd", "bias"),
@@ -198,6 +200,7 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
             f"{d}/input_{hw}_1_{c}.bin": (hw + 2) ** 2 * c,
             f"{d}/weight_NCHW_{c}_{co}.bin": co * c * 9,
             f"{d}/weight_winograd_{c}_{co}.bin": 36 * c * co,
+            f"{d}/weight_winograd2_{c}_{co}.bin": 16 * c * co,
             f"{d}/bnScale_winograd_{co}.bin": co,
             f"{d}/bnBias_winograd_{co}.bin": co,
             f"{d}/golden_winograd_{c}_{co}.bin": hw * hw * co,
@@ -208,6 +211,7 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
             x=np.ascontiguousarray(xp[1 : hw + 1, 1 : hw + 1, :]),
             w=blobs[f"{d}/weight_NCHW_{c}_{co}.bin"].reshape(co, c, 3, 3),
             u=blobs[f"{d}/weight_winograd_{c}_{co}.bin"].reshape(36, c, co),
+            u2=blobs[f"{d}/weight_winograd2_{c}_{co}.bin"].reshape(16, c, co),
             scale=blobs[f"{d}/bnScale_winograd_{co}.bin"],
             bias=blobs[f"{d}/bnBias_winograd_{co}.bin"],
             golden=blobs[f"{d}/golden_winograd_{c}_{co}.bin"].reshape(hw, hw, co),

@@ -6,38 +6,37 @@ kernel_*_winograd_BtdB, 36 tile GEMMs kernel_*_OuterProduct_*, inverse
 transform + epilogue kernel_*_winograd_AtIA —
 /root/reference/Kernel128_winograd.cu:26-213, buffers t_input/ip at :240-241).
 
-Here all three phases run inside a single Pallas kernel and every
-intermediate — including the zero-padded input staging — lives in VMEM
-scratch for its entire lifetime: the op reads the dense (H, W, Cin) NHWC
-activation from HBM exactly once and writes the dense (H, W, Cout) result
-exactly once. The math is restructured for the MXU rather than translated
-(structure chosen by on-chip A/B measurement, ~2.4x over the naive
-one-matmul-per-tile form):
+Here all three phases run inside a single Pallas kernel; the only explicit
+memory staging is one zero-padded copy of the input into VMEM scratch. The
+structure is chosen for the MXU/VPU, not translated (round-2 redesign: the
+round-1 kernel staged tiles through lane-concatenated VMEM buffers with one
+small copy per tile — `nb*nt` unrolled copies per phase — and was measured
+copy-bound; this version has ZERO per-tile copies):
 
-* Padding: conv padding + tile-grid overhang are materialized in a VMEM
-  scratch (border strips zeroed, interior copied) — no HBM-level pad/crop
-  copies (the reference instead doubles + zeroes its global input buffer,
-  Kernel128_winograd.cu:236-242, and writes a padded output with a +1 shift
-  and per-tile branch masking, :155,171,177).
-* Tile extraction: each (a, a, C) patch is a static slice reshaped to
-  (a^2, C) and written to a lane-concatenated staging buffer D (a^2, NT*C)
-  — channel-aligned lane slices, no shuffles.
-* Input transform: vec(Bt d Bt^T) = (Bt (x) Bt) vec(d) vectorized over ALL
-  tiles at once: ONE (a^2, a^2) x (a^2, NT*C) MXU matmul (the reference
-  stages 6-row passes through 18 KB of CUDA shared memory per tile).
-* Tile GEMMs: one batched dot_general over the a^2 positions,
-  (NT, Cin) x (Cin, Cout) per position against the offline-transformed
-  filter U[a^2, Cin, Cout] — the reference's hot loop
-  (Kernel128_winograd.cu:197-210) — with f32 accumulation.
-* Inverse transform + epilogue: vec(At M At^T) = (At (x) At) vec(M), again
-  ONE (m^2, a^2) x (a^2, NT*Cout) matmul for all tiles, then the folded-BN
-  FMA and ReLU on the way to the output block, edge tiles stored with
-  statically clipped slices.
+* Tile extraction: ONE strided-slice read per tile position q = (qi, qj) —
+  `xpad[:, qi::m, qj::m, :]` yields the q-th element of EVERY tile at once
+  (a^2 = 16 or 36 reads total, independent of the tile count). The CUDA
+  analog (per-tile smem staging, Kernel128_winograd.cu:36-119) has no
+  reason to exist on TPU.
+* Input transform Bt d Bt^T: SEPARABLE row pass then column pass over the
+  position axis, unrolled on values with the constant matrix entries baked
+  in (zero entries skipped). For F(2,3) every entry is +-1, so the entire
+  transform is pure VPU adds; for F(4,3) it is small-constant FMAs. No
+  matmul, no staging buffer, no relayout.
+* Tile GEMMs (the reference's hot loop, Kernel128_winograd.cu:197-210):
+  one (tiles, Cin) x (Cin, Cout) MXU dot per position against the
+  offline-transformed filter U[a^2, Cin, Cout], f32 accumulation. All
+  images of the grid step share one row block (batch grows MXU rows).
+* Inverse transform At M At^T: separable value passes again, then the
+  folded-BN FMA (+ReLU) epilogue and ONE strided-slice store per output
+  position — edge overhang (F(4,3) covers 16x16 of a 14x14 map) is clipped
+  statically per position, replacing the reference's per-tile branch
+  masking (Kernel128_winograd.cu:155,171,177).
 
 Both Winograd algebras are first-class (m inferred from the filter
-artifact): F(4x4,3x3) minimizes FLOPs (16 tiles on 14x14, like the
-reference); F(2x2,3x3) yields 49 tiles — 3x better MXU row utilization per
-position GEMM.
+artifact): F(2x2,3x3) — 49 tiles on 14x14, 3x the MXU rows per position
+GEMM and +-1 transforms, the fast choice at inference batch sizes — and
+F(4x4,3x3) (16 tiles, like the reference) which minimizes FLOPs.
 """
 
 from __future__ import annotations
@@ -51,114 +50,193 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from winograd_tpu.kernels import transforms
+from winograd_tpu.kernels.direct import split_dot
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-# MXU precision policy. The parity bar is max abs err < 1e-4 vs the float64
-# numpy golden model (BASELINE.json); "default" (single-pass bf16 inputs)
-# misses it by ~100x, "highest" (multi-pass) is full f32. Mosaic supports
-# only these two.
-_PRECISIONS = {
-    "default": jax.lax.Precision.DEFAULT,
-    "highest": jax.lax.Precision.HIGHEST,
-}
+def _pad_tiles_w(tw: int) -> int:
+    """Pad the tile count along W to a sublane multiple when the row waste
+    is small: (th, tw', C) -> (th*tw', C) value reshapes become free
+    relabels (the minor (tw', C) dims form whole 8x128 tiles), removing the
+    per-position relayout copies. The padded tiles read zeros and their
+    outputs are clipped at store time."""
+    tw8 = _cdiv(tw, 8) * 8
+    return tw8 if tw8 * 3 <= tw * 4 else tw
 
 
-def _dot_kw(precision: str):
-    return dict(
-        preferred_element_type=jnp.float32, precision=_PRECISIONS[precision]
-    )
+def _apply_const_matrix(mat: np.ndarray, vals: list) -> list:
+    """out[p] = sum_q mat[p, q] * vals[q], unrolled with constants baked in.
+
+    Zero entries are skipped and +-1 entries become adds/subs, so for the
+    F(2,3) matrices this lowers to pure VPU adds on (rows, C) values.
+    """
+    out = []
+    for p in range(mat.shape[0]):
+        acc = None
+        for q in range(mat.shape[1]):
+            c = float(mat[p, q])
+            if c == 0.0:
+                continue
+            if c == 1.0:
+                term = vals[q]
+            elif c == -1.0:
+                term = -vals[q]
+            else:
+                term = c * vals[q]
+            acc = term if acc is None else acc + term
+        assert acc is not None, "transform matrix has an all-zero row"
+        out.append(acc)
+    return out
+
+
+def _apply_separable(mat: np.ndarray, grid: list) -> list:
+    """Apply `mat` along both axes of a 2D list of values: mat G mat^T.
+
+    grid[qi][qj] are (rows, C) values; returns out[pi][pj] lists of
+    shape (mat.shape[0], mat.shape[0])."""
+    # Row pass: e[p][qj] = sum_qi mat[p, qi] grid[qi][qj]
+    ncol = len(grid[0])
+    cols = [[grid[qi][qj] for qi in range(len(grid))] for qj in range(ncol)]
+    e_cols = [_apply_const_matrix(mat, col) for col in cols]  # [qj][p]
+    # Column pass: v[p][pj] = sum_qj mat[pj, qj] e[p][qj]
+    nout = mat.shape[0]
+    out = []
+    for p in range(nout):
+        row = [e_cols[qj][p] for qj in range(ncol)]
+        out.append(_apply_const_matrix(mat, row))
+    return out
 
 
 def _winograd_kernel(
     x_ref,       # (NB, H, W, Cin)    dense input, NB images per grid step
     u_ref,       # (a2, Cin, TILE_CO) transformed filter slice
-    bb_ref,      # (a2, a2)           Bt (x) Bt
-    aa_ref,      # (m2, a2)           At (x) At
     scale_ref,   # (1, TILE_CO)
     bias_ref,    # (1, TILE_CO)
     out_ref,     # (NB, H, W, TILE_CO)
-    xpad_ref,    # scratch (NB, mT+2, mT+2, Cin)  zero-padded staging
-    d_ref,       # scratch (a2, NB*NT*Cin)        lane-concat tile staging
-    v_ref,       # scratch (a2, NB*NT, Cin)       transformed tiles, GEMM layout
-    m_ref,       # scratch (a2, NB*NT, TILE_CO)
-    mf_ref,      # scratch (a2, NB*NT*TILE_CO)
-    *,
+    *scratch,    # G xpad buffers (NB, mTh+2, mTw'+2, CG) + optional v_ref
     m: int,
     nb: int,
     tiles_h: int,
     tiles_w: int,
+    tw_pad: int,
     h: int,
     w: int,
     cin: int,
+    cg: int,
     relu: bool,
     precision: str,
+    has_vref: bool,
 ):
-    dot_kw = _dot_kw(precision)
     a = m + 2
     a2 = a * a
-    nt = tiles_h * tiles_w
     side_h = m * tiles_h
-    side_w = m * tiles_w
+    side_w = m * tw_pad
+    rows = nb * tiles_h * tw_pad
+    n_groups = cin // cg
+    bt, _, at = transforms.matrices(m)
     j = pl.program_id(1)
+    xpads = scratch[:n_groups]
+    v_ref = scratch[n_groups] if has_vref else None
 
-    # Phase 0+1 — pad into VMEM, extract tiles, input transform as ONE
-    # matmul over all NB*NT tiles. Tiles of all NB images share one GEMM
-    # row block, so the per-position tile GEMMs see NB*NT rows — at NB=8,
-    # NT=16 that is a full 128-row MXU block (the key throughput lever the
-    # per-image reference kernels cannot express). Only needed once per
-    # image block; skipped when revisiting the same x for another
-    # output-channel slice (j > 0).
+    # Phase 0 — pad into VMEM once per image block (border strips zeroed,
+    # interior copied; the reference instead doubles + zeroes its global
+    # input buffer, Kernel128_winograd.cu:236-242). The staging is split
+    # into <=128-channel groups because Mosaic's strided vector loads/stores
+    # only lower when the ref's minor dim is a single lane tile.
     @pl.when(j == 0)
-    def _input_transform():
-        for b in range(nb):
-            # Zero only the border strips, copy the interior once.
-            xpad_ref[b, 0:1, :, :] = jnp.zeros((1, side_w + 2, cin), jnp.float32)
-            xpad_ref[b, h + 1 :, :, :] = jnp.zeros((side_h + 1 - h, side_w + 2, cin), jnp.float32)
-            xpad_ref[b, 1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cin), jnp.float32)
-            xpad_ref[b, 1 : h + 1, w + 1 :, :] = jnp.zeros((h, side_w + 1 - w, cin), jnp.float32)
-            xpad_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
+    def _pad():
+        for g, xp in enumerate(xpads):
+            gsl = slice(g * cg, (g + 1) * cg)
+            xp[:, 0:1, :, :] = jnp.zeros((nb, 1, side_w + 2, cg), jnp.float32)
+            xp[:, h + 1 :, :, :] = jnp.zeros(
+                (nb, side_h + 1 - h, side_w + 2, cg), jnp.float32
+            )
+            xp[:, 1 : h + 1, 0:1, :] = jnp.zeros((nb, h, 1, cg), jnp.float32)
+            xp[:, 1 : h + 1, w + 1 :, :] = jnp.zeros(
+                (nb, h, side_w + 1 - w, cg), jnp.float32
+            )
+            xp[:, 1 : h + 1, 1 : w + 1, :] = x_ref[:, :, :, gsl]
 
-        for b in range(nb):
-            for t in range(nt):
-                th, tw = divmod(t, tiles_w)
-                patch = xpad_ref[b, th * m : th * m + a, tw * m : tw * m + a, :]
-                g = b * nt + t
-                d_ref[:, g * cin : (g + 1) * cin] = patch.reshape(a2, cin)
-        vf = jnp.dot(bb_ref[:], d_ref[:], **dot_kw)  # (a2, NB*NT*Cin)
-        for g in range(nb * nt):
-            v_ref[:, g, :] = vf[:, g * cin : (g + 1) * cin]
+    def input_transform(xp):
+        # Phase 1 — extraction (a2 strided reads; tiles_w is padded to a
+        # sublane multiple so the (th, tw', C) -> (rows, C) merge is a free
+        # relabel) + separable Bt passes (pure VPU adds for F(2,3)).
+        d = [
+            [
+                xp[
+                    :, pl.Slice(qi, tiles_h, m), pl.Slice(qj, tw_pad, m), :
+                ].reshape(rows, cg)
+                for qj in range(a)
+            ]
+            for qi in range(a)
+        ]
+        return _apply_separable(np.asarray(bt, np.float64), d)
 
-    # Phase 2 — batched per-position tile GEMMs on the MXU (the hot loop).
-    m_ref[:] = jax.lax.dot_general(
-        v_ref[:],
-        u_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        **dot_kw,
-    )
+    if v_ref is None:
+        v_groups = [input_transform(xp) for xp in xpads]
+    else:
+        # Output-channel slicing revisits the same image block: stash V in
+        # scratch at j == 0, reload on later j steps.
+        @pl.when(j == 0)
+        def _stash():
+            for g, xp in enumerate(xpads):
+                vv = input_transform(xp)
+                for pi in range(a):
+                    for pj in range(a):
+                        v_ref[pi * a + pj, :, g * cg : (g + 1) * cg] = vv[pi][pj]
 
-    # Phase 3 — inverse transform as ONE matmul, then BN FMA + ReLU;
-    # edge tiles stored with statically clipped slices (no output crop).
+        v_groups = [
+            [
+                [
+                    v_ref[pi * a + pj, :, g * cg : (g + 1) * cg]
+                    for pj in range(a)
+                ]
+                for pi in range(a)
+            ]
+            for g in range(n_groups)
+        ]
+
+    # Phase 2 — per-position tile GEMMs on the MXU (the hot loop),
+    # contraction split over the channel groups.
+    mm = [
+        [
+            functools.reduce(
+                lambda acc, g: acc
+                + split_dot(
+                    v_groups[g][pi][pj],
+                    u_ref[pi * a + pj, g * cg : (g + 1) * cg, :],
+                    precision,
+                ),
+                range(1, n_groups),
+                split_dot(
+                    v_groups[0][pi][pj], u_ref[pi * a + pj, 0:cg, :], precision
+                ),
+            )
+            for pj in range(a)
+        ]
+        for pi in range(a)
+    ]
+
+    # Phase 3 — separable At passes, BN FMA (+ReLU) epilogue, strided
+    # stores with static edge clipping.
+    y = _apply_separable(np.asarray(at, np.float64), mm)
     tile_co = out_ref.shape[-1]
-    for g in range(nb * nt):
-        mf_ref[:, g * tile_co : (g + 1) * tile_co] = m_ref[:, g, :]
-    yf = jnp.dot(aa_ref[:], mf_ref[:], **dot_kw)  # (m2, NB*NT*TILE_CO)
     scale = scale_ref[:]
     bias = bias_ref[:]
-    for b in range(nb):
-        for t in range(nt):
-            th, tw = divmod(t, tiles_w)
-            g = b * nt + t
-            y = yf[:, g * tile_co : (g + 1) * tile_co] * scale + bias
+    for oi in range(m):
+        th_v = min(tiles_h, (h - 1 - oi) // m + 1)
+        for oj in range(m):
+            tw_v = min(tiles_w, (w - 1 - oj) // m + 1)
+            yy = y[oi][oj] * scale + bias
             if relu:
-                y = jnp.maximum(y, 0.0)
-            y = y.reshape(m, m, tile_co)
-            rh = min(m, h - th * m)
-            rw = min(m, w - tw * m)
-            out_ref[b, th * m : th * m + rh, tw * m : tw * m + rw, :] = y[:rh, :rw]
+                yy = jnp.maximum(yy, 0.0)
+            yy = yy.reshape(nb, tiles_h, tw_pad, tile_co)
+            out_ref[
+                :, pl.Slice(oi, th_v, m), pl.Slice(oj, tw_v, m), :
+            ] = yy[:, :th_v, :tw_v, :]
 
 
 @functools.partial(
@@ -170,8 +248,6 @@ def _winograd_kernel(
 def _winograd_dense(
     x: jax.Array,       # (N, H, W, Cin) dense
     u: jax.Array,       # (a2, Cin, Cout)
-    bb: jax.Array,      # (a2, a2)
-    aa: jax.Array,      # (m2, a2)
     scale2d: jax.Array,  # (1, Cout)
     bias2d: jax.Array,   # (1, Cout)
     relu: bool,
@@ -188,8 +264,11 @@ def _winograd_dense(
     m2 = m * m
     cout = u.shape[2]
     nt = tiles_h * tiles_w
-    side_h, side_w = m * tiles_h, m * tiles_w
+    tw_pad = _pad_tiles_w(tiles_w)
+    side_h, side_w = m * tiles_h, m * tw_pad
     n_j = cout // tile_co
+    cg = 128 if cin % 128 == 0 else cin
+    n_groups = cin // cg
 
     kernel = functools.partial(
         _winograd_kernel,
@@ -197,21 +276,30 @@ def _winograd_dense(
         nb=nb,
         tiles_h=tiles_h,
         tiles_w=tiles_w,
+        tw_pad=tw_pad,
         h=h,
         w=w,
         cin=cin,
+        cg=cg,
         relu=relu,
         precision=precision,
+        has_vref=n_j > 1,
     )
     flops = n * (2 * a2 * nt * cin * cout + 2 * nt * a2 * (a2 * cin + m2 * cout))
+    scratch_shapes = [
+        pltpu.VMEM((nb, side_h + 2, side_w + 2, cg), jnp.float32)
+        for _ in range(n_groups)
+    ]
+    if n_j > 1:
+        scratch_shapes.append(
+            pltpu.VMEM((a2, nb * tiles_h * tw_pad, cin), jnp.float32)
+        )
     return pl.pallas_call(
         kernel,
         grid=(n // nb, n_j),
         in_specs=[
             pl.BlockSpec((nb, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((a2, cin, tile_co), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a2, a2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m2, a2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -219,32 +307,27 @@ def _winograd_dense(
             (nb, h, w, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((nb, side_h + 2, side_w + 2, cin), jnp.float32),
-            pltpu.VMEM((a2, nb * nt * cin), jnp.float32),
-            pltpu.VMEM((a2, nb * nt, cin), jnp.float32),
-            pltpu.VMEM((a2, nb * nt, tile_co), jnp.float32),
-            pltpu.VMEM((a2, nb * nt * tile_co), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * (n * h * w * cin + a2 * cin * cout + n * h * w * cout),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, u, bb, aa, scale2d, bias2d)
+    )(x, u, scale2d, bias2d)
 
 
 def _vmem_bytes(
     m: int, nb: int, tiles_h: int, tiles_w: int, h: int, w: int, cin: int, tile_co: int
 ) -> int:
-    """Estimated kernel VMEM: scratch + double-buffered in/out/u blocks."""
+    """Estimated kernel VMEM: padded staging + transform/GEMM values (the
+    compiler materializes the a^2 V and M values) + double-buffered blocks."""
     a2 = (m + 2) * (m + 2)
-    nt = tiles_h * tiles_w
-    pad_hw = (m * tiles_h + 2) * (m * tiles_w + 2)
-    scratch = nb * pad_hw * cin + 2 * a2 * nb * nt * cin + 2 * a2 * nb * nt * tile_co
+    nt = tiles_h * _pad_tiles_w(tiles_w)
+    pad_hw = (m * tiles_h + 2) * (m * _pad_tiles_w(tiles_w) + 2)
+    values = a2 * nb * nt * (cin + tile_co)
     blocks = 2 * (nb * h * w * (cin + tile_co) + a2 * cin * tile_co)
-    return 4 * (scratch + blocks)
+    return 4 * (nb * pad_hw * cin + values + blocks)
 
 
 @functools.partial(
@@ -261,7 +344,7 @@ def conv3x3_bn_winograd_pallas(
     nb: int | None = None,
     tile_co: int | None = None,
     interpret: bool | None = None,
-    precision: str = "highest",
+    precision: str | None = None,
 ) -> jax.Array:
     """Fused 3x3 conv (pad 1, stride 1) + BN + ReLU via Winograd F(m,3).
 
@@ -272,6 +355,12 @@ def conv3x3_bn_winograd_pallas(
        size m is inferred from a^2: 36 -> F(4x4,3x3), 16 -> F(2x2,3x3);
     scale, bias: (Cout,) offline-folded BN parameters.
     Returns the same spatial shape with Cout channels.
+
+    precision: MXU policy for the tile GEMMs. Default (None) resolves per
+    algebra: F(2,3) -> "bf16x3" (its +-1 transforms do not amplify
+    magnitudes, measured ~2e-5 vs the f64 golden — inside the 1e-4 bar —
+    at half the MXU passes of full f32); F(4,3) -> "highest" (its transform
+    constants amplify bf16x3 rounding past the bar, measured ~3e-4).
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -280,27 +369,27 @@ def conv3x3_bn_winograd_pallas(
     assert u.shape[1] == cin, (u.shape, cin)
     m = {36: 4, 16: 2}.get(u.shape[0])
     assert m is not None, f"filter leading dim {u.shape[0]} is not 36 (F(4,3)) or 16 (F(2,3))"
+    if precision is None:
+        precision = "bf16x3" if m == 2 else "highest"
     cout = u.shape[2]
     tiles_h, tiles_w = _cdiv(h, m), _cdiv(w, m)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # Output-channel slicing keeps the resident U slice + scratch within a
-    # VMEM budget (~5 MB for U at Cin=256, tile_co=128).
+    # Output-channel slicing: capped at one lane tile (128) — Mosaic's
+    # strided stores need a single-tile minor dim on the output block — and
+    # it also bounds the resident U slice (~2.4 MB at Cin=256, tile_co=128).
     a2 = u.shape[0]
     if tile_co is None:
-        if a2 * cin * cout * 4 <= 5 * 2**20:
-            tile_co = cout
-        else:
-            from winograd_tpu.kernels.pointwise import largest_divisor_leq
+        from winograd_tpu.kernels.pointwise import largest_divisor_leq
 
-            tile_co = largest_divisor_leq(cout, 128)
+        tile_co = largest_divisor_leq(cout, 128)
     assert cout % tile_co == 0, (cout, tile_co)
+    assert tile_co <= 128, f"tile_co must be <= one lane tile, got {tile_co}"
 
     # Images per grid step: grow the tile-GEMM row block toward the MXU's
-    # 128 rows (NT rows per image), bounded by a VMEM budget on the five
-    # scratch buffers.
+    # 128 rows (NT rows per image), bounded by a VMEM budget.
     nt = tiles_h * tiles_w
     if nb is None:
         nb = 1
@@ -314,13 +403,9 @@ def conv3x3_bn_winograd_pallas(
             nb *= 2
     assert n % nb == 0, (n, nb)
 
-    bb = jnp.asarray(transforms.bt_kron(np.float32, m=m))
-    aa = jnp.asarray(transforms.at_kron(np.float32, m=m))
     out = _winograd_dense(
         x.astype(jnp.float32),
         u.astype(jnp.float32),
-        bb,
-        aa,
         scale.reshape(1, cout).astype(jnp.float32),
         bias.reshape(1, cout).astype(jnp.float32),
         relu,
