@@ -54,9 +54,37 @@ def test_downsample_block_matches_golden():
         p["w_expand"], p["s_expand"], p["b_expand"],
         p["w_proj"], p["s_proj"], p["b_proj"],
     )
+    # Fused transition megakernel (the default): strict 1e-4 bar.
     out = np.asarray(downsample_bottleneck_block_pallas(x, p))
     assert out.shape == (14, 14, c_out)
-    assert np.abs(out - gold).max() < 10 * PARITY_ATOL
+    assert np.abs(out - gold).max() <= PARITY_ATOL
+    # Composed per-layer path (bf16x3 pointwise GEMMs): its own tier.
+    out_c = np.asarray(downsample_bottleneck_block_pallas(x, p, algo="composed"))
+    assert np.abs(out_c - gold).max() < 10 * PARITY_ATOL
+
+
+def test_fused_transition_batched_and_streamed():
+    """Batched input + output-channel streaming (tile_co < Cout) in the
+    fused transition kernel."""
+    from winograd_tpu.kernels.transition import transition_block_fused_pallas
+
+    rng = np.random.default_rng(7)
+    c_in, c_mid, c_out = 128, 64, 256
+    x = _rand(rng, 2, 14, 14, c_in)
+    p = _make_transition(rng, c_in, c_mid, c_out)
+    gold = np.stack([
+        reference.downsample_bottleneck_block(
+            x[i],
+            p["w_reduce"], p["s_reduce"], p["b_reduce"],
+            p["w_mid"], p["s_mid"], p["b_mid"],
+            p["w_expand"], p["s_expand"], p["b_expand"],
+            p["w_proj"], p["s_proj"], p["b_proj"],
+        )
+        for i in range(2)
+    ])
+    out = np.asarray(transition_block_fused_pallas(x, p, tile_co=128))
+    assert out.shape == (2, 7, 7, c_out)
+    assert np.abs(out - gold).max() <= PARITY_ATOL
 
 
 def test_jnp_downsample_matches_golden_and_is_differentiable():

@@ -1,0 +1,234 @@
+"""The stride-2 ResNet transition block as ONE fused Pallas kernel.
+
+Round 1 composed the downsample (stage-transition) block from an XLA
+strided im2col plus the fused pointwise GEMM kernels
+(models/downsample.py); this kernel gives the transition block the same
+per-layer fusion discipline the reference applies to every op it ships
+(/root/reference/Kernel128_one.cu:24-54): the whole block —
+
+    1x1 reduce + BN + ReLU  ->  stride-2 3x3 (strided im2col in VMEM)
+    + BN + ReLU  ->  1x1 expand + BN  ->  stride-2 1x1 projection skip
+    ->  add  ->  ReLU
+
+— runs in a single Pallas program. Activations never leave VMEM between
+layers; both stride-2 subsamplings (the 3x3's and the projection
+shortcut's) are Mosaic strided vector loads from <=128-channel staging
+groups (strided slices only lower when the ref's minor dim is a single
+lane tile).
+
+The wide output layers (expand + projection) are output-channel tiled on
+the grid so the big transitions (ResNet-50 conv4_x -> conv5_x: Cout 2048,
+~24 MB of f32 weights) stream those weights while the reduce/3x3 weights
+and the h2 / subsampled-skip activations stay resident in scratch across
+the j steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from winograd_tpu.kernels.direct import split_dot
+
+
+def _transition_kernel(
+    x_ref,     # (1, H, W, Cin)       resident across j steps
+    wr_ref,    # (Cin, Cmid)          resident
+    s1_ref, b1_ref,   # (1, Cmid)
+    w9_ref,    # (9*Cmid, Cmid)       resident
+    s2_ref, b2_ref,   # (1, Cmid)
+    we_ref,    # (Cmid, TILE_CO)      streamed over j
+    s3_ref, b3_ref,   # (1, TILE_CO)
+    wp_ref,    # (Cin, TILE_CO)       streamed over j (projection shortcut)
+    sp_ref, bp_ref,   # (1, TILE_CO)
+    out_ref,   # (1, HO, WO, TILE_CO)
+    h2_ref,    # scratch (HO*WO, Cmid)   persists across j
+    xs_ref,    # scratch (HO*WO, Cin)    subsampled skip input, persists
+    col_ref,   # scratch (HO*WO, 9*Cmid)
+    *xpads,    # G_mid padded-h1 groups (H+2, W+2, CGm) then
+               # G_in input groups (H, W, CGi), all minor dims <= 128
+    h: int,
+    w: int,
+    cin: int,
+    cmid: int,
+    n_mid_groups: int,
+    precision: str,
+):
+    ho, wo = -(-h // 2), -(-w // 2)
+    hwo = ho * wo
+    j = pl.program_id(1)
+    mids = xpads[:n_mid_groups]
+    ins = xpads[n_mid_groups:]
+    cgm = mids[0].shape[-1]
+    cgi = ins[0].shape[-1]
+
+    @pl.when(j == 0)
+    def _front():
+        # --- 1x1 reduce + BN + ReLU (MXU GEMM, epilogue on VPU) ---
+        x2 = x_ref[0].reshape(h * w, cin)
+        h1 = jnp.maximum(
+            split_dot(x2, wr_ref[:], precision) * s1_ref[:] + b1_ref[:], 0.0
+        )
+        h1 = h1.reshape(h, w, cmid)
+
+        # --- stride-2 3x3 + BN + ReLU via strided im2col in VMEM ---
+        # SAME padding for stride 2: taps 2o + r - 1, r in {0,1,2}; pad 1
+        # on top/left, and the staging is sized so the strided reads stay
+        # inside (zeroed) bounds on the bottom/right.
+        for g, xp in enumerate(mids):
+            gsl = slice(g * cgm, (g + 1) * cgm)
+            ph, pw = xp.shape[0], xp.shape[1]
+            xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
+            xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
+            xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
+            xp[1 : h + 1, w + 1 :, :] = jnp.zeros((h, pw - w - 1, cgm), jnp.float32)
+            xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
+            for r in range(3):
+                for s in range(3):
+                    patch = xp[
+                        pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
+                    ].reshape(hwo, cgm)
+                    base = (3 * r + s) * cmid + g * cgm
+                    col_ref[:, base : base + cgm] = patch
+        h2_ref[:] = jnp.maximum(
+            split_dot(col_ref[:], w9_ref[:], precision) * s2_ref[:] + b2_ref[:],
+            0.0,
+        )
+
+        # --- subsample the block input for the projection shortcut ---
+        # (a stride-2 1x1 conv IS subsample + GEMM).
+        for g, xg in enumerate(ins):
+            gsl = slice(g * cgi, (g + 1) * cgi)
+            xg[:, :, :] = x_ref[0, :, :, gsl]
+            xs_ref[:, gsl] = xg[
+                pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :
+            ].reshape(hwo, cgi)
+
+    # --- per-j: 1x1 expand + BN (no ReLU), projection + BN, add, ReLU ---
+    h3 = split_dot(h2_ref[:], we_ref[:], precision) * s3_ref[:] + b3_ref[:]
+    skip = split_dot(xs_ref[:], wp_ref[:], precision) * sp_ref[:] + bp_ref[:]
+    tile_co = out_ref.shape[-1]
+    out_ref[0] = jnp.maximum(h3 + skip, 0.0).reshape(ho, wo, tile_co)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_co", "interpret", "precision"))
+def transition_block_fused_pallas(
+    x: jax.Array,
+    params: dict,
+    *,
+    tile_co: int | None = None,
+    interpret: bool | None = None,
+    precision: str = "highest",
+) -> jax.Array:
+    """One-kernel stride-2 transition block. x: (H, W, Cin) or
+    (N, H, W, Cin); params needs w_reduce/s_reduce/b_reduce, w9_mid (direct
+    im2col layout, kernels/direct.py)/s_mid/b_mid, w_expand/s_expand/
+    b_expand, w_proj/s_proj/b_proj (see models/downsample.py). Returns
+    (..., ceil(H/2), ceil(W/2), Cout)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, cin = x.shape
+    cmid = params["w_reduce"].shape[1]
+    cout = params["w_expand"].shape[1]
+    assert params["w9_mid"].shape == (9 * cmid, cmid), params["w9_mid"].shape
+    assert params["w_proj"].shape == (cin, cout), params["w_proj"].shape
+    ho, wo = -(-h // 2), -(-w // 2)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile_co is None:
+        from winograd_tpu.kernels.pointwise import largest_divisor_leq
+
+        # Stream the wide output layers in lane-tile slices when the full
+        # expand+projection weights would not fit comfortably in VMEM.
+        tile_co = (
+            cout
+            if (cmid + cin) * cout * 4 <= 4 * 2**20
+            else largest_divisor_leq(cout, 128)
+        )
+    assert cout % tile_co == 0, (cout, tile_co)
+    n_j = cout // tile_co
+
+    cgm = 128 if cmid % 128 == 0 else cmid
+    cgi = 128 if cin % 128 == 0 else cin
+    n_mid = cmid // cgm
+    # Staging bounds: 3x3 taps reach 2*(ho-1)+2 = 2*ho, +1 for the left pad.
+    ph, pw = 2 * ho + 2, 2 * wo + 2
+
+    def row(v, c):
+        return jnp.asarray(v, jnp.float32).reshape(1, c)
+
+    kernel = functools.partial(
+        _transition_kernel,
+        h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid, precision=precision,
+    )
+    res = lambda i, j: (0, 0)  # resident weight blocks
+    stream = lambda i, j: (0, j)  # output-channel streamed blocks
+    flops = 2 * n * (
+        h * w * cin * cmid
+        + ho * wo * (9 * cmid * cmid + cmid * cout + cin * cout)
+    )
+    weight_bytes = 4 * (cin * cmid + 9 * cmid * cmid + (cmid + cin) * cout)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_j),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cmid), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cmid, cmid), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid, tile_co), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, tile_co), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ho, wo, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.float32),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((ho * wo, cmid), jnp.float32),
+                pltpu.VMEM((ho * wo, cin), jnp.float32),
+                pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
+            ]
+            + [pltpu.VMEM((ph, pw, cgm), jnp.float32) for _ in range(n_mid)]
+            + [pltpu.VMEM((h, w, cgi), jnp.float32) for _ in range(cin // cgi)]
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * n * (h * w * cin + ho * wo * cout) + weight_bytes,
+            transcendentals=0,
+        ),
+        # Resident weights + streamed blocks + staging can exceed the
+        # compiler's conservative default scoped cap at the conv4_x->conv5_x
+        # geometry (~19 MB); same override rationale as kernels/stage.py.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32),
+        jnp.asarray(params["w_reduce"], jnp.float32),
+        row(params["s_reduce"], cmid),
+        row(params["b_reduce"], cmid),
+        jnp.asarray(params["w9_mid"], jnp.float32),
+        row(params["s_mid"], cmid),
+        row(params["b_mid"], cmid),
+        jnp.asarray(params["w_expand"], jnp.float32),
+        row(params["s_expand"], cout),
+        row(params["b_expand"], cout),
+        jnp.asarray(params["w_proj"], jnp.float32),
+        row(params["s_proj"], cout),
+        row(params["b_proj"], cout),
+    )
+    return out[0] if squeeze else out

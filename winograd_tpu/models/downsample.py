@@ -55,10 +55,22 @@ def conv3x3_s2_bn_relu_pallas(x, w9, scale, bias, relu: bool = True) -> jax.Arra
     return conv1x1_bn_pallas(cols, w9, scale, bias, relu=relu)
 
 
-def downsample_bottleneck_block_pallas(x: jax.Array, params: Dict) -> jax.Array:
+def downsample_bottleneck_block_pallas(
+    x: jax.Array, params: Dict, algo: str = "fused"
+) -> jax.Array:
     """ResNet v1.5 transition block: 1x1 reduce -> stride-2 3x3 -> 1x1
     expand, stride-2 1x1 projection shortcut. Extra params vs the identity
-    block: w_proj (Cin, Cout_io), s_proj, b_proj; w9_mid in direct layout."""
+    block: w_proj (Cin, Cout_io), s_proj, b_proj; w9_mid in direct layout.
+
+    algo "fused" (default) runs the whole block as ONE Pallas megakernel
+    (kernels/transition.py); "composed" chains the per-layer fused kernels
+    with XLA strided staging (the round-1 path, kept as a second
+    implementation / oracle)."""
+    if algo == "fused":
+        from winograd_tpu.kernels.transition import transition_block_fused_pallas
+
+        return transition_block_fused_pallas(x, params)
+    assert algo == "composed", algo
     h = conv1x1_bn_pallas(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
     h = conv3x3_s2_bn_relu_pallas(h, params["w9_mid"], params["s_mid"], params["b_mid"], relu=True)
     h = conv1x1_bn_pallas(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
