@@ -48,6 +48,52 @@ def test_forward_values_match_pallas():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=1e-3)
 
 
+def test_block_megakernel_grads_match_xla_autodiff():
+    """bottleneck_block_train (fused megakernel forward) grads == jax.grad
+    of the XLA block, for every param and the input."""
+    from winograd_tpu.models.resnet import bottleneck_block_train, init_bottleneck_params
+
+    params = init_bottleneck_params(0, c_io=64, c_mid=32)
+    params.pop("u_mid")
+    params.pop("w9_mid")
+    x = _rand(4, 14, 14, 64)
+
+    def loss_fused(x_, p_):
+        return jnp.sum(bottleneck_block_train(x_, p_) ** 2)
+
+    def loss_xla(x_, p_):
+        return jnp.sum(jnp_ops.bottleneck_block(x_, p_) ** 2)
+
+    gx, gp = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    wx, wp = jax.grad(loss_xla, argnums=(0, 1))(x, params)
+    # The backward is IDENTICAL math (XLA autodiff); residual differences
+    # come only from the fused-vs-XLA forward feeding the loss cotangent
+    # (~1e-5 relative), same tolerance tier as the per-layer VJP tests.
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), rtol=2e-4, atol=5e-3)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(wp[k]), rtol=2e-4, atol=5e-3, err_msg=k
+        )
+
+
+def test_block_megakernel_forward_is_the_serving_kernel():
+    """The trained forward equals the served (megakernel) forward bit-for-
+    bit-ish: both run kernels/block.py."""
+    from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.models.resnet import bottleneck_block_train, init_bottleneck_params
+
+    params = init_bottleneck_params(1, c_io=64, c_mid=32)
+    params.pop("u_mid")
+    params.pop("w9_mid")
+    x = _rand(5, 14, 14, 64)
+    got = bottleneck_block_train(x, params)
+    kp = dict(params)
+    kp["w9_mid"] = direct_filter(params["w_mid"])
+    want = bottleneck_block_fused_pallas(x, kp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_filter_transform_jnp_matches_numpy():
     from winograd_tpu.kernels import transforms
 

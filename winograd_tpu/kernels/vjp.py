@@ -139,3 +139,46 @@ def _wg_bwd(relu, m, res, g):
 
 
 conv3x3_bn_winograd_train.defvjp(_wg_fwd, _wg_bwd)
+
+
+# --- whole-block megakernel ---------------------------------------------------
+
+
+@jax.custom_vjp
+def bottleneck_block_train_fused(x, params):
+    """Differentiable bottleneck block whose FORWARD is the single fused
+    Pallas megakernel (kernels/block.py) — the trained forward IS the
+    served forward. params carries the RAW w_mid (Cout, Cin, 3, 3); the
+    direct im2col filter layout is a fixed permutation applied inside the
+    trace (like the Winograd transform in conv3x3_bn_winograd_train).
+
+    BACKWARD runs XLA autodiff of the identical math (ops/jnp_ops.py
+    bottleneck_block), rematerializing the intermediates — one extra XLA
+    forward instead of storing per-layer activations, the right trade on
+    HBM-bound TPUs. Gradients therefore match the XLA-baseline autodiff
+    exactly (tests/test_vjp.py asserts to 1e-4)."""
+    return _block_fused_forward(x, params)
+
+
+def _block_fused_forward(x, params):
+    from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
+    from winograd_tpu.kernels.direct import direct_filter
+
+    kp = dict(params)
+    kp["w9_mid"] = direct_filter(params["w_mid"])
+    return bottleneck_block_fused_pallas(x, kp)
+
+
+def _block_fwd(x, params):
+    return _block_fused_forward(x, params), (x, params)
+
+
+def _block_bwd(res, g):
+    from winograd_tpu.ops import jnp_ops
+
+    x, params = res
+    _, vjp_fn = jax.vjp(jnp_ops.bottleneck_block, x, params)
+    return vjp_fn(g)
+
+
+bottleneck_block_train_fused.defvjp(_block_fwd, _block_bwd)

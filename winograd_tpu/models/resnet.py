@@ -108,12 +108,21 @@ def bottleneck_block_baseline(x: jax.Array, params: BottleneckParams) -> jax.Arr
     return jnp_ops.bottleneck_block(x, params)
 
 
-def bottleneck_block_train(x: jax.Array, params: BottleneckParams) -> jax.Array:
+def bottleneck_block_train(
+    x: jax.Array, params: BottleneckParams, algo3x3: str = "fused"
+) -> jax.Array:
     """Differentiable bottleneck with fused Pallas FORWARD kernels (custom
     VJPs, kernels/vjp.py) — same signature/params as the baseline (raw
-    w_mid; the Winograd filter transform runs inside the trace)."""
+    w_mid; the offline filter layouts are derived inside the trace).
+
+    algo3x3 "fused" (default) runs the forward as the SAME single
+    megakernel serving uses (kernels/block.py) so trained forward ==
+    served forward; "winograd" chains the three per-layer fused kernels."""
     from winograd_tpu.kernels import vjp
 
+    if algo3x3 == "fused":
+        return vjp.bottleneck_block_train_fused(x, params)
+    assert algo3x3 == "winograd", algo3x3
     h = vjp.conv1x1_bn_train(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], True)
     h = vjp.conv3x3_bn_winograd_train(h, params["w_mid"], params["s_mid"], params["b_mid"], True, 4)
     h = vjp.conv1x1_bn_train(h, params["w_expand"], params["s_expand"], params["b_expand"], False)
