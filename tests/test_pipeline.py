@@ -30,6 +30,29 @@ def test_pipeline_matches_sequential(n_stages, microbatch):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_pipeline_runs_fused_pallas_blocks():
+    """The pipeline carries the fused megakernel (not just the XLA block):
+    2 stages x 2 blocks, matches the sequential megakernel chain."""
+    from winograd_tpu.models.resnet import bottleneck_block_pallas, init_bottleneck_params
+
+    params_list = [init_bottleneck_params(i, c_io=64, c_mid=32) for i in range(4)]
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 14, 14, 64), jnp.float32) * 0.1
+
+    def sequential(x_):
+        for p in params_list:
+            x_ = bottleneck_block_pallas(x_, p)
+        return x_
+
+    want = np.asarray(sequential(x))
+    mesh = make_pipe_mesh(2)
+    got = np.asarray(
+        pipelined_stage_inference(
+            mesh, params_list, x, microbatch=2, block_fn=bottleneck_block_pallas
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_pipeline_rejects_indivisible():
     cfg = CASES[8]
     case = make_block_case(cfg, seed=11)

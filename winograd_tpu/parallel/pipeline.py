@@ -25,11 +25,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from winograd_tpu.ops import jnp_ops
 
-_BLOCK_KEYS = (
-    "w_reduce", "s_reduce", "b_reduce", "w_mid", "s_mid", "b_mid",
-    "w_expand", "s_expand", "b_expand",
-)
-
 
 def make_pipe_mesh(n_stages: int) -> Mesh:
     devices = jax.devices()
@@ -38,12 +33,18 @@ def make_pipe_mesh(n_stages: int) -> Mesh:
 
 
 def _stack_stage_params(params_list: List[dict], n_stages: int) -> dict:
-    """(P stages, blocks_per_stage, ...) stacked params, pipe-shardable."""
+    """(P stages, blocks_per_stage, ...) stacked params, pipe-shardable.
+
+    Keys are taken from the blocks themselves (all blocks must agree), so
+    fused-kernel param sets (w9_mid/u_mid offline artifacts) pipeline the
+    same way as the raw XLA-block set."""
     n_blocks = len(params_list)
     assert n_blocks % n_stages == 0, (n_blocks, n_stages)
+    keys = sorted(params_list[0])
+    assert all(sorted(p) == keys for p in params_list), "blocks disagree on param keys"
     bps = n_blocks // n_stages
     out = {}
-    for key in _BLOCK_KEYS:
+    for key in keys:
         per_stage = [
             jnp.stack([jnp.asarray(params_list[s * bps + i][key]) for i in range(bps)])
             for s in range(n_stages)
@@ -62,8 +63,9 @@ def pipelined_stage_inference(
     """Run a stack of bottleneck blocks as a P-stage pipeline.
 
     x: (N, H, W, C) with N % microbatch == 0; params_list: one dict per
-    block (raw w_mid layout — block_fn defaults to the XLA block; pass a
-    fused-kernel block for the Pallas path on hardware).
+    block. block_fn defaults to the XLA block; pass e.g.
+    models.resnet.bottleneck_block_pallas (with w9_mid in the params) to
+    pipeline the fused megakernel.
     """
     n_stages = mesh.shape["pipe"]
     block_fn = block_fn or jnp_ops.bottleneck_block
@@ -72,11 +74,12 @@ def pipelined_stage_inference(
     m = n // microbatch
     xm = x.reshape(m, microbatch, h, w, c)
     stacked = _stack_stage_params(params_list, n_stages)
+    keys = sorted(params_list[0])
     bps = len(params_list) // n_stages
 
     def run_stage(buf, my_params):
         for i in range(bps):
-            p = {k: my_params[k][0, i] for k in _BLOCK_KEYS}
+            p = {k: my_params[k][0, i] for k in keys}
             buf = block_fn(buf, p)
         return buf
 
@@ -89,7 +92,14 @@ def pipelined_stage_inference(
             # Stage 0 injects microbatch t (clamped; bubble steps masked later).
             x_in = xm_l[jnp.minimum(t, m - 1)]
             cur = jnp.where(stage == 0, x_in, buf)
-            y = run_stage(cur, my_params)
+            # GPipe bubble: stage s only holds real data for microbatch
+            # t - s in [0, m) — skip the compute entirely on bubble steps
+            # (a runtime branch, not a select: the stale-buffer FLOPs the
+            # round-1 schedule burned are gone).
+            active = jnp.logical_and(t >= stage, t - stage < m)
+            y = jax.lax.cond(
+                active, lambda b: run_stage(b, my_params), lambda b: b, cur
+            )
             # Last stage's result at step t is microbatch t - (P - 1).
             out_idx = t - (n_stages - 1)
             valid = jnp.logical_and(stage == n_stages - 1, out_idx >= 0)
@@ -114,7 +124,7 @@ def pipelined_stage_inference(
             jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), "pipe"
         )
 
-    p_specs = {k: P("pipe") for k in _BLOCK_KEYS}
+    p_specs = {k: P("pipe") for k in keys}
     fn = shard_map(
         local_fn,
         mesh=mesh,
