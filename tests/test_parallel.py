@@ -95,6 +95,37 @@ def test_tp_pointwise_expand_matches(mesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_tp_conv3x3_direct_matches(mesh):
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.parallel import conv3x3_bn_tp_direct
+
+    cin, cout = 64, 32
+    k = jax.random.split(jax.random.PRNGKey(2), 4)
+    x = jax.random.normal(k[0], (4, 14, 14, cin), jnp.float32)
+    w = jax.random.normal(k[1], (cout, cin, 3, 3), jnp.float32) * 0.1
+    s = jax.random.normal(k[2], (cout,), jnp.float32)
+    b = jax.random.normal(k[3], (cout,), jnp.float32)
+    want = jnp_ops.conv3x3_bn_relu(x, w, s, b, relu=True)
+    w9r = jnp.asarray(direct_filter(np.asarray(w))).reshape(9, cin, cout)
+    got = conv3x3_bn_tp_direct(mesh, x, w9r, s, b, relu=True)
+    # Unit-normal (not unit-scale) data: allow the relative-error tier of
+    # the bf16x3 local GEMMs on O(10) outputs.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_tp_bottleneck_block_matches(mesh):
+    """Megatron-style block TP (one psum per block) over the fused Pallas
+    kernels matches the XLA block."""
+    from winograd_tpu.parallel import bottleneck_block_tp
+
+    c_io, c_mid = 64, 32
+    params = init_bottleneck_params(3, c_io=c_io, c_mid=c_mid)
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 14, 14, c_io), jnp.float32)
+    want = jnp_ops.bottleneck_block(x, params)
+    got = bottleneck_block_tp(mesh, x, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_block_shardings_cover_all_params(mesh):
     _, p_sh = block_shardings(mesh)
     params = init_bottleneck_params(0, c_io=32, c_mid=16)

@@ -36,6 +36,35 @@ def test_int8_block_megakernel():
     assert corr > 0.995
 
 
+def test_int8_stage_streaming_kernel():
+    """Int8 weight-streaming stage kernel (conv5_x-class serving tier):
+    matches the f64 golden chain at the 8-bit tier, for a multi-block
+    stage AND a single streamed block."""
+    from winograd_tpu.config import BlockConfig
+    from winograd_tpu.datagen.generate import block_params_list, make_block_case
+    from winograd_tpu.kernels.quantized import (
+        quantize_stage_params,
+        resnet_stage_int8_pallas,
+    )
+
+    cfg = BlockConfig("t", c_io=128, c_mid=32, hw=7, blocks=2)
+    case = make_block_case(cfg, seed=9)
+    params_list = block_params_list(cfg, case)
+    qstacked = quantize_stage_params(params_list)
+    out = np.asarray(resnet_stage_int8_pallas(case["x"], qstacked))
+    gold = case["golden"]
+    rel = np.abs(out - gold).max() / max(np.abs(gold).max(), 1.0)
+    assert rel < 5e-2, f"int8 stage relative error {rel}"
+    assert np.corrcoef(out.ravel(), gold.ravel())[0, 1] > 0.995
+
+    cfg1 = BlockConfig("t1", c_io=128, c_mid=32, hw=7, blocks=1)
+    case1 = make_block_case(cfg1, seed=10)
+    q1 = quantize_stage_params(block_params_list(cfg1, case1))
+    out1 = np.asarray(resnet_stage_int8_pallas(case1["x"], q1))
+    rel1 = np.abs(out1 - case1["golden"]).max() / max(np.abs(case1["golden"]).max(), 1.0)
+    assert rel1 < 5e-2, f"single-block int8 stream relative error {rel1}"
+
+
 @pytest.mark.parametrize("relu", [True, False])
 def test_int8_conv_matches_f32_at_8bit_tier(relu):
     rng = np.random.default_rng(1)

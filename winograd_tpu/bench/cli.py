@@ -26,6 +26,9 @@ from winograd_tpu.config import (
     CASES,
     BlockConfig,
     PARITY_ATOL,
+    TransitionConfig,
+    V5E_PEAK_FLOPS,
+    case_flops,
 )
 from winograd_tpu.datagen.generate import make_case
 from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
@@ -73,7 +76,24 @@ def run_case(
 
     core_direct = None
     core_wino4 = None
-    if isinstance(cfg, BlockConfig):
+    core_int8 = None
+    if isinstance(cfg, TransitionConfig):
+        from winograd_tpu.datagen.generate import transition_params
+        from winograd_tpu.models.downsample import downsample_bottleneck_block_pallas
+        from winograd_tpu.ops import jnp_ops
+
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        params = {
+            k: jax.device_put(jnp.asarray(v), dev)
+            for k, v in transition_params(case).items()
+        }
+        fused = jax.jit(lambda x_: downsample_bottleneck_block_pallas(x_, params))
+        xla_fn = jax.jit(lambda x_: jnp_ops.downsample_bottleneck_block(x_, params))
+        pallas_fn = lambda: fused(x)
+        baseline_fn = lambda: xla_fn(x)
+        core_pallas = fused
+        core_xla = xla_fn
+    elif isinstance(cfg, BlockConfig):
         from winograd_tpu.datagen.generate import block_params_list
         from winograd_tpu.ops import jnp_ops
 
@@ -94,6 +114,15 @@ def run_case(
         baseline_fn = lambda: stage_xla(x)
         core_pallas = stage_pallas
         core_xla = stage_xla
+        # Int8 serving tier (quantization-appropriate bound, not the f32
+        # parity bar): the weight-streaming stage kernel.
+        from winograd_tpu.kernels.quantized import (
+            quantize_stage_params,
+            resnet_stage_int8_pallas,
+        )
+
+        qstacked = jax.device_put(quantize_stage_params(params_list), dev)
+        core_int8 = jax.jit(lambda x_: resnet_stage_int8_pallas(x_, qstacked))
     elif cfg.kind == "winograd3x3":
         from winograd_tpu.kernels import transforms
         from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
@@ -142,6 +171,23 @@ def run_case(
     check_wino4 = None
     if core_wino4 is not None:
         check_wino4 = _check(f"{cfg.name}/winograd_f43", core_wino4(x), golden, strict)
+    int8_rel_error = None
+    int8_tier_ok = True
+    if core_int8 is not None:
+        out8 = np.asarray(core_int8(x))
+        int8_rel_error = float(
+            np.abs(out8 - golden).max() / max(np.abs(golden).max(), 1.0)
+        )
+        int8_tier_ok = bool(np.isfinite(int8_rel_error) and int8_rel_error < 5e-2)
+        print(
+            f"  [{cfg.name}/int8] rel_error={int8_rel_error:.3e} "
+            f"(8-bit tier bound 5e-2)",
+            file=sys.stderr,
+        )
+        if strict and not int8_tier_ok:
+            raise ParityError(
+                f"{cfg.name}/int8: tier breach: rel_error={int8_rel_error}"
+            )
 
     if profile_dir is not None:
         # Aux tracing subsystem: the reference has only a wall clock
@@ -162,13 +208,30 @@ def run_case(
     if core_wino4 is not None:
         wino4_device_us = bench_scan(core_wino4, x, scan_len=scan_len)
         print(f"  {cfg.name}/winograd_f43: device {wino4_device_us:.1f} us", file=sys.stderr)
+    int8_device_us = None
+    if core_int8 is not None:
+        int8_device_us = bench_scan(core_int8, x, scan_len=scan_len)
+        print(f"  {cfg.name}/int8: device {int8_device_us:.1f} us", file=sys.stderr)
     print(f"  {r_pallas}", file=sys.stderr)
     print(f"  {r_baseline}", file=sys.stderr)
+
+    flops = case_flops(cfg)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def _mfu(device_us):
+        """Model FLOPs utilization vs the v5e bf16 MXU peak (nominal conv
+        FLOPs / device time) — only meaningful on hardware."""
+        if device_us is None or not on_tpu or not device_us > 0:
+            return None
+        return round(flops / (device_us * 1e-6) / V5E_PEAK_FLOPS, 4)
 
     return {
         "mode": mode,
         "name": cfg.name,
         "backend": jax.default_backend(),
+        "flops": flops,
+        "mfu_pallas": _mfu(r_pallas.device_us),
+        "mfu_xla": _mfu(r_baseline.device_us),
         "pallas_mean_us": r_pallas.mean_us,
         "pallas_min_us": r_pallas.min_us,
         "pallas_chained_us": r_pallas.chained_us,
@@ -179,6 +242,8 @@ def run_case(
         "xla_device_us": r_baseline.device_us,
         "direct_device_us": direct_device_us,
         "winograd_f43_device_us": wino4_device_us,
+        "int8_device_us": int8_device_us,
+        "int8_rel_error": int8_rel_error,
         "iterations": r_pallas.iterations,
         "max_error_pallas": check_pallas.max_error,
         "max_error_xla": check_baseline.max_error,
@@ -189,6 +254,7 @@ def run_case(
             and check_baseline.ok()
             and (check_direct is None or check_direct.ok())
             and (check_wino4 is None or check_wino4.ok())
+            and int8_tier_ok
         ),
     }
 

@@ -70,6 +70,20 @@ class BlockConfig:
     blocks: int = 1
 
 
+@dataclasses.dataclass(frozen=True)
+class TransitionConfig:
+    """Stride-2 downsample (stage-transition) bottleneck block: 1x1 reduce
+    -> stride-2 3x3 -> 1x1 expand, with a stride-2 1x1 projection shortcut
+    (ResNet v1.5). hw is the INPUT side; output is ceil(hw/2)."""
+
+    name: str
+    c_in: int
+    c_mid: int
+    c_out: int
+    hw: int
+    batch: int = 1
+
+
 CASES: Dict[int, object] = {
     0: LayerConfig("winograd3x3_128", "winograd3x3", 128, 128, relu=True),
     1: LayerConfig("winograd3x3_256", "winograd3x3", 256, 256, relu=True),
@@ -84,7 +98,37 @@ CASES: Dict[int, object] = {
     # 14x14 conv4_x shapes): conv3_x at 28x28 and conv5_x at 7x7.
     9: BlockConfig("resnet50_conv3x_block", c_io=512, c_mid=128, hw=28),
     10: BlockConfig("resnet50_conv5x_block", c_io=2048, c_mid=512, hw=7),
+    # Stride-2 stage transitions (fused megakernel, kernels/transition.py).
+    11: TransitionConfig("transition_conv3_to_4", 512, 256, 1024, hw=28),
+    12: TransitionConfig("transition_conv4_to_5", 1024, 512, 2048, hw=14),
 }
+
+
+def case_flops(cfg) -> int:
+    """Nominal conv FLOPs of a case (the conventional 2*MACs count of the
+    mathematical convolution — algorithm-independent, so Winograd's FLOP
+    reduction shows up as >1 apparent efficiency, like the reference's
+    report compares against the direct-conv cost)."""
+    if isinstance(cfg, TransitionConfig):
+        ho = -(-cfg.hw // 2)
+        return 2 * cfg.batch * (
+            cfg.hw * cfg.hw * cfg.c_in * cfg.c_mid
+            + ho * ho * (9 * cfg.c_mid * cfg.c_mid
+                         + cfg.c_mid * cfg.c_out + cfg.c_in * cfg.c_out)
+        )
+    if isinstance(cfg, BlockConfig):
+        return (
+            2 * cfg.batch * cfg.blocks * cfg.hw * cfg.hw
+            * (cfg.c_io * cfg.c_mid + 9 * cfg.c_mid * cfg.c_mid
+               + cfg.c_mid * cfg.c_io)
+        )
+    k = 9 if cfg.kind == "winograd3x3" else 1
+    return 2 * cfg.hw * cfg.hw * k * cfg.cin * cfg.cout
+
+
+# TPU v5e single-chip peak (bf16 MXU): the MFU denominator the bench
+# reports against. f32 "highest" runs at a fraction of this (multi-pass).
+V5E_PEAK_FLOPS = 197e12
 
 
 def case_config(mode: int):

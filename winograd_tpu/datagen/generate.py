@@ -28,7 +28,13 @@ from typing import Dict
 
 import numpy as np
 
-from winograd_tpu.config import BN_EPS, CASES, BlockConfig, LayerConfig
+from winograd_tpu.config import (
+    BN_EPS,
+    CASES,
+    BlockConfig,
+    LayerConfig,
+    TransitionConfig,
+)
 from winograd_tpu.kernels import transforms
 from winograd_tpu.ops import reference
 from winograd_tpu.utils.io import save_parameter
@@ -116,6 +122,54 @@ def make_block_case(cfg: BlockConfig, seed: int = 0) -> Dict[str, np.ndarray]:
     return case
 
 
+def make_transition_case(cfg: TransitionConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Stride-2 transition block: all four convs' params (w9_mid in the
+    direct im2col layout for the fused kernel) + composed float64 golden."""
+    from winograd_tpu.kernels.direct import direct_filter
+
+    rng = np.random.default_rng(seed)
+    shape = (
+        (cfg.hw, cfg.hw, cfg.c_in)
+        if cfg.batch == 1
+        else (cfg.batch, cfg.hw, cfg.hw, cfg.c_in)
+    )
+    x = _rand(rng, *shape)
+    w_mid = _rand(rng, cfg.c_mid, cfg.c_mid, 3, 3)
+    bn1 = _bn_params(rng, cfg.c_mid)
+    bn2 = _bn_params(rng, cfg.c_mid)
+    bn3 = _bn_params(rng, cfg.c_out)
+    bnp = _bn_params(rng, cfg.c_out)
+    case = dict(
+        x=x,
+        w_reduce=_rand(rng, cfg.c_in, cfg.c_mid),
+        s_reduce=bn1["scale"], b_reduce=bn1["bias"],
+        w_mid=w_mid, w9_mid=np.asarray(direct_filter(w_mid)),
+        s_mid=bn2["scale"], b_mid=bn2["bias"],
+        w_expand=_rand(rng, cfg.c_mid, cfg.c_out),
+        s_expand=bn3["scale"], b_expand=bn3["bias"],
+        w_proj=_rand(rng, cfg.c_in, cfg.c_out),
+        s_proj=bnp["scale"], b_proj=bnp["bias"],
+    )
+    case["golden"] = reference.downsample_bottleneck_block(
+        x,
+        case["w_reduce"], case["s_reduce"], case["b_reduce"],
+        w_mid, case["s_mid"], case["b_mid"],
+        case["w_expand"], case["s_expand"], case["b_expand"],
+        case["w_proj"], case["s_proj"], case["b_proj"],
+    )
+    return case
+
+
+_TRANSITION_KEYS = (
+    "w_reduce", "s_reduce", "b_reduce", "w_mid", "w9_mid", "s_mid", "b_mid",
+    "w_expand", "s_expand", "b_expand", "w_proj", "s_proj", "b_proj",
+)
+
+
+def transition_params(case: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {k: case[k] for k in _TRANSITION_KEYS}
+
+
 _BLOCK_KEYS = (
     "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "w9_mid",
     "s_mid", "b_mid", "w_expand", "s_expand", "b_expand",
@@ -133,6 +187,8 @@ def block_params_list(cfg: BlockConfig, case: Dict[str, np.ndarray]):
 
 def make_case(mode: int, seed: int = 0) -> Dict[str, np.ndarray]:
     cfg = CASES[mode]
+    if isinstance(cfg, TransitionConfig):
+        return make_transition_case(cfg, seed)
     if isinstance(cfg, BlockConfig):
         return make_block_case(cfg, seed)
     if cfg.kind == "winograd3x3":
@@ -174,7 +230,7 @@ def generate_all(outdir: str = "data", seed: int = 0) -> None:
     os.makedirs(outdir, exist_ok=True)
     for mode, cfg in CASES.items():
         case = make_case(mode, seed=seed + mode)
-        if isinstance(cfg, BlockConfig):
+        if isinstance(cfg, (BlockConfig, TransitionConfig)):
             np.savez(os.path.join(outdir, f"{cfg.name}.npz"), **case)
         elif cfg.kind == "winograd3x3":
             _write_winograd_files(outdir, cfg, case)
@@ -189,7 +245,7 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     from winograd_tpu.utils.io import get_parameters
 
     cfg = CASES[mode]
-    if isinstance(cfg, BlockConfig):
+    if isinstance(cfg, (BlockConfig, TransitionConfig)):
         with np.load(os.path.join(data_dir, f"{cfg.name}.npz")) as z:
             return {k: z[k] for k in z.files}
     d = data_dir

@@ -6,14 +6,19 @@ throughput-bound deployments. Scheme (standard, simple, symmetric):
 
 * Weights: OFFLINE symmetric per-output-channel quantization
   (quantize_weights): w_q = round(w / s_w[col]), s_w = max|w[:, col]| / 127.
-* Activations: dynamic symmetric per-tensor quantization IN-KERNEL:
-  s_x = max|x| / 127 computed on the VPU, stochastic-free round-to-nearest.
-* GEMM: int8 x int8 -> int32 on the MXU, dequantized by s_x * s_w[col],
-  then the usual folded-BN FMA (+ReLU) epilogue in f32.
+* Activations: dynamic symmetric quantization IN-KERNEL, per ROW by
+  default (each pixel gets its own scale — one VPU lane-reduction, a
+  measurably tighter bound than per-tensor at no MXU cost; per_row=False
+  gives the round-1 per-tensor behavior).
+* GEMM: int8 x int8 -> int32 on the MXU, dequantized by s_x[row] *
+  s_w[col], then the usual folded-BN FMA (+ReLU) epilogue in f32.
 
 Accuracy tier: ~1e-2 relative (8-bit), NOT the f32 1e-4 parity bar — the
 tests check a quantization-appropriate bound instead. Use for serving where
-throughput matters more than the last two digits.
+throughput matters more than the last two digits. Beyond the block
+megakernel this module also provides the int8 weight-streaming STAGE
+kernel (resnet_stage_int8_pallas): conv5_x-class blocks are HBM-bound on
+f32 weights (17.8 MB/block); int8 storage cuts the streamed bytes 4x.
 """
 
 from __future__ import annotations
@@ -37,9 +42,16 @@ def quantize_weights(w) -> tuple:
     return w_q, s_w
 
 
-def _qdot(x, wq_ref, sw_row):
-    """Dynamic per-tensor activation quant + int8 MXU GEMM + dequant."""
-    s_x = jnp.max(jnp.abs(x)) / 127.0
+def _qdot(x, wq_ref, sw_row, per_row: bool = True):
+    """Dynamic activation quant + int8 MXU GEMM + dequant.
+
+    per_row=True gives every row (pixel) its own symmetric scale — one
+    lane-reduction on the VPU — which keeps quantization error from being
+    set by the single largest activation in the tensor."""
+    if per_row:
+        s_x = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0  # (P, 1)
+    else:
+        s_x = jnp.max(jnp.abs(x)) / 127.0
     s_x = jnp.where(s_x == 0, 1.0, s_x)
     x_q = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -227,4 +239,133 @@ def bottleneck_block_int8_pallas(
         ),
         interpret=interpret,
     )(*args)
+    return out[0] if squeeze else out
+
+
+# --- int8 weight-streaming stage kernel --------------------------------------
+
+
+def quantize_stage_params(params_list) -> dict:
+    """Offline int8 quantization of a whole stage, stacked on a leading
+    block axis (the int8 twin of kernels/stage.py:stack_stage_params)."""
+    qs = [quantize_block_params(p) for p in params_list]
+    out = {}
+    for key in qs[0]:
+        arrs = [np.asarray(q[key]) for q in qs]
+        if arrs[0].ndim == 1:
+            arrs = [a.reshape(1, -1) for a in arrs]
+        out[key] = jnp.asarray(np.stack(arrs))
+    return out
+
+
+def _stage_int8_kernel(
+    x_ref,     # (1, H, W, Cio) f32
+    wr_ref, wr_s_ref, s1_ref, b1_ref,   # block b's int8 weights + scales
+    w9_ref, w9_s_ref, s2_ref, b2_ref,
+    we_ref, we_s_ref, s3_ref, b3_ref,
+    out_ref,   # (1, H, W, Cio)
+    act_ref,   # scratch (H*W, Cio) persists across blocks
+    xpad_ref,  # scratch (H+2, W+2, Cmid)
+    col_ref,   # scratch (H*W, 9*Cmid)
+    *,
+    h: int,
+    w: int,
+    cio: int,
+    cmid: int,
+    n_blocks: int,
+):
+    hw = h * w
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _load_input():
+        act_ref[:] = x_ref[0].reshape(hw, cio)
+
+    x2 = act_ref[:]
+    h1 = jnp.maximum(_qdot(x2, wr_ref[0], wr_s_ref[0]) * s1_ref[0] + b1_ref[0], 0.0)
+
+    xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+    xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cmid)
+    for r in range(3):
+        for s in range(3):
+            patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
+            col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+    h2 = jnp.maximum(_qdot(col_ref[:], w9_ref[0], w9_s_ref[0]) * s2_ref[0] + b2_ref[0], 0.0)
+
+    h3 = _qdot(h2, we_ref[0], we_s_ref[0]) * s3_ref[0] + b3_ref[0]
+    y = jnp.maximum(h3 + x2, 0.0)
+    act_ref[:] = y
+
+    @pl.when(b == n_blocks - 1)
+    def _store_output():
+        out_ref[0] = y.reshape(h, w, cio)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def resnet_stage_int8_pallas(
+    x: jax.Array,
+    qstacked: dict,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """A whole stage of int8 bottleneck blocks in ONE Pallas kernel with
+    weight streaming (kernels/stage.py structure): the activation persists
+    in VMEM scratch across blocks while each block's INT8 weights stream
+    from HBM at a quarter of the f32 bytes — the serving tier for
+    HBM-bound geometries like ResNet-50 conv5_x (17.8 MB/block in f32).
+
+    x: (H, W, Cio) or (N, H, W, Cio); qstacked from quantize_stage_params
+    (works for n_blocks == 1 too: a single streamed int8 block)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, cio = x.shape
+    n_blocks, _, cmid = qstacked["w_reduce_q"].shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(
+        _stage_int8_kernel, h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks
+    )
+    img = lambda i, b: (i, 0, 0, 0)
+    blk = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    flops = 2 * n * n_blocks * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
+    wbytes = n_blocks * (2 * cio * cmid + 9 * cmid * cmid)  # int8: 1 B each
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
+            blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
+            blk((9 * cmid, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
+            blk((cmid, cio)), blk((1, cio)), blk((1, cio)), blk((1, cio)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cio), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((h * w, cio), jnp.float32),
+            pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
+            pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * 2 * n * h * w * cio + wbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32),
+        qstacked["w_reduce_q"], qstacked["w_reduce_s"],
+        qstacked["s_reduce"], qstacked["b_reduce"],
+        qstacked["w9_mid_q"], qstacked["w9_mid_s"],
+        qstacked["s_mid"], qstacked["b_mid"],
+        qstacked["w_expand_q"], qstacked["w_expand_s"],
+        qstacked["s_expand"], qstacked["b_expand"],
+    )
     return out[0] if squeeze else out

@@ -4,6 +4,8 @@ from winograd_tpu.parallel.mesh import make_mesh, block_shardings
 from winograd_tpu.parallel.tensor_parallel import (
     conv1x1_bn_tp_reduce,
     conv1x1_bn_tp_expand,
+    conv3x3_bn_tp_direct,
+    bottleneck_block_tp,
 )
 from winograd_tpu.parallel.data_parallel import (
     sharded_block_inference,
@@ -22,6 +24,8 @@ __all__ = [
     "init_train_state",
     "conv1x1_bn_tp_reduce",
     "conv1x1_bn_tp_expand",
+    "conv3x3_bn_tp_direct",
+    "bottleneck_block_tp",
     "make_pipe_mesh",
     "pipelined_stage_inference",
 ]

@@ -32,8 +32,10 @@ def sharded_block_inference(mesh, params, x):
 def sharded_block_inference_pallas(mesh, params, x, algo3x3: str = "auto"):
     """Data-parallel fused-kernel inference: shard_map over the "data" axis,
     each device running the single fused Pallas kernels on its batch shard
-    (params replicated — the serving layout for this model size; TP sharding
-    of the fused kernels themselves is a cross-chip-Pallas follow-up)."""
+    (params replicated — the serving layout for this model size; for
+    channel-sharded serving of the same block see
+    tensor_parallel.bottleneck_block_tp, which runs the fused kernels under
+    Megatron-style TP with one psum per block)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 

@@ -57,6 +57,107 @@ def conv1x1_bn_tp_reduce(mesh, x, w, scale, bias, relu: bool = True):
     return jax.jit(fn)(x, w, scale, bias)
 
 
+def conv3x3_bn_tp_direct(mesh, x, w9r, scale, bias, relu: bool = True):
+    """Tensor-parallel fused 3x3 conv (direct im2col GEMM): input channels
+    sharded over "model". x: (N, H, W, Cin) with Cin sharded; w9r: the
+    direct-layout filter RESHAPED to (9, Cin, Cout) so P(None, "model",
+    None) row-shards each tap's Cin block consistently with the sharded
+    im2col. Each device runs the fused Pallas kernel on its shard; ONE
+    psum reconstitutes the contraction; BN+ReLU run post-psum."""
+    cout = w9r.shape[2]
+    ones = jnp.ones((cout,), jnp.float32)
+    zeros = jnp.zeros((cout,), jnp.float32)
+
+    def local_fn(x_l, w9_l, scale_l, bias_l):
+        from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+
+        w9_flat = w9_l.reshape(-1, cout)  # (9 * Cin/p, Cout)
+        partial = conv3x3_bn_direct_pallas(x_l, w9_flat, ones, zeros, relu=False)
+        full = jax.lax.psum(partial, "model")
+        y = full * scale_l + bias_l
+        return jnp.maximum(y, 0.0) if relu else y
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None, "model"),
+            P(None, "model", None),
+            P(None),
+            P(None),
+        ),
+        out_specs=P("data", None, None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(x, w9r, scale, bias)
+
+
+def bottleneck_block_tp(mesh, x, params):
+    """Tensor-parallel bottleneck block over ("data", "model") with ONE
+    collective per block (the scaling-recipe composition):
+
+    * reduce 1x1: column-parallel (w_reduce output-sharded) — h1 lands
+      sharded over Cmid, no collective;
+    * 3x3: row-parallel on the sharded h1 (each device im2cols its Cmid
+      shard and contracts against its w9 row block) — one psum;
+    * expand 1x1: column-parallel — h3 lands sharded over Cio, no
+      collective; the skip add slices the replicated x to the local
+      channel shard and the output STAYS channel-sharded (out_specs
+      carries the sharding; jit reassembles lazily).
+
+    Every local GEMM is the fused Pallas kernel. params is the standard
+    block dict (w9_mid in direct layout); shapes must divide by the
+    "model" axis size."""
+    n_model = mesh.shape["model"]
+    cio, cmid = params["w_reduce"].shape
+    assert cmid % n_model == 0 and cio % n_model == 0, (cio, cmid, n_model)
+    cio_l = cio // n_model
+    w9r = jnp.asarray(params["w9_mid"]).reshape(9, cmid, cmid)
+    ones = jnp.ones((cmid,), jnp.float32)
+    zeros = jnp.zeros((cmid,), jnp.float32)
+
+    def local_fn(x_l, wr_l, s1_l, b1_l, w9_l, s2, b2, we_l, s3_l, b3_l):
+        from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+
+        # reduce (column-parallel): fused kernel, sharded BN+ReLU epilogue.
+        h1 = conv1x1_bn_pallas(x_l, wr_l, s1_l, b1_l, relu=True)
+        # 3x3 (row-parallel): fused kernel on the shard, psum, epilogue.
+        partial = conv3x3_bn_direct_pallas(
+            h1, w9_l.reshape(-1, cmid), ones, zeros, relu=False
+        )
+        h2 = jax.lax.psum(partial, "model")
+        h2 = jnp.maximum(h2 * s2 + b2, 0.0)
+        # expand (column-parallel, NO ReLU) + sharded skip + final ReLU.
+        h3 = conv1x1_bn_pallas(h2, we_l, s3_l, b3_l, relu=False)
+        idx = jax.lax.axis_index("model")
+        x_shard = jax.lax.dynamic_slice_in_dim(x_l, idx * cio_l, cio_l, axis=-1)
+        return jnp.maximum(h3 + x_shard, 0.0)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None, None),      # x replicated along model
+            P(None, "model"),                  # w_reduce column-sharded
+            P("model"), P("model"),            # s1, b1 sharded with h1
+            P(None, "model", None),            # w9 row-sharded (per tap)
+            P(None), P(None),                  # s2, b2 replicated
+            P(None, "model"),                  # w_expand column-sharded
+            P("model"), P("model"),            # s3, b3 sharded with h3
+        ),
+        out_specs=P("data", None, None, "model"),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        x,
+        jnp.asarray(params["w_reduce"]), jnp.asarray(params["s_reduce"]),
+        jnp.asarray(params["b_reduce"]),
+        w9r, jnp.asarray(params["s_mid"]), jnp.asarray(params["b_mid"]),
+        jnp.asarray(params["w_expand"]), jnp.asarray(params["s_expand"]),
+        jnp.asarray(params["b_expand"]),
+    )
+
+
 def conv1x1_bn_tp_expand(mesh, x, w, scale, bias, relu: bool = False):
     """Output-sharded fused 1x1 conv. x: (N, H, W, Cmid) replicated along
     "model" (batch-sharded over "data"); w: (Cmid, Cout) column-sharded.
