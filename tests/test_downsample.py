@@ -109,6 +109,21 @@ def test_jnp_downsample_matches_golden_and_is_differentiable():
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
 
 
+def test_backbone_case_matches_golden():
+    """Bench mode 13: the full 13-block ResNet-50 backbone case (28->14->7
+    with two fused transitions) matches its float64 golden chain."""
+    from winograd_tpu.config import CASES
+    from winograd_tpu.datagen.generate import backbone_stages, make_case
+
+    cfg = CASES[13]
+    case = make_case(13, seed=13)
+    stages = backbone_stages(cfg, case)
+    assert len(stages) == 3 and stages[0]["transition"] is None
+    out = np.asarray(resnet50_stages(jnp.asarray(case["x"]), stages))
+    assert out.shape == (7, 7, 2048)
+    assert np.abs(out - case["golden"]).max() <= PARITY_ATOL
+
+
 def test_multi_stage_backbone_composes():
     """28x28 stage -> transition -> 14x14 stage -> transition -> 7x7."""
     from winograd_tpu.models.resnet import init_bottleneck_params

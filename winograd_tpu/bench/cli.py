@@ -1,11 +1,14 @@
 """Benchmark CLI — the reference's Test.c harness, rebuilt for TPU.
 
 `python -m winograd_tpu.bench <mode>` runs one case (modes 0-5 match the
-reference CLI, /root/reference/Test.c:17-44; 6/7 add the composed block):
-100 iterations, 2 warmups, mean of the rest (Test.c:14,45-48), timing both
-the custom Pallas path and the XLA baseline (the "cuDNN role") — and, unlike
-the reference (whose checker never fails, util.c:46-63), exits NONZERO if
-either path breaches parity with the float64 numpy golden model.
+reference CLI, /root/reference/Test.c:17-44; 6-13 extend it: composed
+blocks/stages, stride-2 transitions, the 13-block backbone): 100
+iterations, 2 warmups, mean of the rest (Test.c:14,45-48), timing the
+custom Pallas paths (every in-house 3x3 algorithm, plus the int8 tier on
+block modes) and the XLA baseline (the "cuDNN role"), with MFU vs the v5e
+bf16 peak — and, unlike the reference (whose checker never fails,
+util.c:46-63), exits NONZERO if any path breaches its bar (f32: strict
+1e-4 max-abs vs the float64 numpy golden; int8: 5e-2 relative).
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from winograd_tpu.config import (
     BENCH_ITERATIONS,
     BENCH_WARMUP,
     CASES,
+    BackboneConfig,
     BlockConfig,
     PARITY_ATOL,
     TransitionConfig,
@@ -77,7 +81,40 @@ def run_case(
     core_direct = None
     core_wino4 = None
     core_int8 = None
-    if isinstance(cfg, TransitionConfig):
+    if isinstance(cfg, BackboneConfig):
+        from winograd_tpu.datagen.generate import backbone_stages
+        from winograd_tpu.models.downsample import resnet50_stages
+        from winograd_tpu.ops import jnp_ops
+
+        stages = [
+            {
+                "transition": None
+                if st["transition"] is None
+                else {k: jax.device_put(jnp.asarray(v), dev) for k, v in st["transition"].items()},
+                "blocks": [
+                    {k: jax.device_put(jnp.asarray(v), dev) for k, v in b.items()}
+                    for b in st["blocks"]
+                ],
+            }
+            for st in backbone_stages(cfg, case)
+        ]
+
+        def xla_backbone(x_):
+            for st in stages:
+                if st["transition"] is not None:
+                    x_ = jnp_ops.downsample_bottleneck_block(x_, st["transition"])
+                for b in st["blocks"]:
+                    x_ = jnp_ops.bottleneck_block(x_, b)
+            return x_
+
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        fused = jax.jit(lambda x_: resnet50_stages(x_, stages))
+        xla_fn = jax.jit(xla_backbone)
+        pallas_fn = lambda: fused(x)
+        baseline_fn = lambda: xla_fn(x)
+        core_pallas = fused
+        core_xla = xla_fn
+    elif isinstance(cfg, TransitionConfig):
         from winograd_tpu.datagen.generate import transition_params
         from winograd_tpu.models.downsample import downsample_bottleneck_block_pallas
         from winograd_tpu.ops import jnp_ops

@@ -18,6 +18,10 @@ README.md:15-18):
 Extensions beyond the reference:
     6: full residual bottleneck block 1024->256->256->1024 + skip (N=1)
     7: batched residual block (data-parallel ready)
+    8: ResNet-50 conv4_x stage (6 blocks, one weight-streaming kernel)
+    9/10: conv3_x / conv5_x block geometries (28x28 and 7x7)
+    11/12: stride-2 stage transitions (fused megakernel)
+    13: the 13-block conv3_x->conv4_x->conv5_x backbone
 """
 
 from __future__ import annotations
@@ -104,11 +108,44 @@ CASES: Dict[int, object] = {
 }
 
 
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """ResNet-50 conv3_x -> conv4_x -> conv5_x backbone: 13 bottleneck
+    blocks across three resolutions (28 -> 14 -> 7) with two stride-2
+    transitions — the deepest composed model family here. Stage tuples are
+    (c_io, c_mid, hw, identity_blocks); transitions connect them."""
+
+    name: str
+    stages = (
+        (512, 128, 28, 4),
+        (1024, 256, 14, 5),
+        (2048, 512, 7, 2),
+    )
+    batch: int = 1
+
+
+CASES[13] = BackboneConfig("resnet50_backbone_13")
+
+
 def case_flops(cfg) -> int:
     """Nominal conv FLOPs of a case (the conventional 2*MACs count of the
     mathematical convolution — algorithm-independent, so Winograd's FLOP
     reduction shows up as >1 apparent efficiency, like the reference's
     report compares against the direct-conv cost)."""
+    if isinstance(cfg, BackboneConfig):
+        total = 0
+        prev = None
+        for c_io, c_mid, hw, blocks in cfg.stages:
+            if prev is not None:
+                total += case_flops(
+                    TransitionConfig("t", prev, c_mid, c_io, hw=2 * hw, batch=cfg.batch)
+                )
+            total += case_flops(
+                BlockConfig("b", c_io=c_io, c_mid=c_mid, hw=hw,
+                            batch=cfg.batch, blocks=blocks)
+            )
+            prev = c_io
+        return total
     if isinstance(cfg, TransitionConfig):
         ho = -(-cfg.hw // 2)
         return 2 * cfg.batch * (

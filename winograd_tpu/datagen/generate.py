@@ -31,6 +31,7 @@ import numpy as np
 from winograd_tpu.config import (
     BN_EPS,
     CASES,
+    BackboneConfig,
     BlockConfig,
     LayerConfig,
     TransitionConfig,
@@ -185,8 +186,112 @@ def block_params_list(cfg: BlockConfig, case: Dict[str, np.ndarray]):
     return out
 
 
+def make_backbone_case(cfg: BackboneConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Full conv3_x -> conv4_x -> conv5_x backbone: per-stage identity
+    blocks + stride-2 transitions, float64 golden chained through the
+    reference ops. Keys are flat ("s{i}_" stage prefix, "t{i}_" transition
+    prefix) so the case round-trips through one .npz; backbone_stages()
+    rebuilds the nested structure models/downsample.py consumes."""
+    rng = np.random.default_rng(seed)
+    case: Dict[str, np.ndarray] = {}
+    first = cfg.stages[0]
+    shape = (
+        (first[2], first[2], first[0])
+        if cfg.batch == 1
+        else (cfg.batch, first[2], first[2], first[0])
+    )
+    x = _rand(rng, *shape)
+    case["x"] = x
+    h = x.astype(np.float64)
+    prev = None
+    for si, (c_io, c_mid, hw, blocks) in enumerate(cfg.stages):
+        if prev is not None:
+            tcfg = TransitionConfig("t", prev, c_mid, c_io, hw=2 * hw)
+            tcase = _transition_params_random(rng, tcfg, bn_scale=0.5)
+            h = reference.downsample_bottleneck_block(
+                h,
+                tcase["w_reduce"], tcase["s_reduce"], tcase["b_reduce"],
+                tcase["w_mid"], tcase["s_mid"], tcase["b_mid"],
+                tcase["w_expand"], tcase["s_expand"], tcase["b_expand"],
+                tcase["w_proj"], tcase["s_proj"], tcase["b_proj"],
+            )
+            case.update({f"t{si}_{k}": v for k, v in tcase.items()})
+        for bi in range(blocks):
+            b = _block_params_random(rng, c_io, c_mid, bn_scale=0.5)
+            h = reference.bottleneck_block(
+                h,
+                b["w_reduce"], b["s_reduce"], b["b_reduce"],
+                b["w_mid"], b["s_mid"], b["b_mid"],
+                b["w_expand"], b["s_expand"], b["b_expand"],
+            )
+            case.update({f"s{si}_b{bi}_{k}": v for k, v in b.items()})
+        prev = c_io
+    case["golden"] = np.asarray(h, np.float32)
+    return case
+
+
+def _block_params_random(rng, c_io, c_mid, bn_scale=1.0) -> Dict[str, np.ndarray]:
+    from winograd_tpu.kernels.direct import direct_filter
+
+    w_mid = _rand(rng, c_mid, c_mid, 3, 3)
+    bn1 = _bn_params(rng, c_mid, scale=bn_scale)
+    bn2 = _bn_params(rng, c_mid, scale=bn_scale)
+    bn3 = _bn_params(rng, c_io, scale=bn_scale)
+    return dict(
+        w_reduce=_rand(rng, c_io, c_mid), s_reduce=bn1["scale"], b_reduce=bn1["bias"],
+        w_mid=w_mid, u_mid=transforms.transform_filter(w_mid),
+        w9_mid=np.asarray(direct_filter(w_mid)),
+        s_mid=bn2["scale"], b_mid=bn2["bias"],
+        w_expand=_rand(rng, c_mid, c_io), s_expand=bn3["scale"], b_expand=bn3["bias"],
+    )
+
+
+def _transition_params_random(rng, tcfg: TransitionConfig, bn_scale=1.0) -> Dict[str, np.ndarray]:
+    from winograd_tpu.kernels.direct import direct_filter
+
+    w_mid = _rand(rng, tcfg.c_mid, tcfg.c_mid, 3, 3)
+    bn1 = _bn_params(rng, tcfg.c_mid, scale=bn_scale)
+    bn2 = _bn_params(rng, tcfg.c_mid, scale=bn_scale)
+    bn3 = _bn_params(rng, tcfg.c_out, scale=bn_scale)
+    bnp = _bn_params(rng, tcfg.c_out, scale=bn_scale)
+    return dict(
+        w_reduce=_rand(rng, tcfg.c_in, tcfg.c_mid),
+        s_reduce=bn1["scale"], b_reduce=bn1["bias"],
+        w_mid=w_mid, w9_mid=np.asarray(direct_filter(w_mid)),
+        s_mid=bn2["scale"], b_mid=bn2["bias"],
+        w_expand=_rand(rng, tcfg.c_mid, tcfg.c_out),
+        s_expand=bn3["scale"], b_expand=bn3["bias"],
+        w_proj=_rand(rng, tcfg.c_in, tcfg.c_out),
+        s_proj=bnp["scale"], b_proj=bnp["bias"],
+    )
+
+
+def backbone_stages(cfg: BackboneConfig, case: Dict[str, np.ndarray]):
+    """Rebuild the models/downsample.py::resnet50_stages structure from a
+    flat backbone case dict."""
+    stages = []
+    for si, (_c_io, _c_mid, _hw, blocks) in enumerate(cfg.stages):
+        transition = None
+        if any(k.startswith(f"t{si}_") for k in case):
+            transition = {
+                k[len(f"t{si}_"):]: case[k]
+                for k in case
+                if k.startswith(f"t{si}_")
+            }
+        blocks_list = []
+        for bi in range(blocks):
+            prefix = f"s{si}_b{bi}_"
+            blocks_list.append(
+                {k[len(prefix):]: case[k] for k in case if k.startswith(prefix)}
+            )
+        stages.append({"transition": transition, "blocks": blocks_list})
+    return stages
+
+
 def make_case(mode: int, seed: int = 0) -> Dict[str, np.ndarray]:
     cfg = CASES[mode]
+    if isinstance(cfg, BackboneConfig):
+        return make_backbone_case(cfg, seed)
     if isinstance(cfg, TransitionConfig):
         return make_transition_case(cfg, seed)
     if isinstance(cfg, BlockConfig):
@@ -230,7 +335,7 @@ def generate_all(outdir: str = "data", seed: int = 0) -> None:
     os.makedirs(outdir, exist_ok=True)
     for mode, cfg in CASES.items():
         case = make_case(mode, seed=seed + mode)
-        if isinstance(cfg, (BlockConfig, TransitionConfig)):
+        if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
             np.savez(os.path.join(outdir, f"{cfg.name}.npz"), **case)
         elif cfg.kind == "winograd3x3":
             _write_winograd_files(outdir, cfg, case)
@@ -245,7 +350,7 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     from winograd_tpu.utils.io import get_parameters
 
     cfg = CASES[mode]
-    if isinstance(cfg, (BlockConfig, TransitionConfig)):
+    if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
         with np.load(os.path.join(data_dir, f"{cfg.name}.npz")) as z:
             return {k: z[k] for k in z.files}
     d = data_dir
