@@ -27,6 +27,18 @@ def test_engine_stage_and_throughput():
     assert stats["images_per_sec"] > 0
 
 
+def test_engine_int8_tier():
+    """tier="int8" serves through the quantized streaming stage kernel at
+    the 8-bit accuracy bound."""
+    case = make_block_case(CASES[6], seed=6)
+    engine = BottleneckEngine(block_params_list(CASES[6], case), tier="int8")
+    out = np.asarray(engine(case["x"]))
+    gold = case["golden"]
+    rel = np.abs(out - gold).max() / max(np.abs(gold).max(), 1.0)
+    assert rel < 5e-2, rel
+    assert np.corrcoef(out.ravel(), gold.ravel())[0, 1] > 0.995
+
+
 def test_engine_data_parallel_matches_single():
     case = make_block_case(CASES[6], seed=3)
     params = block_params_list(CASES[6], case)

@@ -65,6 +65,23 @@ def test_other_stage_geometries(mode):
     assert err < 10 * PARITY_ATOL, f"mode {mode} max err {err}"
 
 
+def test_stage_winograd2_mid_at_28x28():
+    """The weight-streaming stage kernel with the F(2,3) winograd mid-layer
+    (auto-selected on large maps) matches the golden chain, vs the direct
+    mid as a cross-check."""
+    from winograd_tpu.config import BlockConfig
+    from winograd_tpu.datagen.generate import block_params_list, make_block_case
+    from winograd_tpu.kernels.stage import resnet_stage_fused_pallas, stack_stage_params
+
+    cfg = BlockConfig("t", c_io=256, c_mid=64, hw=28, blocks=2)
+    case = make_block_case(cfg, seed=28)
+    stacked = stack_stage_params(block_params_list(cfg, case))
+    out_w = np.asarray(resnet_stage_fused_pallas(case["x"], stacked, mid_algo="winograd2"))
+    out_d = np.asarray(resnet_stage_fused_pallas(case["x"], stacked, mid_algo="direct"))
+    assert np.abs(out_w - case["golden"]).max() < 10 * PARITY_ATOL
+    assert np.abs(out_d - case["golden"]).max() < 10 * PARITY_ATOL
+
+
 def test_init_and_stage():
     params = [
         resnet.init_bottleneck_params(i, c_io=128, c_mid=128) for i in range(2)

@@ -4,11 +4,13 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the CUDA
 reference (bssrdf/CUDA-Winograd): fused Conv+BatchNorm(inference)+ReLU
 operators for the 14x14 stage of a ResNet bottleneck block —
 
-* F(4x4, 3x3) Winograd convolution (128->128, 256->256) as a SINGLE fused
-  Pallas kernel: input tile transform -> 36 batched per-tile GEMMs on the
-  MXU -> inverse transform with the folded-BN FMA and ReLU in the epilogue,
-  staged entirely through VMEM (the reference round-trips each phase
-  through global memory: /root/reference/Kernel128_winograd.cu:240-241).
+* Winograd convolution (128->128, 256->256; both F(2,3) — the measured
+  winner — and the reference's F(4,3) algebra) as a SINGLE fused Pallas
+  kernel: strided-slice tile extraction -> separable VPU transforms ->
+  per-position tile GEMMs on the MXU -> inverse transform with the
+  folded-BN FMA and ReLU in the epilogue, staged entirely through VMEM
+  (the reference round-trips each phase through global memory:
+  /root/reference/Kernel128_winograd.cu:240-241).
 * 1x1 pointwise convolution (512->128, 128->512, 1024->256, 256->1024) as
   one parameterized fused Pallas GEMM+BN(+ReLU) kernel (the reference has
   four hand-written variants: Kernel128_one.cu, Kernel256_one.cu).
@@ -21,27 +23,41 @@ operators for the 14x14 stage of a ResNet bottleneck block —
 * A benchmark CLI reproducing the reference protocol: modes 0..5 (+ block
   modes), 100 iterations, 2 warmups, elementwise parity with HARD failure
   on tolerance breach (the reference's checker never fails: util.c:46-63).
-* A ResNet bottleneck-block model family and multi-chip parallel layer
-  (jax.sharding.Mesh + pjit/shard_map) for batched deployment.
+* A ResNet model family — block/stage/stride-2-transition megakernels and
+  the 13-block backbone — and a multi-chip parallel layer
+  (jax.sharding.Mesh + pjit/shard_map: DP, Megatron-style block TP, GPipe
+  pipeline) for batched deployment; int8 serving tier with weight
+  streaming.
 * A native C++ host-runtime library (binary blob IO, timing, differential
   checking) mirroring the reference's C host layer (util.c), bound via
   ctypes with a pure-Python fallback.
 """
 
-from winograd_tpu.config import CASES, LayerConfig, BlockConfig, case_config
+from winograd_tpu.config import (
+    CASES,
+    BackboneConfig,
+    BlockConfig,
+    LayerConfig,
+    TransitionConfig,
+    case_config,
+)
 from winograd_tpu.ops import jnp_ops, reference
 from winograd_tpu.baseline import xla as baseline_xla
 from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
 from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
 from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
+from winograd_tpu.kernels.transition import transition_block_fused_pallas
 from winograd_tpu.engine import BottleneckEngine
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CASES",
     "LayerConfig",
     "BlockConfig",
+    "TransitionConfig",
+    "BackboneConfig",
     "case_config",
     "jnp_ops",
     "reference",
@@ -49,6 +65,8 @@ __all__ = [
     "conv1x1_bn_pallas",
     "conv3x3_bn_winograd_pallas",
     "conv3x3_bn_direct_pallas",
+    "bottleneck_block_fused_pallas",
+    "transition_block_fused_pallas",
     "BottleneckEngine",
     "__version__",
 ]

@@ -114,6 +114,7 @@ def make_block_case(cfg: BlockConfig, seed: int = 0) -> Dict[str, np.ndarray]:
             f"{prefix}s_reduce": bn1["scale"], f"{prefix}b_reduce": bn1["bias"],
             f"{prefix}w_mid": w_mid,
             f"{prefix}u_mid": transforms.transform_filter(w_mid),
+            f"{prefix}u2_mid": transforms.transform_filter(w_mid, m=2),
             f"{prefix}w9_mid": np.asarray(direct_filter(w_mid)),
             f"{prefix}s_mid": bn2["scale"], f"{prefix}b_mid": bn2["bias"],
             f"{prefix}w_expand": w_expand,
@@ -172,7 +173,7 @@ def transition_params(case: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 _BLOCK_KEYS = (
-    "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "w9_mid",
+    "w_reduce", "s_reduce", "b_reduce", "w_mid", "u_mid", "u2_mid", "w9_mid",
     "s_mid", "b_mid", "w_expand", "s_expand", "b_expand",
 )
 
@@ -240,6 +241,7 @@ def _block_params_random(rng, c_io, c_mid, bn_scale=1.0) -> Dict[str, np.ndarray
     return dict(
         w_reduce=_rand(rng, c_io, c_mid), s_reduce=bn1["scale"], b_reduce=bn1["bias"],
         w_mid=w_mid, u_mid=transforms.transform_filter(w_mid),
+        u2_mid=transforms.transform_filter(w_mid, m=2),
         w9_mid=np.asarray(direct_filter(w_mid)),
         s_mid=bn2["scale"], b_mid=bn2["bias"],
         w_expand=_rand(rng, c_mid, c_io), s_expand=bn3["scale"], b_expand=bn3["bias"],

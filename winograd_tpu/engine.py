@@ -33,10 +33,23 @@ class BottleneckEngine:
         params_list,
         mesh=None,
         algo3x3: str = "auto",
+        tier: str = "f32",
     ):
+        """tier "f32" (default) serves the strict-parity megakernels;
+        "int8" quantizes the weights at load time (per-output-channel) and
+        serves through the int8 weight-streaming stage kernel — the
+        throughput option for HBM-bound geometries (~1e-2 relative)."""
         self.algo3x3 = algo3x3
         self.mesh = mesh
+        self.tier = tier
+        assert tier in ("f32", "int8"), tier
         dev = jax.devices()[0]
+        if tier == "int8":
+            from winograd_tpu.kernels.quantized import quantize_stage_params
+
+            self._qstacked = jax.device_put(
+                quantize_stage_params(params_list), dev
+            )
         if mesh is None:
             self.params_list = [
                 {k: jax.device_put(jnp.asarray(v), dev) for k, v in p.items()}
@@ -64,6 +77,10 @@ class BottleneckEngine:
     def _stage(self, x, params_list=None):
         from winograd_tpu.models.resnet import resnet_stage_pallas
 
+        if self.tier == "int8":
+            from winograd_tpu.kernels.quantized import resnet_stage_int8_pallas
+
+            return resnet_stage_int8_pallas(x, self._qstacked)
         plist = params_list if params_list is not None else self.params_list
         if self.algo3x3 == "auto" and len(plist) > 1:
             return resnet_stage_pallas(x, plist)  # fused stage kernel when it fits
@@ -81,6 +98,7 @@ class BottleneckEngine:
 
         params, _ = load_params(path)
         params.setdefault("u_mid", np.asarray(winograd_transform_params(jnp.asarray(params["w_mid"]))))
+        params.setdefault("u2_mid", np.asarray(winograd_transform_params(jnp.asarray(params["w_mid"]), m=2)))
         params.setdefault("w9_mid", np.asarray(direct_filter(params["w_mid"])))
         return cls([params], **kw)
 

@@ -33,9 +33,14 @@ _BLOCK_KEYS = (
 
 
 def stack_stage_params(params_list: List[dict]) -> dict:
-    """Stack per-block params on a leading block axis (BN as (B, 1, C))."""
+    """Stack per-block params on a leading block axis (BN as (B, 1, C));
+    the F(2,3) artifact (u2_mid) is stacked too when every block has it,
+    enabling the winograd2 mid-layer."""
     out = {}
-    for key in _BLOCK_KEYS:
+    keys = _BLOCK_KEYS + (
+        ("u2_mid",) if all("u2_mid" in p for p in params_list) else ()
+    )
+    for key in keys:
         arrs = [jnp.asarray(p[key], jnp.float32) for p in params_list]
         if arrs[0].ndim == 1:
             arrs = [a.reshape(1, -1) for a in arrs]
@@ -47,20 +52,20 @@ def _stage_kernel(
     x_ref,     # (1, H, W, Cio)
     wr_ref,    # (1, Cio, Cmid)     block b's weights
     s1_ref, b1_ref,   # (1, 1, Cmid)
-    w9_ref,    # (1, 9*Cmid, Cmid)
+    w9_ref,    # (1, 9*Cmid, Cmid) direct layout, OR (1, 16, Cmid, Cmid) F(2,3)
     s2_ref, b2_ref,   # (1, 1, Cmid)
     we_ref,    # (1, Cmid, Cio)
     s3_ref, b3_ref,   # (1, 1, Cio)
     out_ref,   # (1, H, W, Cio)
     act_ref,   # scratch (H*W, Cio)  persists across grid steps
-    xpad_ref,  # scratch (H+2, W+2, Cmid)
-    col_ref,   # scratch (H*W, 9*Cmid)
-    *,
+    *scratch,  # direct: xpad (H+2,W+2,Cmid) + col (H*W, 9*Cmid);
+               # winograd2: G xpads + G h2 buffers (H, W, CG)
     h: int,
     w: int,
     cio: int,
     cmid: int,
     n_blocks: int,
+    mid_algo: str,
     precision: str,
 ):
     hw = h * w
@@ -73,18 +78,42 @@ def _stage_kernel(
     x2 = act_ref[:]
     h1 = jnp.maximum(split_dot(x2, wr_ref[0], precision) * s1_ref[0] + b1_ref[0], 0.0)
 
-    xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-    xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cmid)
-    for r in range(3):
-        for s in range(3):
-            patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
-            col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
-    h2 = jnp.maximum(split_dot(col_ref[:], w9_ref[0], precision) * s2_ref[0] + b2_ref[0], 0.0)
+    if mid_algo == "winograd2":
+        from winograd_tpu.kernels.block import winograd_mid_layer
 
-    h3 = split_dot(h2, we_ref[0], precision) * s3_ref[0] + b3_ref[0]
+        cg = scratch[0].shape[-1]
+        n_groups = cmid // cg
+        xpads, h2gs = scratch[:n_groups], scratch[n_groups:]
+        tw_pad = (xpads[0].shape[1] - 2) // 2
+        h2gs = winograd_mid_layer(
+            h1, w9_ref[0], s2_ref[0], b2_ref[0], xpads, h2gs,
+            h=h, w=w, cmid=cmid, tw_pad=tw_pad, precision=precision,
+        )
+        h3 = None
+        for g, h2g in enumerate(h2gs):
+            part = split_dot(
+                h2g[:].reshape(hw, cg),
+                we_ref[0, g * cg : (g + 1) * cg, :],
+                precision,
+            )
+            h3 = part if h3 is None else h3 + part
+        h3 = h3 * s3_ref[0] + b3_ref[0]
+    else:
+        xpad_ref, col_ref = scratch
+        xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+        xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cmid)
+        for r in range(3):
+            for s in range(3):
+                patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
+                col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+        h2 = jnp.maximum(
+            split_dot(col_ref[:], w9_ref[0], precision) * s2_ref[0] + b2_ref[0], 0.0
+        )
+        h3 = split_dot(h2, we_ref[0], precision) * s3_ref[0] + b3_ref[0]
+
     y = jnp.maximum(h3 + x2, 0.0)
     act_ref[:] = y
 
@@ -93,52 +122,80 @@ def _stage_kernel(
         out_ref[0] = y.reshape(h, w, cio)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision", "mid_algo"))
 def resnet_stage_fused_pallas(
     x: jax.Array,
     stacked: dict,
     *,
     interpret: bool | None = None,
     precision: str = "bf16x3",
+    mid_algo: str = "auto",
 ) -> jax.Array:
     """Run a whole stage of identity bottleneck blocks in ONE kernel.
 
-    x: (H, W, Cio) or (N, H, W, Cio); stacked from stack_stage_params."""
+    x: (H, W, Cio) or (N, H, W, Cio); stacked from stack_stage_params.
+    mid_algo as in kernels/block.py: "auto" streams the F(2,3) filter and
+    runs the winograd2 mid-layer on large maps (2x at 28x28), the direct
+    im2col GEMM otherwise."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
     n, h, w, cio = x.shape
     n_blocks, _, cmid = stacked["w_reduce"].shape
+    if mid_algo == "auto":
+        mid_algo = (
+            "winograd2" if "u2_mid" in stacked and h * w >= 28 * 28 else "direct"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     kernel = functools.partial(
         _stage_kernel,
-        h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks, precision=precision,
+        h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
+        mid_algo=mid_algo, precision=precision,
     )
     img = lambda i, b: (i, 0, 0, 0)
-    blk = lambda shape: pl.BlockSpec((1,) + shape, lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM)
+    blk = lambda shape: pl.BlockSpec(
+        (1,) + shape, (lambda i, b: (b,) + (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
     flops = 2 * n * n_blocks * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
+    if mid_algo == "winograd2":
+        from winograd_tpu.kernels.winograd import _pad_tiles_w
+
+        cg = 128 if cmid % 128 == 0 else cmid
+        th, tw = -(-h // 2), -(-w // 2)
+        tw_pad = _pad_tiles_w(tw)
+        mid_spec = blk((16, cmid, cmid))
+        mid_arg = stacked["u2_mid"]
+        mid_scratch = [
+            pltpu.VMEM((2 * th + 2, 2 * tw_pad + 2, cg), jnp.float32)
+            for _ in range(cmid // cg)
+        ] + [pltpu.VMEM((h, w, cg), jnp.float32) for _ in range(cmid // cg)]
+        mid_weight_elems = 16 * cmid * cmid
+    else:
+        mid_spec = blk((9 * cmid, cmid))
+        mid_arg = stacked["w9_mid"]
+        mid_scratch = [
+            pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
+            pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
+        ]
+        mid_weight_elems = 9 * cmid * cmid
     out = pl.pallas_call(
         kernel,
         grid=(n, n_blocks),
         in_specs=[
             pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
             blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)),
-            blk((9 * cmid, cmid)), blk((1, cmid)), blk((1, cmid)),
+            mid_spec, blk((1, cmid)), blk((1, cmid)),
             blk((cmid, cio)), blk((1, cio)), blk((1, cio)),
         ],
         out_specs=pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cio), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((h * w, cio), jnp.float32),
-            pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
-            pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((h * w, cio), jnp.float32)] + mid_scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4
-            * (2 * n * h * w * cio + n_blocks * (2 * cio * cmid + 9 * cmid * cmid)),
+            * (2 * n * h * w * cio + n_blocks * (2 * cio * cmid + mid_weight_elems)),
             transcendentals=0,
         ),
         # Double-buffered weight streaming + persistent activation scratch
@@ -149,7 +206,7 @@ def resnet_stage_fused_pallas(
     )(
         x.astype(jnp.float32),
         stacked["w_reduce"], stacked["s_reduce"], stacked["b_reduce"],
-        stacked["w9_mid"], stacked["s_mid"], stacked["b_mid"],
+        mid_arg, stacked["s_mid"], stacked["b_mid"],
         stacked["w_expand"], stacked["s_expand"], stacked["b_expand"],
     )
     return out[0] if squeeze else out

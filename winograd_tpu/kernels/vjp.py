@@ -166,6 +166,10 @@ def _block_fused_forward(x, params):
 
     kp = dict(params)
     kp["w9_mid"] = direct_filter(params["w_mid"])
+    # Both offline filter layouts are fixed linear maps — derived in-trace
+    # so the megakernel's mid-algo auto-select (winograd2 on large maps)
+    # applies to the training forward exactly as it does in serving.
+    kp["u2_mid"] = filter_transform_jnp(params["w_mid"], m=2)
     return bottleneck_block_fused_pallas(x, kp)
 
 

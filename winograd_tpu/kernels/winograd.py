@@ -110,6 +110,57 @@ def _apply_separable(mat: np.ndarray, grid: list) -> list:
     return out
 
 
+def winograd_input_transform(xpads, *, m: int, tiles_h: int, tw_pad: int, nb: int = 1):
+    """Phase 1 core: a^2 strided-slice reads per <=128-lane staging group +
+    separable Bt passes. xpads: list of zero-padded (NB, mTh+2, mTw'+2, CG)
+    refs. Returns v_groups[g][pi][pj] values of shape (NB*th*tw', CG).
+    Reused by the standalone conv kernel AND the block/stage megakernels
+    (kernels/block.py) — the fused-block 3x3 is the same math."""
+    a = m + 2
+    rows = nb * tiles_h * tw_pad
+    bt = np.asarray(transforms.matrices(m)[0], np.float64)
+    out = []
+    for xp in xpads:
+        cg = xp.shape[-1]
+        d = [
+            [
+                xp[
+                    :, pl.Slice(qi, tiles_h, m), pl.Slice(qj, tw_pad, m), :
+                ].reshape(rows, cg)
+                for qj in range(a)
+            ]
+            for qi in range(a)
+        ]
+        out.append(_apply_separable(bt, d))
+    return out
+
+
+def winograd_gemm_inverse(v_groups, u_ref, *, m: int, cg: int, precision: str):
+    """Phases 2+3 core: per-position tile GEMMs (contraction split over the
+    channel groups) + separable At passes. u_ref: (a^2, Cin, Cout_tile).
+    Returns y[oi][oj] values of shape (rows, Cout_tile), pre-epilogue."""
+    a = m + 2
+    mm = [
+        [
+            functools.reduce(
+                lambda acc, g: acc
+                + split_dot(
+                    v_groups[g][pi][pj],
+                    u_ref[pi * a + pj, g * cg : (g + 1) * cg, :],
+                    precision,
+                ),
+                range(1, len(v_groups)),
+                split_dot(
+                    v_groups[0][pi][pj], u_ref[pi * a + pj, 0:cg, :], precision
+                ),
+            )
+            for pj in range(a)
+        ]
+        for pi in range(a)
+    ]
+    return _apply_separable(np.asarray(transforms.matrices(m)[2], np.float64), mm)
+
+
 def _winograd_kernel(
     x_ref,       # (NB, H, W, Cin)    dense input, NB images per grid step
     u_ref,       # (a2, Cin, TILE_CO) transformed filter slice
@@ -131,12 +182,9 @@ def _winograd_kernel(
     has_vref: bool,
 ):
     a = m + 2
-    a2 = a * a
     side_h = m * tiles_h
     side_w = m * tw_pad
-    rows = nb * tiles_h * tw_pad
     n_groups = cin // cg
-    bt, _, at = transforms.matrices(m)
     j = pl.program_id(1)
     xpads = scratch[:n_groups]
     v_ref = scratch[n_groups] if has_vref else None
@@ -160,30 +208,19 @@ def _winograd_kernel(
             )
             xp[:, 1 : h + 1, 1 : w + 1, :] = x_ref[:, :, :, gsl]
 
-    def input_transform(xp):
-        # Phase 1 — extraction (a2 strided reads; tiles_w is padded to a
-        # sublane multiple so the (th, tw', C) -> (rows, C) merge is a free
-        # relabel) + separable Bt passes (pure VPU adds for F(2,3)).
-        d = [
-            [
-                xp[
-                    :, pl.Slice(qi, tiles_h, m), pl.Slice(qj, tw_pad, m), :
-                ].reshape(rows, cg)
-                for qj in range(a)
-            ]
-            for qi in range(a)
-        ]
-        return _apply_separable(np.asarray(bt, np.float64), d)
-
     if v_ref is None:
-        v_groups = [input_transform(xp) for xp in xpads]
+        v_groups = winograd_input_transform(
+            xpads, m=m, tiles_h=tiles_h, tw_pad=tw_pad, nb=nb
+        )
     else:
         # Output-channel slicing revisits the same image block: stash V in
         # scratch at j == 0, reload on later j steps.
         @pl.when(j == 0)
         def _stash():
-            for g, xp in enumerate(xpads):
-                vv = input_transform(xp)
+            vv_groups = winograd_input_transform(
+                xpads, m=m, tiles_h=tiles_h, tw_pad=tw_pad, nb=nb
+            )
+            for g, vv in enumerate(vv_groups):
                 for pi in range(a):
                     for pj in range(a):
                         v_ref[pi * a + pj, :, g * cg : (g + 1) * cg] = vv[pi][pj]
@@ -199,30 +236,10 @@ def _winograd_kernel(
             for g in range(n_groups)
         ]
 
-    # Phase 2 — per-position tile GEMMs on the MXU (the hot loop),
-    # contraction split over the channel groups.
-    mm = [
-        [
-            functools.reduce(
-                lambda acc, g: acc
-                + split_dot(
-                    v_groups[g][pi][pj],
-                    u_ref[pi * a + pj, g * cg : (g + 1) * cg, :],
-                    precision,
-                ),
-                range(1, n_groups),
-                split_dot(
-                    v_groups[0][pi][pj], u_ref[pi * a + pj, 0:cg, :], precision
-                ),
-            )
-            for pj in range(a)
-        ]
-        for pi in range(a)
-    ]
-
-    # Phase 3 — separable At passes, BN FMA (+ReLU) epilogue, strided
-    # stores with static edge clipping.
-    y = _apply_separable(np.asarray(at, np.float64), mm)
+    # Phases 2+3 — per-position MXU tile GEMMs (the hot loop, contraction
+    # split over channel groups) + separable At inverse; then the BN FMA
+    # (+ReLU) epilogue and strided stores with static edge clipping.
+    y = winograd_gemm_inverse(v_groups, u_ref, m=m, cg=cg, precision=precision)
     tile_co = out_ref.shape[-1]
     scale = scale_ref[:]
     bias = bias_ref[:]

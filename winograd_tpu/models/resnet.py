@@ -57,13 +57,15 @@ def init_bottleneck_params(
         "b_expand": jnp.zeros((c_io,), jnp.float32),
     }
     params["u_mid"] = winograd_transform_params(w_mid)
+    params["u2_mid"] = winograd_transform_params(w_mid, m=2)
     params["w9_mid"] = jnp.asarray(direct_filter(np.asarray(w_mid)))
     return params
 
 
-def winograd_transform_params(w_mid: jax.Array) -> jax.Array:
-    """Offline filter transform for the 3x3 conv: (Cout,Cin,3,3) -> (36,Cin,Cout)."""
-    return jnp.asarray(transforms.transform_filter(np.asarray(w_mid)))
+def winograd_transform_params(w_mid: jax.Array, m: int = 4) -> jax.Array:
+    """Offline filter transform for the 3x3 conv:
+    (Cout,Cin,3,3) -> (a^2,Cin,Cout); m selects the algebra (4 or 2)."""
+    return jnp.asarray(transforms.transform_filter(np.asarray(w_mid), m=m))
 
 
 def bottleneck_block_pallas(

@@ -61,9 +61,10 @@ def sharded_block_inference_pallas(mesh, params, x, algo3x3: str = "auto"):
 def init_train_state(key, c_io: int, c_mid: int):
     """Params + momentum buffers for SGD."""
     params = init_bottleneck_params(key, c_io=c_io, c_mid=c_mid)
-    # Training uses the raw 3x3 filter; u_mid/w9_mid are inference-time
-    # offline artifacts (re-derived after training).
+    # Training uses the raw 3x3 filter; u_mid/u2_mid/w9_mid are
+    # inference-time offline artifacts (re-derived after training).
     params.pop("u_mid")
+    params.pop("u2_mid")
     params.pop("w9_mid")
     momentum = jax.tree.map(jnp.zeros_like, params)
     return params, momentum

@@ -57,6 +57,7 @@ def block_shardings(mesh: Mesh):
         "b_reduce": ns(None),
         "w_mid": ns(None, None, None, None),
         "u_mid": ns(None, None, None),
+        "u2_mid": ns(None, None, None),
         "w9_mid": ns(None, None),
         "s_mid": ns(None),
         "b_mid": ns(None),
