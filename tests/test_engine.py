@@ -49,6 +49,21 @@ def test_engine_data_parallel_matches_single():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
 
 
+def test_backbone_engine_both_tiers():
+    """BackboneEngine serves the 13-block backbone case at both tiers."""
+    from winograd_tpu.datagen.generate import backbone_stages, make_case
+    from winograd_tpu.engine import BackboneEngine
+
+    case = make_case(13, seed=13)
+    stages = backbone_stages(CASES[13], case)
+    gold = case["golden"]
+    out = np.asarray(BackboneEngine(stages)(case["x"]))
+    assert np.abs(out - gold).max() < 1e-3
+    out8 = np.asarray(BackboneEngine(stages, tier="int8")(case["x"]))
+    rel = np.abs(out8 - gold).max() / max(np.abs(gold).max(), 1.0)
+    assert rel < 2e-1 and np.corrcoef(out8.ravel(), gold.ravel())[0, 1] > 0.98
+
+
 def test_engine_from_checkpoint(tmp_path):
     from winograd_tpu.models import init_bottleneck_params, save_params
     from winograd_tpu.models.resnet import bottleneck_block_pallas

@@ -65,6 +65,44 @@ def test_int8_stage_streaming_kernel():
     assert rel1 < 5e-2, f"single-block int8 stream relative error {rel1}"
 
 
+def test_int8_transition_and_backbone():
+    """Int8 transition kernel + the fully-int8 multi-stage backbone hold
+    the 8-bit tier bound against the float64 golden chain."""
+    import jax.numpy as jnp
+
+    from winograd_tpu.config import CASES, TransitionConfig
+    from winograd_tpu.datagen.generate import (
+        backbone_stages,
+        make_case,
+        make_transition_case,
+        transition_params,
+    )
+    from winograd_tpu.kernels.quantized import (
+        quantize_transition_params,
+        transition_block_int8_pallas,
+    )
+    from winograd_tpu.models.downsample import quantize_backbone, resnet50_stages_int8
+
+    tcfg = TransitionConfig("t", 128, 64, 256, hw=14)
+    tcase = make_transition_case(tcfg, seed=5)
+    qp = quantize_transition_params(transition_params(tcase))
+    out = np.asarray(transition_block_int8_pallas(jnp.asarray(tcase["x"]), qp))
+    gold = tcase["golden"]
+    rel = np.abs(out - gold).max() / max(np.abs(gold).max(), 1.0)
+    assert rel < 5e-2, f"int8 transition relative error {rel}"
+    assert np.corrcoef(out.ravel(), gold.ravel())[0, 1] > 0.99
+
+    case = make_case(13, seed=13)
+    qstages = quantize_backbone(backbone_stages(CASES[13], case))
+    outb = np.asarray(resnet50_stages_int8(jnp.asarray(case["x"]), qstages))
+    goldb = case["golden"]
+    relb = np.abs(outb - goldb).max() / max(np.abs(goldb).max(), 1.0)
+    # Quantization error compounds through 13 blocks; the backbone tier
+    # bound is looser than the single-block 5e-2.
+    assert relb < 2e-1, f"int8 backbone relative error {relb}"
+    assert np.corrcoef(outb.ravel(), goldb.ravel())[0, 1] > 0.98
+
+
 @pytest.mark.parametrize("relu", [True, False])
 def test_int8_conv_matches_f32_at_8bit_tier(relu):
     rng = np.random.default_rng(1)

@@ -114,6 +114,13 @@ def run_case(
         baseline_fn = lambda: xla_fn(x)
         core_pallas = fused
         core_xla = xla_fn
+        from winograd_tpu.models.downsample import (
+            quantize_backbone,
+            resnet50_stages_int8,
+        )
+
+        qstages = quantize_backbone(backbone_stages(cfg, case))
+        core_int8 = jax.jit(lambda x_: resnet50_stages_int8(x_, qstages))
     elif isinstance(cfg, TransitionConfig):
         from winograd_tpu.datagen.generate import transition_params
         from winograd_tpu.models.downsample import downsample_bottleneck_block_pallas
@@ -130,6 +137,13 @@ def run_case(
         baseline_fn = lambda: xla_fn(x)
         core_pallas = fused
         core_xla = xla_fn
+        from winograd_tpu.kernels.quantized import (
+            quantize_transition_params,
+            transition_block_int8_pallas,
+        )
+
+        qt = jax.device_put(quantize_transition_params(transition_params(case)), dev)
+        core_int8 = jax.jit(lambda x_: transition_block_int8_pallas(x_, qt))
     elif isinstance(cfg, BlockConfig):
         from winograd_tpu.datagen.generate import block_params_list
         from winograd_tpu.ops import jnp_ops
@@ -211,14 +225,17 @@ def run_case(
     int8_rel_error = None
     int8_tier_ok = True
     if core_int8 is not None:
+        # Single-op/block tier bound 5e-2; the 13-block backbone compounds
+        # per-layer quantization error, so its bound is looser.
+        int8_tol = 2e-1 if isinstance(cfg, BackboneConfig) else 5e-2
         out8 = np.asarray(core_int8(x))
         int8_rel_error = float(
             np.abs(out8 - golden).max() / max(np.abs(golden).max(), 1.0)
         )
-        int8_tier_ok = bool(np.isfinite(int8_rel_error) and int8_rel_error < 5e-2)
+        int8_tier_ok = bool(np.isfinite(int8_rel_error) and int8_rel_error < int8_tol)
         print(
             f"  [{cfg.name}/int8] rel_error={int8_rel_error:.3e} "
-            f"(8-bit tier bound 5e-2)",
+            f"(8-bit tier bound {int8_tol:g})",
             file=sys.stderr,
         )
         if strict and not int8_tier_ok:

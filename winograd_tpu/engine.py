@@ -109,25 +109,71 @@ class BottleneckEngine:
     def throughput(
         self, batch: int, c_io: Optional[int] = None, iters: int = 20, hw: int = 14
     ) -> Dict:
-        """Steady-state images/sec at the given batch size and feature-map
-        side (hw must match the deployment shape — the compiled program is
-        shape-specific). Inputs are random (representative ReLU sparsity,
-        nothing constant-foldable), not zeros."""
-        import time
+        return _throughput(self, batch, c_io or self.params_list[0]["w_reduce"].shape[0], iters, hw)
 
-        c_io = c_io or self.params_list[0]["w_reduce"].shape[0]
-        x = jax.random.normal(
-            jax.random.PRNGKey(0), (batch, hw, hw, c_io), jnp.float32
-        )
-        out = self(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        outs = [self(x) for _ in range(iters)]
-        jax.block_until_ready(outs)
-        dt = time.perf_counter() - t0
-        return {
-            "batch": batch,
-            "iters": iters,
-            "images_per_sec": batch * iters / dt,
-            "latency_ms": dt / iters * 1e3,
-        }
+
+class BackboneEngine:
+    """Serves a full multi-stage backbone (models/downsample.py
+    resnet50_stages structure: identity stages + stride-2 transitions)
+    through the fused megakernels, at the f32 tier or the int8
+    weight-streaming tier."""
+
+    def __init__(self, stages, tier: str = "f32"):
+        assert tier in ("f32", "int8"), tier
+        self.tier = tier
+        dev = jax.devices()[0]
+        put = lambda p: {k: jax.device_put(jnp.asarray(v), dev) for k, v in p.items()}
+        self.stages = [
+            {
+                "transition": None if st.get("transition") is None else put(st["transition"]),
+                "blocks": [put(b) for b in st["blocks"]],
+            }
+            for st in stages
+        ]
+        if tier == "int8":
+            from winograd_tpu.models.downsample import quantize_backbone
+
+            self._qstages = quantize_backbone(self.stages)
+
+            def fwd(x):
+                from winograd_tpu.models.downsample import resnet50_stages_int8
+
+                return resnet50_stages_int8(x, self._qstages)
+        else:
+            def fwd(x):
+                from winograd_tpu.models.downsample import resnet50_stages
+
+                return resnet50_stages(x, self.stages)
+
+        self._fn = jax.jit(fwd)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (H, W, C_in) or (N, H, W, C_in) at the first stage's shape."""
+        return self._fn(jnp.asarray(x, jnp.float32))
+
+    def throughput(self, batch: int, hw: int, c_in: int, iters: int = 20) -> Dict:
+        return _throughput(self, batch, c_in, iters, hw)
+
+
+def _throughput(engine, batch: int, c_in: int, iters: int, hw: int) -> Dict:
+    """Steady-state images/sec at the given batch size and feature-map
+    side (hw must match the deployment shape — the compiled program is
+    shape-specific). Inputs are random (representative ReLU sparsity,
+    nothing constant-foldable), not zeros."""
+    import time
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, hw, hw, c_in), jnp.float32
+    )
+    out = engine(x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [engine(x) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return {
+        "batch": batch,
+        "iters": iters,
+        "images_per_sec": batch * iters / dt,
+        "latency_ms": dt / iters * 1e3,
+    }

@@ -304,6 +304,194 @@ def _stage_int8_kernel(
         out_ref[0] = y.reshape(h, w, cio)
 
 
+# --- int8 stride-2 transition kernel ------------------------------------------
+
+
+def quantize_transition_params(params: dict) -> dict:
+    """Offline int8 quantization of a transition block's four weight
+    matrices (models/downsample.py layout) — BN scale/bias stay f32."""
+    out = {}
+    for key in ("w_reduce", "w9_mid", "w_expand", "w_proj"):
+        wq, sw = quantize_weights(np.asarray(params[key]))
+        out[f"{key}_q"] = jnp.asarray(wq)
+        out[f"{key}_s"] = jnp.asarray(sw)
+    for key in ("s_reduce", "b_reduce", "s_mid", "b_mid",
+                "s_expand", "b_expand", "s_proj", "b_proj"):
+        out[key] = jnp.asarray(params[key], jnp.float32)
+    return out
+
+
+def _transition_int8_kernel(
+    x_ref,     # (1, H, W, Cin)
+    wr_ref, wr_s_ref, s1_ref, b1_ref,
+    w9_ref, w9_s_ref, s2_ref, b2_ref,
+    we_ref, we_s_ref, s3_ref, b3_ref,   # streamed over j
+    wp_ref, wp_s_ref, sp_ref, bp_ref,   # streamed over j
+    out_ref,   # (1, HO, WO, TILE_CO)
+    h2_ref,    # scratch (HO*WO, Cmid)
+    xs_ref,    # scratch (HO*WO, Cin)
+    col_ref,   # scratch (HO*WO, 9*Cmid)
+    *xpads,    # mid staging groups then input staging groups
+    h: int,
+    w: int,
+    cin: int,
+    cmid: int,
+    n_mid_groups: int,
+):
+    ho, wo = -(-h // 2), -(-w // 2)
+    hwo = ho * wo
+    j = pl.program_id(1)
+    mids = xpads[:n_mid_groups]
+    ins = xpads[n_mid_groups:]
+    cgm = mids[0].shape[-1]
+    cgi = ins[0].shape[-1]
+
+    @pl.when(j == 0)
+    def _front():
+        x2 = x_ref[0].reshape(h * w, cin)
+        h1 = jnp.maximum(
+            _qdot(x2, wr_ref, wr_s_ref[:]) * s1_ref[:] + b1_ref[:], 0.0
+        ).reshape(h, w, cmid)
+        for g, xp in enumerate(mids):
+            gsl = slice(g * cgm, (g + 1) * cgm)
+            ph, pw = xp.shape[0], xp.shape[1]
+            xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
+            xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
+            xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
+            xp[1 : h + 1, w + 1 :, :] = jnp.zeros((h, pw - w - 1, cgm), jnp.float32)
+            xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
+            for r in range(3):
+                for s in range(3):
+                    patch = xp[
+                        pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
+                    ].reshape(hwo, cgm)
+                    base = (3 * r + s) * cmid + g * cgm
+                    col_ref[:, base : base + cgm] = patch
+        h2_ref[:] = jnp.maximum(
+            _qdot(col_ref[:], w9_ref, w9_s_ref[:]) * s2_ref[:] + b2_ref[:], 0.0
+        )
+        for g, xg in enumerate(ins):
+            gsl = slice(g * cgi, (g + 1) * cgi)
+            xg[:, :, :] = x_ref[0, :, :, gsl]
+            xs_ref[:, gsl] = xg[
+                pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :
+            ].reshape(hwo, cgi)
+
+    h3 = _qdot(h2_ref[:], we_ref, we_s_ref[:]) * s3_ref[:] + b3_ref[:]
+    skip = _qdot(xs_ref[:], wp_ref, wp_s_ref[:]) * sp_ref[:] + bp_ref[:]
+    tile_co = out_ref.shape[-1]
+    out_ref[0] = jnp.maximum(h3 + skip, 0.0).reshape(ho, wo, tile_co)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_co", "interpret"))
+def transition_block_int8_pallas(
+    x: jax.Array,
+    qparams: dict,
+    *,
+    tile_co: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Int8 fused stride-2 transition block (kernels/transition.py structure,
+    int8 MXU GEMMs with per-row dynamic activation quant). Completes the
+    int8 serving tier: with resnet_stage_int8_pallas this serves the whole
+    multi-stage backbone at the 8-bit bound with 4x fewer weight bytes.
+    qparams from quantize_transition_params."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, cin = x.shape
+    cmid = qparams["w_reduce_q"].shape[1]
+    cout = qparams["w_expand_q"].shape[1]
+    ho, wo = -(-h // 2), -(-w // 2)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile_co is None:
+        from winograd_tpu.kernels.pointwise import largest_divisor_leq
+
+        tile_co = (
+            cout
+            if (cmid + cin) * cout <= 4 * 2**20  # int8: 1 B/elem
+            else largest_divisor_leq(cout, 256)
+        )
+    assert cout % tile_co == 0, (cout, tile_co)
+    n_j = cout // tile_co
+
+    cgm = 128 if cmid % 128 == 0 else cmid
+    cgi = 128 if cin % 128 == 0 else cin
+    n_mid = cmid // cgm
+    ph, pw = 2 * ho + 2, 2 * wo + 2
+
+    def row(v, c):
+        return jnp.asarray(v, jnp.float32).reshape(1, c)
+
+    kernel = functools.partial(
+        _transition_int8_kernel,
+        h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid,
+    )
+    res = lambda i, j: (0, 0)
+    stream = lambda i, j: (0, j)
+    flops = 2 * n * (
+        h * w * cin * cmid
+        + ho * wo * (9 * cmid * cmid + cmid * cout + cin * cout)
+    )
+    specs = [
+        pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cin, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * cmid, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cmid, tile_co), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cin, tile_co), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_j),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (1, ho, wo, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.float32),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((ho * wo, cmid), jnp.float32),
+                pltpu.VMEM((ho * wo, cin), jnp.float32),
+                pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
+            ]
+            + [pltpu.VMEM((ph, pw, cgm), jnp.float32) for _ in range(n_mid)]
+            + [pltpu.VMEM((h, w, cgi), jnp.float32) for _ in range(cin // cgi)]
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * n * (h * w * cin + ho * wo * cout)
+            + cin * cmid + 9 * cmid * cmid + (cmid + cin) * cout,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32),
+        qparams["w_reduce_q"], row(qparams["w_reduce_s"], cmid),
+        row(qparams["s_reduce"], cmid), row(qparams["b_reduce"], cmid),
+        qparams["w9_mid_q"], row(qparams["w9_mid_s"], cmid),
+        row(qparams["s_mid"], cmid), row(qparams["b_mid"], cmid),
+        qparams["w_expand_q"], row(qparams["w_expand_s"], cout),
+        row(qparams["s_expand"], cout), row(qparams["b_expand"], cout),
+        qparams["w_proj_q"], row(qparams["w_proj_s"], cout),
+        row(qparams["s_proj"], cout), row(qparams["b_proj"], cout),
+    )
+    return out[0] if squeeze else out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def resnet_stage_int8_pallas(
     x: jax.Array,

@@ -92,3 +92,39 @@ def resnet50_stages(x: jax.Array, stages: List[Dict]) -> jax.Array:
             x = downsample_bottleneck_block_pallas(x, stage["transition"])
         x = resnet_stage_pallas(x, stage["blocks"])
     return x
+
+
+def quantize_backbone(stages: List[Dict]) -> List[Dict]:
+    """Offline int8 quantization of a whole backbone (resnet50_stages
+    structure) for resnet50_stages_int8."""
+    from winograd_tpu.kernels.quantized import (
+        quantize_stage_params,
+        quantize_transition_params,
+    )
+
+    return [
+        {
+            "transition": None
+            if st.get("transition") is None
+            else quantize_transition_params(st["transition"]),
+            "blocks": quantize_stage_params(st["blocks"]),
+        }
+        for st in stages
+    ]
+
+
+def resnet50_stages_int8(x: jax.Array, qstages: List[Dict]) -> jax.Array:
+    """The full multi-stage backbone at the int8 serving tier: every
+    identity stage through the int8 weight-streaming stage kernel, every
+    stride-2 transition through the int8 transition kernel (4x fewer
+    weight bytes end to end; 8-bit accuracy bound)."""
+    from winograd_tpu.kernels.quantized import (
+        resnet_stage_int8_pallas,
+        transition_block_int8_pallas,
+    )
+
+    for st in qstages:
+        if st.get("transition") is not None:
+            x = transition_block_int8_pallas(x, st["transition"])
+        x = resnet_stage_int8_pallas(x, st["blocks"])
+    return x
