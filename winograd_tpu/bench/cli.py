@@ -26,7 +26,11 @@ from winograd_tpu.baseline import xla as baseline
 from winograd_tpu.config import (
     BENCH_ITERATIONS,
     BENCH_WARMUP,
+    BF16W_RTOL,
+    BF16W_RTOL_BACKBONE,
     CASES,
+    INT8_RTOL,
+    INT8_RTOL_BACKBONE,
     BackboneConfig,
     BlockConfig,
     PARITY_ATOL,
@@ -48,6 +52,17 @@ def _check(name: str, out: np.ndarray, golden: np.ndarray, strict: bool):
     if strict and not res.ok():
         raise ParityError(f"{name}: parity breach: {res}")
     return res
+
+
+def _check_tier(name: str, out, golden, rtol: float, strict: bool) -> float:
+    """Reduced-precision tier check: hard-fail on the tier's own RELATIVE
+    bound (bf16w / int8 are accuracy tiers, not the f32 parity bar)."""
+    rel = float(np.abs(np.asarray(out) - golden).max() / max(np.abs(golden).max(), 1.0))
+    ok = bool(np.isfinite(rel) and rel < rtol)
+    print(f"  [{name}] rel_error={rel:.3e} (tier bound {rtol:g})", file=sys.stderr)
+    if strict and not ok:
+        raise ParityError(f"{name}: tier breach: rel_error={rel}")
+    return rel
 
 
 def run_case(
@@ -81,6 +96,7 @@ def run_case(
     core_direct = None
     core_wino4 = None
     core_int8 = None
+    core_bf16w = None
     if isinstance(cfg, BackboneConfig):
         from winograd_tpu.datagen.generate import backbone_stages
         from winograd_tpu.models.downsample import resnet50_stages
@@ -121,6 +137,7 @@ def run_case(
 
         qstages = quantize_backbone(backbone_stages(cfg, case))
         core_int8 = jax.jit(lambda x_: resnet50_stages_int8(x_, qstages))
+        core_bf16w = jax.jit(lambda x_: resnet50_stages(x_, stages, precision="bf16w"))
     elif isinstance(cfg, TransitionConfig):
         from winograd_tpu.datagen.generate import transition_params
         from winograd_tpu.models.downsample import downsample_bottleneck_block_pallas
@@ -144,6 +161,9 @@ def run_case(
 
         qt = jax.device_put(quantize_transition_params(transition_params(case)), dev)
         core_int8 = jax.jit(lambda x_: transition_block_int8_pallas(x_, qt))
+        core_bf16w = jax.jit(
+            lambda x_: downsample_bottleneck_block_pallas(x_, params, precision="bf16w")
+        )
     elif isinstance(cfg, BlockConfig):
         from winograd_tpu.datagen.generate import block_params_list
         from winograd_tpu.ops import jnp_ops
@@ -174,6 +194,9 @@ def run_case(
 
         qstacked = jax.device_put(quantize_stage_params(params_list), dev)
         core_int8 = jax.jit(lambda x_: resnet_stage_int8_pallas(x_, qstacked))
+        core_bf16w = jax.jit(
+            lambda x_: resnet.resnet_stage_pallas(x_, params_list, precision="bf16w")
+        )
     elif cfg.kind == "winograd3x3":
         from winograd_tpu.kernels import transforms
         from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
@@ -222,26 +245,21 @@ def run_case(
     check_wino4 = None
     if core_wino4 is not None:
         check_wino4 = _check(f"{cfg.name}/winograd_f43", core_wino4(x), golden, strict)
+    # Reduced-precision serving tiers: hard-fail on each tier's own bound.
+    # Composed backbones compound per-layer error -> one notch looser.
+    is_backbone = isinstance(cfg, BackboneConfig)
+    int8_tol = INT8_RTOL_BACKBONE if is_backbone else INT8_RTOL
+    bf16w_tol = BF16W_RTOL_BACKBONE if is_backbone else BF16W_RTOL
     int8_rel_error = None
-    int8_tier_ok = True
     if core_int8 is not None:
-        # Single-op/block tier bound 5e-2; the 13-block backbone compounds
-        # per-layer quantization error, so its bound is looser.
-        int8_tol = 2e-1 if isinstance(cfg, BackboneConfig) else 5e-2
-        out8 = np.asarray(core_int8(x))
-        int8_rel_error = float(
-            np.abs(out8 - golden).max() / max(np.abs(golden).max(), 1.0)
+        int8_rel_error = _check_tier(
+            f"{cfg.name}/int8", core_int8(x), golden, int8_tol, strict
         )
-        int8_tier_ok = bool(np.isfinite(int8_rel_error) and int8_rel_error < int8_tol)
-        print(
-            f"  [{cfg.name}/int8] rel_error={int8_rel_error:.3e} "
-            f"(8-bit tier bound {int8_tol:g})",
-            file=sys.stderr,
+    bf16w_rel_error = None
+    if core_bf16w is not None:
+        bf16w_rel_error = _check_tier(
+            f"{cfg.name}/bf16w", core_bf16w(x), golden, bf16w_tol, strict
         )
-        if strict and not int8_tier_ok:
-            raise ParityError(
-                f"{cfg.name}/int8: tier breach: rel_error={int8_rel_error}"
-            )
 
     if profile_dir is not None:
         # Aux tracing subsystem: the reference has only a wall clock
@@ -266,6 +284,10 @@ def run_case(
     if core_int8 is not None:
         int8_device_us = bench_scan(core_int8, x, scan_len=scan_len)
         print(f"  {cfg.name}/int8: device {int8_device_us:.1f} us", file=sys.stderr)
+    bf16w_device_us = None
+    if core_bf16w is not None:
+        bf16w_device_us = bench_scan(core_bf16w, x, scan_len=scan_len)
+        print(f"  {cfg.name}/bf16w: device {bf16w_device_us:.1f} us", file=sys.stderr)
     print(f"  {r_pallas}", file=sys.stderr)
     print(f"  {r_baseline}", file=sys.stderr)
 
@@ -298,6 +320,8 @@ def run_case(
         "winograd_f43_device_us": wino4_device_us,
         "int8_device_us": int8_device_us,
         "int8_rel_error": int8_rel_error,
+        "bf16w_device_us": bf16w_device_us,
+        "bf16w_rel_error": bf16w_rel_error,
         "iterations": r_pallas.iterations,
         "max_error_pallas": check_pallas.max_error,
         "max_error_xla": check_baseline.max_error,
@@ -308,7 +332,8 @@ def run_case(
             and check_baseline.ok()
             and (check_direct is None or check_direct.ok())
             and (check_wino4 is None or check_wino4.ok())
-            and int8_tier_ok
+            and (int8_rel_error is None or int8_rel_error < int8_tol)
+            and (bf16w_rel_error is None or bf16w_rel_error < bf16w_tol)
         ),
     }
 

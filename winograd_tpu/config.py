@@ -185,3 +185,14 @@ BENCH_WARMUP = 2
 # model, enforced by CheckResult.ok() with no fraction allowance.
 PARITY_ATOL = 1e-4
 BN_EPS = 1e-5
+
+# Reduced-precision serving-tier bounds (relative error vs the float64
+# golden, NOT the f32 parity bar): the bf16 weight-storage tier is set by
+# offline bf16 weight rounding (~2^-9 per weight; measured ~1e-3 on
+# unit-scale data), the int8 tier by 8-bit quantization (~1e-2). Composed
+# multi-layer runs (the 13-block backbone) compound per-layer error, so
+# their bounds are one notch looser.
+BF16W_RTOL = 5e-3
+BF16W_RTOL_BACKBONE = 2e-2
+INT8_RTOL = 5e-2
+INT8_RTOL_BACKBONE = 2e-1

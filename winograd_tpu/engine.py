@@ -36,13 +36,15 @@ class BottleneckEngine:
         tier: str = "f32",
     ):
         """tier "f32" (default) serves the strict-parity megakernels;
-        "int8" quantizes the weights at load time (per-output-channel) and
-        serves through the int8 weight-streaming stage kernel — the
-        throughput option for HBM-bound geometries (~1e-2 relative)."""
+        "bf16w" streams bfloat16 weights at half the f32 HBM bytes
+        (~1e-3 relative — the middle serving tier); "int8" quantizes the
+        weights at load time (per-output-channel) and serves through the
+        int8 weight-streaming stage kernel — the throughput option for
+        HBM-bound geometries (~1e-2 relative)."""
         self.algo3x3 = algo3x3
         self.mesh = mesh
         self.tier = tier
-        assert tier in ("f32", "int8"), tier
+        assert tier in ("f32", "bf16w", "int8"), tier
         dev = jax.devices()[0]
         if tier == "int8":
             from winograd_tpu.kernels.quantized import quantize_stage_params
@@ -82,6 +84,8 @@ class BottleneckEngine:
 
             return resnet_stage_int8_pallas(x, self._qstacked)
         plist = params_list if params_list is not None else self.params_list
+        if self.tier == "bf16w":
+            return resnet_stage_pallas(x, plist, precision="bf16w")
         if self.algo3x3 == "auto" and len(plist) > 1:
             return resnet_stage_pallas(x, plist)  # fused stage kernel when it fits
         for p in plist:
@@ -119,7 +123,7 @@ class BackboneEngine:
     weight-streaming tier."""
 
     def __init__(self, stages, tier: str = "f32"):
-        assert tier in ("f32", "int8"), tier
+        assert tier in ("f32", "bf16w", "int8"), tier
         self.tier = tier
         dev = jax.devices()[0]
         put = lambda p: {k: jax.device_put(jnp.asarray(v), dev) for k, v in p.items()}
@@ -140,10 +144,12 @@ class BackboneEngine:
 
                 return resnet50_stages_int8(x, self._qstages)
         else:
+            precision = "bf16w" if tier == "bf16w" else None
+
             def fwd(x):
                 from winograd_tpu.models.downsample import resnet50_stages
 
-                return resnet50_stages(x, self.stages)
+                return resnet50_stages(x, self.stages, precision=precision)
 
         self._fn = jax.jit(fwd)
 

@@ -222,6 +222,11 @@ def bottleneck_block_fused_pallas(
     def row(v, c):
         return jnp.asarray(v, jnp.float32).reshape(1, c)
 
+    # bf16 weight-storage tier (see kernels/direct.py::split_dot "bf16w"):
+    # halves the weight HBM reads; activations and BN rows stay f32.
+    wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
+    wbytes_per = 2 if precision == "bf16w" else 4
+
     const = lambda i: (0, 0)
     flops = 2 * n * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
     common_pre = [
@@ -249,7 +254,7 @@ def bottleneck_block_fused_pallas(
             h=h, w=w, cio=cio, cmid=cmid, cg=cg, precision=precision,
         )
         mid_spec = pl.BlockSpec((16, cmid, cmid), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-        mid_arg = jnp.asarray(params["u2_mid"], jnp.float32)
+        mid_arg = jnp.asarray(params["u2_mid"]).astype(wdt)
         scratch = [
             pltpu.VMEM((2 * th + 2, 2 * tw_pad + 2, cg), jnp.float32)
             for _ in range(cmid // cg)
@@ -264,7 +269,7 @@ def bottleneck_block_fused_pallas(
             _block_kernel, h=h, w=w, cio=cio, cmid=cmid, precision=precision
         )
         mid_spec = pl.BlockSpec((9 * cmid, cmid), const, memory_space=pltpu.VMEM)
-        mid_arg = jnp.asarray(params["w9_mid"], jnp.float32)
+        mid_arg = jnp.asarray(params["w9_mid"]).astype(wdt)
         scratch = [
             pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
             pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
@@ -279,20 +284,20 @@ def bottleneck_block_fused_pallas(
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4
-            * (2 * n * h * w * cio + cio * cmid * 2 + mid_weight_elems),
+            bytes_accessed=4 * 2 * n * h * w * cio
+            + wbytes_per * (cio * cmid * 2 + mid_weight_elems),
             transcendentals=0,
         ),
         interpret=interpret,
     )(
         x.astype(jnp.float32),
-        jnp.asarray(params["w_reduce"], jnp.float32),
+        jnp.asarray(params["w_reduce"]).astype(wdt),
         row(params["s_reduce"], cmid),
         row(params["b_reduce"], cmid),
         mid_arg,
         row(params["s_mid"], cmid),
         row(params["b_mid"], cmid),
-        jnp.asarray(params["w_expand"], jnp.float32),
+        jnp.asarray(params["w_expand"]).astype(wdt),
         row(params["s_expand"], cio),
         row(params["b_expand"], cio),
     )

@@ -35,8 +35,26 @@ def split_dot(a, b, precision: str):
         passes of "highest"; measured max err ~4e-5 on the conv shapes here
         (pre-BN), comfortably under the 1e-4 parity bar which the bench
         harness enforces on every run.
+    "bf16w": the bf16 WEIGHT-STORAGE tier — b must already be bfloat16
+        (rounded offline, streamed from HBM at half the f32 bytes); the f32
+        activation is split hi/lo so its contribution stays ~2^-17 and the
+        output error is set by the offline weight rounding alone (~1e-3
+        relative on unit-scale data — its own tier bound, between the f32
+        parity bar and int8's ~1e-2). 2 single-pass MXU dots; for the
+        HBM-bound streaming kernels the MXU is idle anyway.
     "default": single-pass bf16 (fails the parity bar; throughput probes).
     """
+    if precision == "bf16w":
+        assert b.dtype == jnp.bfloat16, b.dtype
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda p, q: jnp.dot(p, q, preferred_element_type=jnp.float32)
+        if a.ndim == 2 and a.shape[0] <= 128:
+            # Same skinny-GEMM weight-load halving as bf16x3 below.
+            r = a.shape[0]
+            d1 = d(jnp.concatenate([ah, al], axis=0), b)
+            return d1[:r] + d1[r:]
+        return d(ah, b) + d(al, b)
     if precision == "bf16x3":
         ah = a.astype(jnp.bfloat16)
         al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)

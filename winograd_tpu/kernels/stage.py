@@ -21,6 +21,7 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -136,7 +137,13 @@ def resnet_stage_fused_pallas(
     x: (H, W, Cio) or (N, H, W, Cio); stacked from stack_stage_params.
     mid_algo as in kernels/block.py: "auto" streams the F(2,3) filter and
     runs the winograd2 mid-layer on large maps (2x at 28x28), the direct
-    im2col GEMM otherwise."""
+    im2col GEMM otherwise.
+
+    precision="bf16w" selects the bf16 weight-STORAGE tier: the streamed
+    weight matrices are rounded to bfloat16 before the call, halving the
+    HBM bytes per block that bound wide geometries (conv5_x streams
+    17.8 MB/block in f32) at a ~1e-3 relative-error tier bound
+    (kernels/direct.py::split_dot)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -148,6 +155,10 @@ def resnet_stage_fused_pallas(
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # bf16 weight-storage tier: round the streamed matrices offline-style;
+    # BN rows and activations stay f32.
+    wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
+    wbytes_per = 2 if precision == "bf16w" else 4
 
     kernel = functools.partial(
         _stage_kernel,
@@ -166,7 +177,7 @@ def resnet_stage_fused_pallas(
         th, tw = -(-h // 2), -(-w // 2)
         tw_pad = _pad_tiles_w(tw)
         mid_spec = blk((16, cmid, cmid))
-        mid_arg = stacked["u2_mid"]
+        mid_arg = stacked["u2_mid"].astype(wdt)
         mid_scratch = [
             pltpu.VMEM((2 * th + 2, 2 * tw_pad + 2, cg), jnp.float32)
             for _ in range(cmid // cg)
@@ -174,7 +185,7 @@ def resnet_stage_fused_pallas(
         mid_weight_elems = 16 * cmid * cmid
     else:
         mid_spec = blk((9 * cmid, cmid))
-        mid_arg = stacked["w9_mid"]
+        mid_arg = stacked["w9_mid"].astype(wdt)
         mid_scratch = [
             pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
             pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
@@ -194,19 +205,32 @@ def resnet_stage_fused_pallas(
         scratch_shapes=[pltpu.VMEM((h * w, cio), jnp.float32)] + mid_scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4
-            * (2 * n * h * w * cio + n_blocks * (2 * cio * cmid + mid_weight_elems)),
+            bytes_accessed=4 * 2 * n * h * w * cio
+            + wbytes_per * n_blocks * (2 * cio * cmid + mid_weight_elems),
             transcendentals=0,
         ),
         # Double-buffered weight streaming + persistent activation scratch
-        # needs ~17 MB; raise the compiler's conservative 16 MB scoped cap
-        # (v5e has far more physical VMEM).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+        # needs ~17 MB at conv4_x (and ~30 MB for a streamed conv5_x block);
+        # raise the compiler's conservative 16 MB scoped cap to a footprint
+        # estimate (v5e has far more physical VMEM).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                24 * 1024 * 1024,
+                int(
+                    1.25
+                    * (
+                        2 * wbytes_per * (2 * cio * cmid + mid_weight_elems)
+                        + 4 * (4 * h * w * cio + h * w * cio)
+                        + 4 * sum(int(np.prod(s.shape)) for s in mid_scratch)
+                    )
+                ),
+            )
+        ),
         interpret=interpret,
     )(
         x.astype(jnp.float32),
-        stacked["w_reduce"], stacked["s_reduce"], stacked["b_reduce"],
+        stacked["w_reduce"].astype(wdt), stacked["s_reduce"], stacked["b_reduce"],
         mid_arg, stacked["s_mid"], stacked["b_mid"],
-        stacked["w_expand"], stacked["s_expand"], stacked["b_expand"],
+        stacked["w_expand"].astype(wdt), stacked["s_expand"], stacked["b_expand"],
     )
     return out[0] if squeeze else out

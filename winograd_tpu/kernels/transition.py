@@ -128,7 +128,12 @@ def transition_block_fused_pallas(
     (N, H, W, Cin); params needs w_reduce/s_reduce/b_reduce, w9_mid (direct
     im2col layout, kernels/direct.py)/s_mid/b_mid, w_expand/s_expand/
     b_expand, w_proj/s_proj/b_proj (see models/downsample.py). Returns
-    (..., ceil(H/2), ceil(W/2), Cout)."""
+    (..., ceil(H/2), ceil(W/2), Cout).
+
+    precision="bf16w" selects the bf16 weight-storage tier: all four
+    weight matrices are rounded to bfloat16, halving the streamed bytes
+    that bound the wide transitions (conv4_x -> conv5_x: ~24 MB f32) at a
+    ~1e-3 relative-error tier bound (kernels/direct.py::split_dot)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -162,6 +167,9 @@ def transition_block_fused_pallas(
     def row(v, c):
         return jnp.asarray(v, jnp.float32).reshape(1, c)
 
+    wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
+    wbytes_per = 2 if precision == "bf16w" else 4
+
     kernel = functools.partial(
         _transition_kernel,
         h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid, precision=precision,
@@ -172,7 +180,7 @@ def transition_block_fused_pallas(
         h * w * cin * cmid
         + ho * wo * (9 * cmid * cmid + cmid * cout + cin * cout)
     )
-    weight_bytes = 4 * (cin * cmid + 9 * cmid * cmid + (cmid + cin) * cout)
+    weight_bytes = wbytes_per * (cin * cmid + 9 * cmid * cmid + (cmid + cin) * cout)
     out = pl.pallas_call(
         kernel,
         grid=(n, n_j),
@@ -218,16 +226,16 @@ def transition_block_fused_pallas(
         interpret=interpret,
     )(
         x.astype(jnp.float32),
-        jnp.asarray(params["w_reduce"], jnp.float32),
+        jnp.asarray(params["w_reduce"]).astype(wdt),
         row(params["s_reduce"], cmid),
         row(params["b_reduce"], cmid),
-        jnp.asarray(params["w9_mid"], jnp.float32),
+        jnp.asarray(params["w9_mid"]).astype(wdt),
         row(params["s_mid"], cmid),
         row(params["b_mid"], cmid),
-        jnp.asarray(params["w_expand"], jnp.float32),
+        jnp.asarray(params["w_expand"]).astype(wdt),
         row(params["s_expand"], cout),
         row(params["b_expand"], cout),
-        jnp.asarray(params["w_proj"], jnp.float32),
+        jnp.asarray(params["w_proj"]).astype(wdt),
         row(params["s_proj"], cout),
         row(params["b_proj"], cout),
     )

@@ -56,7 +56,7 @@ def conv3x3_s2_bn_relu_pallas(x, w9, scale, bias, relu: bool = True) -> jax.Arra
 
 
 def downsample_bottleneck_block_pallas(
-    x: jax.Array, params: Dict, algo: str = "fused"
+    x: jax.Array, params: Dict, algo: str = "fused", precision: str | None = None
 ) -> jax.Array:
     """ResNet v1.5 transition block: 1x1 reduce -> stride-2 3x3 -> 1x1
     expand, stride-2 1x1 projection shortcut. Extra params vs the identity
@@ -65,11 +65,14 @@ def downsample_bottleneck_block_pallas(
     algo "fused" (default) runs the whole block as ONE Pallas megakernel
     (kernels/transition.py); "composed" chains the per-layer fused kernels
     with XLA strided staging (the round-1 path, kept as a second
-    implementation / oracle)."""
+    implementation / oracle). precision="bf16w" (fused only) streams
+    bfloat16 weights at half the f32 bytes (~1e-3 relative tier)."""
     if algo == "fused":
         from winograd_tpu.kernels.transition import transition_block_fused_pallas
 
-        return transition_block_fused_pallas(x, params)
+        kw = {} if precision is None else {"precision": precision}
+        return transition_block_fused_pallas(x, params, **kw)
+    assert precision is None, "precision tiers require the fused kernel"
     assert algo == "composed", algo
     h = conv1x1_bn_pallas(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
     h = conv3x3_s2_bn_relu_pallas(h, params["w9_mid"], params["s_mid"], params["b_mid"], relu=True)
@@ -80,17 +83,26 @@ def downsample_bottleneck_block_pallas(
     return jnp.maximum(h + skip, 0.0)
 
 
-def resnet50_stages(x: jax.Array, stages: List[Dict]) -> jax.Array:
+def resnet50_stages(
+    x: jax.Array, stages: List[Dict], precision: str | None = None
+) -> jax.Array:
     """Run a list of stages; each stage dict has optional "transition"
     (downsample params) and "blocks" (list of identity-block params).
     Identity runs go through resnet_stage_pallas, which fuses a uniform
-    stage into ONE weight-streaming Pallas kernel when it fits."""
+    stage into ONE weight-streaming Pallas kernel when it fits.
+
+    precision="bf16w" serves the whole backbone at the bf16 weight-storage
+    tier: every stage kernel and every transition kernel streams bfloat16
+    weights (half the f32 HBM bytes end to end, ~1e-3 relative bound —
+    the middle tier between f32 parity and int8)."""
     from winograd_tpu.models.resnet import resnet_stage_pallas
 
     for stage in stages:
         if stage.get("transition") is not None:
-            x = downsample_bottleneck_block_pallas(x, stage["transition"])
-        x = resnet_stage_pallas(x, stage["blocks"])
+            x = downsample_bottleneck_block_pallas(
+                x, stage["transition"], precision=precision
+            )
+        x = resnet_stage_pallas(x, stage["blocks"], precision=precision)
     return x
 
 

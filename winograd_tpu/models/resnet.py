@@ -131,25 +131,36 @@ def bottleneck_block_train(
     return jnp.maximum(h + x, 0.0)
 
 
-def resnet_stage_pallas(x: jax.Array, params_list, algo: str = "auto") -> jax.Array:
+def resnet_stage_pallas(
+    x: jax.Array, params_list, algo: str = "auto", precision: str | None = None
+) -> jax.Array:
     """A stack of bottleneck blocks (e.g. ResNet-50 conv4_x is 6 of these).
 
     algo: "fused_stage" runs the WHOLE stage as one Pallas kernel with
     weight streaming (kernels/stage.py — fastest measured); "per_block"
     chains block kernels; "auto" picks fused_stage when every block shares
     the conv4_x-class geometry and has the direct-layout artifact.
+
+    precision="bf16w" selects the bf16 weight-storage serving tier: the
+    stage kernel streams bfloat16 weights at half the f32 bytes (the lever
+    for HBM-bound geometries like conv5_x), ~1e-3 relative tier bound. It
+    always uses the streaming stage kernel, single-block stages included.
     """
+    bf16w = precision == "bf16w"
     if algo == "auto":
         uniform = (
-            len(params_list) > 1
+            (len(params_list) > 1 or bf16w)
             and all("w9_mid" in p for p in params_list)
             and len({p["w_reduce"].shape for p in params_list}) == 1
         )
         if uniform:
             cio, cmid = params_list[0]["w_reduce"].shape
             # One block's weights, double-buffered, must fit next to the
-            # activation/col scratch (see kernels/stage.py).
-            uniform = 8 * (2 * cio * cmid + 9 * cmid * cmid) <= 10 * 2**20
+            # activation/col scratch (see kernels/stage.py); the bf16 tier
+            # halves the per-block bytes and rides the kernel's dynamic
+            # VMEM cap, so its ceiling is looser.
+            wbytes = (2 if bf16w else 4) * 2 * (2 * cio * cmid + 9 * cmid * cmid)
+            uniform = wbytes <= (40 * 2**20 if bf16w else 10 * 2**20)
         algo = "fused_stage" if uniform else "per_block"
     if algo == "fused_stage":
         from winograd_tpu.kernels.stage import (
@@ -157,7 +168,9 @@ def resnet_stage_pallas(x: jax.Array, params_list, algo: str = "auto") -> jax.Ar
             stack_stage_params,
         )
 
-        return resnet_stage_fused_pallas(x, stack_stage_params(params_list))
+        kw = {} if precision is None else {"precision": precision}
+        return resnet_stage_fused_pallas(x, stack_stage_params(params_list), **kw)
+    assert not bf16w, "bf16w tier requires the streaming fused_stage path"
     for params in params_list:
         x = bottleneck_block_pallas(x, params)
     return x
