@@ -186,3 +186,42 @@ def _block_bwd(res, g):
 
 
 bottleneck_block_train_fused.defvjp(_block_fwd, _block_bwd)
+
+
+# --- stride-2 transition megakernel -------------------------------------------
+
+
+@jax.custom_vjp
+def transition_block_train_fused(x, params):
+    """Differentiable stride-2 transition block whose FORWARD is the fused
+    Pallas transition megakernel (kernels/transition.py) — with
+    bottleneck_block_train_fused this makes the ENTIRE backbone trainable
+    through the same kernels serving runs. params carries the RAW w_mid
+    (Cmid, Cmid, 3, 3); the direct im2col layout is a fixed permutation
+    applied in-trace. BACKWARD is XLA autodiff of the identical math
+    (ops/jnp_ops.py downsample_bottleneck_block), rematerialized."""
+    return _transition_fused_forward(x, params)
+
+
+def _transition_fused_forward(x, params):
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.kernels.transition import transition_block_fused_pallas
+
+    kp = dict(params)
+    kp["w9_mid"] = direct_filter(params["w_mid"])
+    return transition_block_fused_pallas(x, kp)
+
+
+def _transition_fwd(x, params):
+    return _transition_fused_forward(x, params), (x, params)
+
+
+def _transition_bwd(res, g):
+    from winograd_tpu.ops import jnp_ops
+
+    x, params = res
+    _, vjp_fn = jax.vjp(jnp_ops.downsample_bottleneck_block, x, params)
+    return vjp_fn(g)
+
+
+transition_block_train_fused.defvjp(_transition_fwd, _transition_bwd)

@@ -106,6 +106,26 @@ def resnet50_stages(
     return x
 
 
+def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
+    """Differentiable multi-stage backbone whose FORWARD runs the SAME
+    fused megakernels serving uses (block + transition custom VJPs,
+    kernels/vjp.py) — trained forward == served forward, end to end.
+    Block/transition params carry the raw w_mid (offline layouts derived
+    in-trace); BN stays folded (scale, bias), matching the training
+    parameterization of models/resnet.py::bottleneck_block_train."""
+    from winograd_tpu.kernels.vjp import (
+        bottleneck_block_train_fused,
+        transition_block_train_fused,
+    )
+
+    for stage in stages:
+        if stage.get("transition") is not None:
+            x = transition_block_train_fused(x, stage["transition"])
+        for b in stage["blocks"]:
+            x = bottleneck_block_train_fused(x, b)
+    return x
+
+
 def quantize_backbone(stages: List[Dict]) -> List[Dict]:
     """Offline int8 quantization of a whole backbone (resnet50_stages
     structure) for resnet50_stages_int8."""
