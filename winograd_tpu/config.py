@@ -22,6 +22,7 @@ Extensions beyond the reference:
     9/10: conv3_x / conv5_x block geometries (28x28 and 7x7)
     11/12: stride-2 stage transitions (fused megakernel)
     13: the 13-block conv3_x->conv4_x->conv5_x backbone
+    14: the same backbone at batch 8 (serving-throughput regime)
 """
 
 from __future__ import annotations
@@ -125,6 +126,9 @@ class BackboneConfig:
 
 
 CASES[13] = BackboneConfig("resnet50_backbone_13")
+# Batched serving: the same 13-block backbone at N=8 (throughput regime —
+# the megakernel grids batch over images; reference is N=1 only).
+CASES[14] = BackboneConfig("resnet50_backbone_13_b8", batch=8)
 
 
 def case_flops(cfg) -> int:

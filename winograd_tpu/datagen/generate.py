@@ -336,6 +336,11 @@ def _write_pointwise_files(outdir: str, cfg: LayerConfig, case: Dict[str, np.nda
 def generate_all(outdir: str = "data", seed: int = 0) -> None:
     os.makedirs(outdir, exist_ok=True)
     for mode, cfg in CASES.items():
+        if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
+            # The batched-backbone case (mode 14) is bench-only: its float64
+            # golden chain costs ~2 min and ~100 MB on disk; the bench
+            # generates it in memory (same seeded path).
+            continue
         case = make_case(mode, seed=seed + mode)
         if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
             np.savez(os.path.join(outdir, f"{cfg.name}.npz"), **case)

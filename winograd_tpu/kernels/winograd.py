@@ -335,16 +335,26 @@ def _winograd_dense(
 
 
 def _vmem_bytes(
-    m: int, nb: int, tiles_h: int, tiles_w: int, h: int, w: int, cin: int, tile_co: int
+    m: int,
+    nb: int,
+    tiles_h: int,
+    tiles_w: int,
+    h: int,
+    w: int,
+    cin: int,
+    tile_co: int,
+    n_j: int = 1,
 ) -> int:
     """Estimated kernel VMEM: padded staging + transform/GEMM values (the
-    compiler materializes the a^2 V and M values) + double-buffered blocks."""
+    compiler materializes the a^2 V and M values) + double-buffered blocks
+    + the V stash scratch used when output channels are tiled (n_j > 1)."""
     a2 = (m + 2) * (m + 2)
     nt = tiles_h * _pad_tiles_w(tiles_w)
     pad_hw = (m * tiles_h + 2) * (m * _pad_tiles_w(tiles_w) + 2)
     values = a2 * nb * nt * (cin + tile_co)
     blocks = 2 * (nb * h * w * (cin + tile_co) + a2 * cin * tile_co)
-    return 4 * (nb * pad_hw * cin + values + blocks)
+    stash = a2 * nb * nt * cin if n_j > 1 else 0
+    return 4 * (nb * pad_hw * cin + values + blocks + stash)
 
 
 @functools.partial(
@@ -405,17 +415,20 @@ def conv3x3_bn_winograd_pallas(
     assert cout % tile_co == 0, (cout, tile_co)
     assert tile_co <= 128, f"tile_co must be <= one lane tile, got {tile_co}"
 
-    # Images per grid step: grow the tile-GEMM row block toward the MXU's
-    # 128 rows (NT rows per image), bounded by a VMEM budget.
+    # Images per grid step: grow the tile-GEMM row block, bounded only by
+    # the VMEM budget. Measured at N=8: rows well past the MXU's 128 keep
+    # paying (128ch nb=8 / 448 rows: 5.7 -> 3.85 us; 256ch nb=4 / 224 rows:
+    # 27 -> 23.7 us) — more rows amortize the per-position weight loads,
+    # and the VMEM estimate stops before the configs that blow the budget.
     nt = tiles_h * tiles_w
+    n_j = cout // tile_co
     if nb is None:
         nb = 1
         while (
             nb * 2 <= n
             and n % (nb * 2) == 0
-            and nb * 2 * nt <= 128
-            and _vmem_bytes(m, nb * 2, tiles_h, tiles_w, h, w, cin, tile_co)
-            <= 14 * 2**20
+            and _vmem_bytes(m, nb * 2, tiles_h, tiles_w, h, w, cin, tile_co, n_j)
+            <= 20 * 2**20
         ):
             nb *= 2
     assert n % nb == 0, (n, nb)
