@@ -140,3 +140,35 @@ def test_multi_stage_backbone_composes():
     out = resnet50_stages(x, stages)
     assert out.shape == (2, 7, 7, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_transition_weight_resident_batched():
+    """Batched inputs take the tile-outer weight-resident transition layout
+    (kernels/transition.py::_transition_kernel_resident — the wide expand/
+    projection weights stream once for the whole batch). Must match the
+    per-image kernel and the golden."""
+    from winograd_tpu.config import CASES
+    from winograd_tpu.datagen.generate import make_transition_case, transition_params
+    from winograd_tpu.kernels.transition import transition_block_fused_pallas
+
+    cfg = CASES[11]
+    case = make_transition_case(cfg, seed=51)
+    params = transition_params(case)
+    x1 = case["x"]
+    xb = np.stack([x1, 0.5 * x1, -x1])
+    # tile_co=128 forces n_j > 1 so the batched call takes the resident
+    # layout (at n_j == 1 it deliberately keeps the image-outer kernel).
+    out_b = np.asarray(transition_block_fused_pallas(xb, params, tile_co=128))
+    per_img = np.stack(
+        [
+            np.asarray(transition_block_fused_pallas(xb[i], params))
+            for i in range(xb.shape[0])
+        ]
+    )
+    assert np.abs(out_b - per_img).max() < PARITY_ATOL
+    assert np.abs(out_b[0] - case["golden"]).max() < 10 * PARITY_ATOL
+    out_bf = np.asarray(
+        transition_block_fused_pallas(xb, params, tile_co=128, precision="bf16w")
+    )
+    rel = np.abs(out_bf - per_img).max() / np.abs(per_img).max()
+    assert rel < 5e-3, rel

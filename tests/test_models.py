@@ -91,3 +91,39 @@ def test_init_and_stage():
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
     assert (np.asarray(out) >= 0).all()  # final ReLU
+
+
+def test_stage_weight_resident_batched():
+    """Batched inputs take the block-outer weight-resident stage layout
+    (kernels/stage.py::_stage_kernel_resident — each block's weights are
+    fetched once for the whole batch). Must match the per-image streaming
+    kernel bitwise-close and the golden chain, on both mid algorithms."""
+    from winograd_tpu.config import BlockConfig
+    from winograd_tpu.datagen.generate import block_params_list, make_block_case
+    from winograd_tpu.kernels.stage import resnet_stage_fused_pallas, stack_stage_params
+
+    cfg = BlockConfig("t", c_io=256, c_mid=64, hw=14, blocks=3, batch=4)
+    case = make_block_case(cfg, seed=41)
+    stacked = stack_stage_params(block_params_list(cfg, case))
+    x = case["x"]
+    assert x.shape[0] == 4
+    for mid_algo in ("direct", "winograd2"):
+        out_b = np.asarray(
+            resnet_stage_fused_pallas(x, stacked, mid_algo=mid_algo)
+        )
+        per_img = np.stack(
+            [
+                np.asarray(
+                    resnet_stage_fused_pallas(x[i], stacked, mid_algo=mid_algo)
+                )
+                for i in range(x.shape[0])
+            ]
+        )
+        assert np.abs(out_b - per_img).max() < PARITY_ATOL, mid_algo
+        assert np.abs(out_b - case["golden"]).max() < 10 * PARITY_ATOL, mid_algo
+    # bf16w tier rides the same resident layout.
+    out_bf = np.asarray(
+        resnet_stage_fused_pallas(x, stacked, mid_algo="direct", precision="bf16w")
+    )
+    rel = np.abs(out_bf - case["golden"]).max() / np.abs(case["golden"]).max()
+    assert rel < 5e-3, rel

@@ -120,3 +120,44 @@ def test_int8_conv_matches_f32_at_8bit_tier(relu):
     # And it must be far better than pure noise: correlation ~ 1.
     corr = np.corrcoef(out.ravel(), gold.ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_int8_stage_and_transition_weight_resident_batched():
+    """Batched int8 stage/transition take the weight-resident layouts
+    (block-outer / tile-outer grids — int8 weights fetched once per batch);
+    must match the per-image kernels exactly."""
+    from winograd_tpu.config import CASES, BlockConfig
+    from winograd_tpu.datagen.generate import (
+        block_params_list,
+        make_block_case,
+        make_transition_case,
+        transition_params,
+    )
+    from winograd_tpu.kernels.quantized import (
+        quantize_stage_params,
+        quantize_transition_params,
+        resnet_stage_int8_pallas,
+        transition_block_int8_pallas,
+    )
+
+    cfg = BlockConfig("t", c_io=256, c_mid=64, hw=14, blocks=3, batch=4)
+    case = make_block_case(cfg, seed=71)
+    qs = quantize_stage_params(block_params_list(cfg, case))
+    x = case["x"]
+    out_b = np.asarray(resnet_stage_int8_pallas(x, qs))
+    per = np.stack(
+        [np.asarray(resnet_stage_int8_pallas(x[i], qs)) for i in range(4)]
+    )
+    assert np.abs(out_b - per).max() < 1e-5
+    rel = np.abs(out_b - case["golden"]).max() / np.abs(case["golden"]).max()
+    assert rel < 5e-2, rel
+
+    tcase = make_transition_case(CASES[11], seed=72)
+    qp = quantize_transition_params(transition_params(tcase))
+    x1 = tcase["x"]
+    xb = np.stack([x1, 0.5 * x1, -x1])
+    tb = np.asarray(transition_block_int8_pallas(xb, qp, tile_co=128))
+    tper = np.stack(
+        [np.asarray(transition_block_int8_pallas(xb[i], qp)) for i in range(3)]
+    )
+    assert np.abs(tb - tper).max() < 1e-5

@@ -281,9 +281,26 @@ def _stage_int8_kernel(
     def _load_input():
         act_ref[:] = x_ref[0].reshape(hw, cio)
 
-    x2 = act_ref[:]
-    h1 = jnp.maximum(_qdot(x2, wr_ref[0], wr_s_ref[0]) * s1_ref[0] + b1_ref[0], 0.0)
+    y = _stage_int8_block_body(
+        act_ref[:], wr_ref, wr_s_ref, s1_ref, b1_ref,
+        w9_ref, w9_s_ref, s2_ref, b2_ref, we_ref, we_s_ref, s3_ref, b3_ref,
+        xpad_ref, col_ref, h=h, w=w, cmid=cmid,
+    )
+    act_ref[:] = y
 
+    @pl.when(b == n_blocks - 1)
+    def _store_output():
+        out_ref[0] = y.reshape(h, w, cio)
+
+
+def _stage_int8_block_body(x2, wr_ref, wr_s_ref, s1_ref, b1_ref,
+                           w9_ref, w9_s_ref, s2_ref, b2_ref,
+                           we_ref, we_s_ref, s3_ref, b3_ref,
+                           xpad_ref, col_ref, *, h, w, cmid):
+    """One int8 bottleneck block on one image's rows (shared by the
+    image-outer streaming kernel and the weight-resident batched one)."""
+    hw = h * w
+    h1 = jnp.maximum(_qdot(x2, wr_ref[0], wr_s_ref[0]) * s1_ref[0] + b1_ref[0], 0.0)
     xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
     xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
     xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
@@ -293,15 +310,59 @@ def _stage_int8_kernel(
         for s in range(3):
             patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
             col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
-    h2 = jnp.maximum(_qdot(col_ref[:], w9_ref[0], w9_s_ref[0]) * s2_ref[0] + b2_ref[0], 0.0)
-
+    h2 = jnp.maximum(
+        _qdot(col_ref[:], w9_ref[0], w9_s_ref[0]) * s2_ref[0] + b2_ref[0], 0.0
+    )
     h3 = _qdot(h2, we_ref[0], we_s_ref[0]) * s3_ref[0] + b3_ref[0]
-    y = jnp.maximum(h3 + x2, 0.0)
-    act_ref[:] = y
+    return jnp.maximum(h3 + x2, 0.0)
+
+
+def _stage_int8_kernel_resident(
+    x_hbm,     # (N, H*W, Cio) f32 in ANY (HBM)
+    wr_ref, wr_s_ref, s1_ref, b1_ref,
+    w9_ref, w9_s_ref, s2_ref, b2_ref,
+    we_ref, we_s_ref, s3_ref, b3_ref,
+    out_hbm,   # (N, H*W, Cio) in ANY (HBM)
+    act_ref,   # scratch (N, H*W, Cio) — every image's activation, resident
+    sem,       # DMA semaphores (2,)
+    xpad_ref,
+    col_ref,
+    *,
+    h: int,
+    w: int,
+    cio: int,
+    cmid: int,
+    n_blocks: int,
+):
+    """Block-OUTER batched int8 stage (kernels/stage.py resident layout):
+    grid (n_blocks, N); each block's int8 weights are fetched once for the
+    whole batch instead of once per image. Rows padded to roundup(H*W, 8)
+    outside the kernel (kernels/stage.py::_pad_rows)."""
+    hw = h * w
+    hw_pad = act_ref.shape[1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _load_image():
+        cp = pltpu.make_async_copy(x_hbm.at[i], act_ref.at[i], sem.at[0])
+        cp.start()
+        cp.wait()
+
+    y = _stage_int8_block_body(
+        act_ref[i][:hw], wr_ref, wr_s_ref, s1_ref, b1_ref,
+        w9_ref, w9_s_ref, s2_ref, b2_ref, we_ref, we_s_ref, s3_ref, b3_ref,
+        xpad_ref, col_ref, h=h, w=w, cmid=cmid,
+    )
+    if hw_pad != hw:
+        y = jnp.concatenate([y, jnp.zeros((hw_pad - hw, cio), jnp.float32)])
+    act_ref[i] = y
 
     @pl.when(b == n_blocks - 1)
-    def _store_output():
-        out_ref[0] = y.reshape(h, w, cio)
+    def _store_image():
+        cp = pltpu.make_async_copy(act_ref.at[i], out_hbm.at[i], sem.at[1])
+        cp.start()
+        cp.wait()
 
 
 # --- int8 stride-2 transition kernel ------------------------------------------
@@ -383,13 +444,97 @@ def _transition_int8_kernel(
     out_ref[0] = jnp.maximum(h3 + skip, 0.0).reshape(ho, wo, tile_co)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_co", "interpret"))
+def _transition_int8_kernel_resident(
+    x_hbm,     # (N, H, W, Cin) f32 in ANY (HBM) — manually DMA'd at j == 0
+    wr_ref, wr_s_ref, s1_ref, b1_ref,
+    w9_ref, w9_s_ref, s2_ref, b2_ref,
+    we_ref, we_s_ref, s3_ref, b3_ref,   # streamed over OUTER j — once/batch
+    wp_ref, wp_s_ref, sp_ref, bp_ref,   # streamed over OUTER j
+    out_ref,   # (1, HO, WO, TILE_CO)
+    xin_ref,   # scratch (HWp, Cin)        DMA landing buffer (padded rows)
+    h2_ref,    # scratch (N, HWOp, Cmid)   every image's mid output
+    xs_ref,    # scratch (N, HWOp, Cin)    every image's subsampled skip
+    col_ref,   # scratch (HO*WO, 9*Cmid)
+    sem,       # DMA semaphore
+    *xpads,
+    h: int,
+    w: int,
+    cin: int,
+    cmid: int,
+    n_mid_groups: int,
+):
+    """Tile-OUTER batched int8 transition (kernels/transition.py resident
+    layout): grid (n_j, N); each expand/projection int8 tile streams once
+    for the whole batch. Rows padded to HWOp = roundup(HO*WO, 8)."""
+    ho, wo = -(-h // 2), -(-w // 2)
+    hwo = ho * wo
+    hwo_pad = h2_ref.shape[1]
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    mids = xpads[:n_mid_groups]
+    ins = xpads[n_mid_groups:]
+    cgm = mids[0].shape[-1]
+    cgi = ins[0].shape[-1]
+
+    def pad_rows(v):
+        if hwo_pad == hwo:
+            return v
+        return jnp.concatenate(
+            [v, jnp.zeros((hwo_pad - hwo, v.shape[1]), jnp.float32)]
+        )
+
+    @pl.when(j == 0)
+    def _front():
+        cp = pltpu.make_async_copy(x_hbm.at[i], xin_ref, sem)
+        cp.start()
+        cp.wait()
+        x2 = xin_ref[:][: h * w]
+        h1 = jnp.maximum(
+            _qdot(x2, wr_ref, wr_s_ref[:]) * s1_ref[:] + b1_ref[:], 0.0
+        ).reshape(h, w, cmid)
+        for g, xp in enumerate(mids):
+            gsl = slice(g * cgm, (g + 1) * cgm)
+            ph, pw = xp.shape[0], xp.shape[1]
+            xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
+            xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
+            xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
+            xp[1 : h + 1, w + 1 :, :] = jnp.zeros((h, pw - w - 1, cgm), jnp.float32)
+            xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
+            for r in range(3):
+                for s in range(3):
+                    patch = xp[
+                        pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
+                    ].reshape(hwo, cgm)
+                    base = (3 * r + s) * cmid + g * cgm
+                    col_ref[:, base : base + cgm] = patch
+        h2_ref[i] = pad_rows(
+            jnp.maximum(
+                _qdot(col_ref[:], w9_ref, w9_s_ref[:]) * s2_ref[:] + b2_ref[:], 0.0
+            )
+        )
+        for g, xg in enumerate(ins):
+            gsl = slice(g * cgi, (g + 1) * cgi)
+            xg[:, :, :] = x2[:, gsl].reshape(h, w, cgi)
+            xs_ref[i, :, gsl] = pad_rows(
+                xg[pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :].reshape(hwo, cgi)
+            )
+
+    h3 = _qdot(h2_ref[i], we_ref, we_s_ref[:]) * s3_ref[:] + b3_ref[:]
+    skip = _qdot(xs_ref[i], wp_ref, wp_s_ref[:]) * sp_ref[:] + bp_ref[:]
+    tile_co = out_ref.shape[-1]
+    out_ref[0] = jnp.maximum(h3 + skip, 0.0)[:hwo].reshape(ho, wo, tile_co)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_co", "interpret", "resident")
+)
 def transition_block_int8_pallas(
     x: jax.Array,
     qparams: dict,
     *,
     tile_co: int | None = None,
     interpret: bool | None = None,
+    resident: bool | None = None,
 ) -> jax.Array:
     """Int8 fused stride-2 transition block (kernels/transition.py structure,
     int8 MXU GEMMs with per-row dynamic activation quant). Completes the
@@ -424,18 +569,46 @@ def transition_block_int8_pallas(
     def row(v, c):
         return jnp.asarray(v, jnp.float32).reshape(1, c)
 
+    # Batched inputs take the tile-outer weight-resident layout (see the
+    # f32 twin in kernels/transition.py); at n_j == 1 the image-outer
+    # layout already fetches the weights once per batch, and its pipelined
+    # x blocks beat the resident path's blocking per-image DMA.
+    if resident is None:
+        resident = n > 1 and n_j > 1
+    resident = resident and n > 1 and n_j > 1
     kernel = functools.partial(
-        _transition_int8_kernel,
+        _transition_int8_kernel_resident if resident else _transition_int8_kernel,
         h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid,
     )
-    res = lambda i, j: (0, 0)
-    stream = lambda i, j: (0, j)
+    if resident:
+        from winograd_tpu.kernels.stage import _pad_rows
+
+        res = lambda j, i: (0, 0)
+        stream = lambda j, i: (0, j)
+        out_idx = lambda j, i: (i, 0, 0, j)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        grid = (n_j, n)
+        # Rows layout, padded to the sublane tile (kernels/transition.py).
+        x_arg = x.astype(jnp.float32).reshape(n, h * w, cin)
+        if _pad_rows(h * w) != h * w:
+            x_arg = jnp.pad(
+                x_arg, ((0, 0), (0, _pad_rows(h * w) - h * w), (0, 0))
+            )
+    else:
+        res = lambda i, j: (0, 0)
+        stream = lambda i, j: (0, j)
+        out_idx = lambda i, j: (i, 0, 0, j)
+        x_spec = pl.BlockSpec(
+            (1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        grid = (n, n_j)
+        x_arg = x.astype(jnp.float32)
     flops = 2 * n * (
         h * w * cin * cmid
         + ho * wo * (9 * cmid * cmid + cmid * cout + cin * cout)
     )
     specs = [
-        pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        x_spec,
         pl.BlockSpec((cin, cmid), res, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
@@ -453,33 +626,51 @@ def transition_block_int8_pallas(
         pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
     ]
+    if resident:
+        from winograd_tpu.kernels.stage import _pad_rows
+
+        hw_pad = _pad_rows(h * w)
+        hwo_pad = _pad_rows(ho * wo)
+        scratch_shapes = [
+            pltpu.VMEM((hw_pad, cin), jnp.float32),  # DMA landing buffer
+            pltpu.VMEM((n, hwo_pad, cmid), jnp.float32),
+            pltpu.VMEM((n, hwo_pad, cin), jnp.float32),
+            pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((ho * wo, cmid), jnp.float32),
+            pltpu.VMEM((ho * wo, cin), jnp.float32),
+            pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
+        ]
+    scratch_shapes = (
+        scratch_shapes
+        + [pltpu.VMEM((ph, pw, cgm), jnp.float32) for _ in range(n_mid)]
+        + [pltpu.VMEM((h, w, cgi), jnp.float32) for _ in range(cin // cgi)]
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(n, n_j),
+        grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec(
-            (1, ho, wo, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+            (1, ho, wo, tile_co), out_idx, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.float32),
-        scratch_shapes=(
-            [
-                pltpu.VMEM((ho * wo, cmid), jnp.float32),
-                pltpu.VMEM((ho * wo, cin), jnp.float32),
-                pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
-            ]
-            + [pltpu.VMEM((ph, pw, cgm), jnp.float32) for _ in range(n_mid)]
-            + [pltpu.VMEM((h, w, cgi), jnp.float32) for _ in range(cin // cgi)]
-        ),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * n * (h * w * cin + ho * wo * cout)
-            + cin * cmid + 9 * cmid * cmid + (cmid + cin) * cout,
+            + (1 if resident else n)
+            * (cin * cmid + 9 * cmid * cmid + (cmid + cin) * cout),
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(24 + (4 * n if resident else 0)) * 1024 * 1024
+        ),
         interpret=interpret,
     )(
-        x.astype(jnp.float32),
+        x_arg,
         qparams["w_reduce_q"], row(qparams["w_reduce_s"], cmid),
         row(qparams["s_reduce"], cmid), row(qparams["b_reduce"], cmid),
         qparams["w9_mid_q"], row(qparams["w9_mid_s"], cmid),
@@ -492,12 +683,13 @@ def transition_block_int8_pallas(
     return out[0] if squeeze else out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "resident"))
 def resnet_stage_int8_pallas(
     x: jax.Array,
     qstacked: dict,
     *,
     interpret: bool | None = None,
+    resident: bool | None = None,
 ) -> jax.Array:
     """A whole stage of int8 bottleneck blocks in ONE Pallas kernel with
     weight streaming (kernels/stage.py structure): the activation persists
@@ -515,40 +707,34 @@ def resnet_stage_int8_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Batched inputs take the block-outer weight-resident layout
+    # (kernels/stage.py design): each block's int8 weights are fetched once
+    # for the whole batch instead of once per image. At n_blocks == 1 the
+    # image-outer layout's constant weight index already fetches once.
+    if resident is None:
+        resident = n > 1 and n_blocks > 1
+    resident = resident and n > 1
     kernel = functools.partial(
-        _stage_int8_kernel, h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks
+        _stage_int8_kernel_resident if resident else _stage_int8_kernel,
+        h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
     )
     img = lambda i, b: (i, 0, 0, 0)
-    blk = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM
-    )
+    if resident:
+        blk = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        blk = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
     flops = 2 * n * n_blocks * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
     wbytes = n_blocks * (2 * cio * cmid + 9 * cmid * cmid)  # int8: 1 B each
-    out = pl.pallas_call(
-        kernel,
-        grid=(n, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
-            blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
-            blk((9 * cmid, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
-            blk((cmid, cio)), blk((1, cio)), blk((1, cio)), blk((1, cio)),
-        ],
-        out_specs=pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, cio), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((h * w, cio), jnp.float32),
-            pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
-            pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=4 * 2 * n * h * w * cio + wbytes,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
-        interpret=interpret,
-    )(
-        x.astype(jnp.float32),
+    weight_specs = [
+        blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
+        blk((9 * cmid, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
+        blk((cmid, cio)), blk((1, cio)), blk((1, cio)), blk((1, cio)),
+    ]
+    weight_args = (
         qstacked["w_reduce_q"], qstacked["w_reduce_s"],
         qstacked["s_reduce"], qstacked["b_reduce"],
         qstacked["w9_mid_q"], qstacked["w9_mid_s"],
@@ -556,4 +742,54 @@ def resnet_stage_int8_pallas(
         qstacked["w_expand_q"], qstacked["w_expand_s"],
         qstacked["s_expand"], qstacked["b_expand"],
     )
+    mid_scratch = [
+        pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
+        pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
+    ]
+    if resident:
+        from winograd_tpu.kernels.stage import _pad_rows
+
+        hw_pad = _pad_rows(h * w)
+        x_rows = x.astype(jnp.float32).reshape(n, h * w, cio)
+        if hw_pad != h * w:
+            x_rows = jnp.pad(x_rows, ((0, 0), (0, hw_pad - h * w), (0, 0)))
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks, n),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + weight_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((n, hw_pad, cio), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n, hw_pad, cio), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            + mid_scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=4 * 2 * n * h * w * cio + wbytes,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=(24 + 4 * n) * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(x_rows, *weight_args)
+        out = out[:, : h * w].reshape(n, h, w, cio)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(n, n_blocks),
+            in_specs=[pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM)]
+            + weight_specs,
+            out_specs=pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w, cio), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((h * w, cio), jnp.float32)] + mid_scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=4 * 2 * n * h * w * cio + n * wbytes,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+            interpret=interpret,
+        )(x.astype(jnp.float32), *weight_args)
     return out[0] if squeeze else out

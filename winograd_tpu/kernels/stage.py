@@ -49,34 +49,28 @@ def stack_stage_params(params_list: List[dict]) -> dict:
     return out
 
 
-def _stage_kernel(
-    x_ref,     # (1, H, W, Cio)
+def _block_compute(
+    x2,        # (H*W, Cio) value — the block input rows
     wr_ref,    # (1, Cio, Cmid)     block b's weights
     s1_ref, b1_ref,   # (1, 1, Cmid)
     w9_ref,    # (1, 9*Cmid, Cmid) direct layout, OR (1, 16, Cmid, Cmid) F(2,3)
     s2_ref, b2_ref,   # (1, 1, Cmid)
     we_ref,    # (1, Cmid, Cio)
     s3_ref, b3_ref,   # (1, 1, Cio)
-    out_ref,   # (1, H, W, Cio)
-    act_ref,   # scratch (H*W, Cio)  persists across grid steps
-    *scratch,  # direct: xpad (H+2,W+2,Cmid) + col (H*W, 9*Cmid);
+    scratch,   # direct: xpad (H+2,W+2,Cmid) + col (H*W, 9*Cmid);
                # winograd2: G xpads + G h2 buffers (H, W, CG)
+    *,
     h: int,
     w: int,
-    cio: int,
     cmid: int,
-    n_blocks: int,
     mid_algo: str,
     precision: str,
 ):
+    """One identity bottleneck block on one image's rows: reduce GEMM ->
+    3x3 mid layer (direct im2col or in-kernel F(2,3) Winograd) -> expand
+    GEMM -> residual add + ReLU. Shared by the image-outer streaming
+    kernel and the block-outer weight-resident batched kernel."""
     hw = h * w
-    b = pl.program_id(1)
-
-    @pl.when(b == 0)
-    def _load_input():
-        act_ref[:] = x_ref[0].reshape(hw, cio)
-
-    x2 = act_ref[:]
     h1 = jnp.maximum(split_dot(x2, wr_ref[0], precision) * s1_ref[0] + b1_ref[0], 0.0)
 
     if mid_algo == "winograd2":
@@ -115,7 +109,35 @@ def _stage_kernel(
         )
         h3 = split_dot(h2, we_ref[0], precision) * s3_ref[0] + b3_ref[0]
 
-    y = jnp.maximum(h3 + x2, 0.0)
+    return jnp.maximum(h3 + x2, 0.0)
+
+
+def _stage_kernel(
+    x_ref,     # (1, H, W, Cio)
+    wr_ref, s1_ref, b1_ref, w9_ref, s2_ref, b2_ref, we_ref, s3_ref, b3_ref,
+    out_ref,   # (1, H, W, Cio)
+    act_ref,   # scratch (H*W, Cio)  persists across grid steps
+    *scratch,
+    h: int,
+    w: int,
+    cio: int,
+    cmid: int,
+    n_blocks: int,
+    mid_algo: str,
+    precision: str,
+):
+    hw = h * w
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _load_input():
+        act_ref[:] = x_ref[0].reshape(hw, cio)
+
+    y = _block_compute(
+        act_ref[:],
+        wr_ref, s1_ref, b1_ref, w9_ref, s2_ref, b2_ref, we_ref, s3_ref, b3_ref,
+        scratch, h=h, w=w, cmid=cmid, mid_algo=mid_algo, precision=precision,
+    )
     act_ref[:] = y
 
     @pl.when(b == n_blocks - 1)
@@ -123,7 +145,65 @@ def _stage_kernel(
         out_ref[0] = y.reshape(h, w, cio)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision", "mid_algo"))
+def _pad_rows(hw: int) -> int:
+    """Per-image row count padded to the f32 sublane tile (8): DMAs and
+    dynamic indexing into the (N, rows, C) resident activation scratch only
+    lower when the sliced row extent matches Mosaic's tiled extent."""
+    return -(-hw // 8) * 8
+
+
+def _stage_kernel_resident(
+    x_hbm,     # (N, HWp, Cio) in ANY (HBM) — manually DMA'd, never revisited
+    wr_ref, s1_ref, b1_ref, w9_ref, s2_ref, b2_ref, we_ref, s3_ref, b3_ref,
+    out_hbm,   # (N, HWp, Cio) in ANY (HBM)
+    act_ref,   # scratch (N, HWp, Cio) — every image's activation, resident
+    sem,       # DMA semaphores (2,): [0] image load, [1] image store
+    *scratch,
+    h: int,
+    w: int,
+    cio: int,
+    cmid: int,
+    n_blocks: int,
+    mid_algo: str,
+    precision: str,
+):
+    """Block-OUTER batched stage: grid (n_blocks, N). The weight BlockSpecs
+    are indexed by the outer block axis only, so Pallas's pipeline fetches
+    each block's weights ONCE for the whole batch (the image-outer kernel
+    re-streams them per image: N x the HBM traffic — the bound at conv5_x
+    geometry). All N images' activations persist in one VMEM scratch;
+    images are DMA'd in at the first block and out after the last. Rows
+    are padded to HWp = roundup(H*W, 8) outside the kernel (_pad_rows)."""
+    hw = h * w
+    hw_pad = act_ref.shape[1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _load_image():
+        cp = pltpu.make_async_copy(x_hbm.at[i], act_ref.at[i], sem.at[0])
+        cp.start()
+        cp.wait()
+
+    y = _block_compute(
+        act_ref[i][:hw],
+        wr_ref, s1_ref, b1_ref, w9_ref, s2_ref, b2_ref, we_ref, s3_ref, b3_ref,
+        scratch, h=h, w=w, cmid=cmid, mid_algo=mid_algo, precision=precision,
+    )
+    if hw_pad != hw:
+        y = jnp.concatenate([y, jnp.zeros((hw_pad - hw, cio), jnp.float32)])
+    act_ref[i] = y
+
+    @pl.when(b == n_blocks - 1)
+    def _store_image():
+        cp = pltpu.make_async_copy(act_ref.at[i], out_hbm.at[i], sem.at[1])
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "precision", "mid_algo", "resident")
+)
 def resnet_stage_fused_pallas(
     x: jax.Array,
     stacked: dict,
@@ -131,6 +211,7 @@ def resnet_stage_fused_pallas(
     interpret: bool | None = None,
     precision: str = "bf16x3",
     mid_algo: str = "auto",
+    resident: bool | None = None,
 ) -> jax.Array:
     """Run a whole stage of identity bottleneck blocks in ONE kernel.
 
@@ -160,15 +241,31 @@ def resnet_stage_fused_pallas(
     wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
     wbytes_per = 2 if precision == "bf16w" else 4
 
+    # Block-outer weight-resident layout for batches: each block's weights
+    # are fetched from HBM once for ALL images instead of once per image.
+    # At n_blocks == 1 the image-outer layout's constant weight index
+    # already fetches once per batch (see kernels/transition.py).
+    if resident is None:
+        resident = n > 1 and n_blocks > 1
+    resident = resident and n > 1
     kernel = functools.partial(
-        _stage_kernel,
+        _stage_kernel_resident if resident else _stage_kernel,
         h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
         mid_algo=mid_algo, precision=precision,
     )
     img = lambda i, b: (i, 0, 0, 0)
-    blk = lambda shape: pl.BlockSpec(
-        (1,) + shape, (lambda i, b: (b,) + (0,) * len(shape)), memory_space=pltpu.VMEM
-    )
+    if resident:
+        blk = lambda shape: pl.BlockSpec(
+            (1,) + shape,
+            (lambda b, i: (b,) + (0,) * len(shape)),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        blk = lambda shape: pl.BlockSpec(
+            (1,) + shape,
+            (lambda i, b: (b,) + (0,) * len(shape)),
+            memory_space=pltpu.VMEM,
+        )
     flops = 2 * n * n_blocks * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
     if mid_algo == "winograd2":
         from winograd_tpu.kernels.winograd import _pad_tiles_w
@@ -191,46 +288,85 @@ def resnet_stage_fused_pallas(
             pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
         ]
         mid_weight_elems = 9 * cmid * cmid
-    out = pl.pallas_call(
-        kernel,
-        grid=(n, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
-            blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)),
-            mid_spec, blk((1, cmid)), blk((1, cmid)),
-            blk((cmid, cio)), blk((1, cio)), blk((1, cio)),
-        ],
-        out_specs=pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, cio), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h * w, cio), jnp.float32)] + mid_scratch,
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=4 * 2 * n * h * w * cio
-            + wbytes_per * n_blocks * (2 * cio * cmid + mid_weight_elems),
-            transcendentals=0,
-        ),
-        # Double-buffered weight streaming + persistent activation scratch
-        # needs ~17 MB at conv4_x (and ~30 MB for a streamed conv5_x block);
-        # raise the compiler's conservative 16 MB scoped cap to a footprint
-        # estimate (v5e has far more physical VMEM).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=max(
-                24 * 1024 * 1024,
-                int(
-                    1.25
-                    * (
-                        2 * wbytes_per * (2 * cio * cmid + mid_weight_elems)
-                        + 4 * (4 * h * w * cio + h * w * cio)
-                        + 4 * sum(int(np.prod(s.shape)) for s in mid_scratch)
-                    )
-                ),
+    weight_bytes = wbytes_per * n_blocks * (2 * cio * cmid + mid_weight_elems)
+    # VMEM footprint: double-buffered weights + activation scratch (+N for
+    # the resident layout) + mid scratch; ~17 MB at conv4_x, ~30 MB for a
+    # streamed conv5_x block. Raise the compiler's conservative 16 MB
+    # scoped cap to the estimate (v5e has far more physical VMEM).
+    # Activation VMEM: resident keeps all N images in scratch (x/out live
+    # in HBM); the streaming layout holds double-buffered x/out blocks
+    # (4 images' worth) plus one act scratch.
+    act_elems = n * h * w * cio if resident else 5 * h * w * cio
+    vmem_limit = max(
+        24 * 1024 * 1024,
+        int(
+            1.25
+            * (
+                2 * wbytes_per * (2 * cio * cmid + mid_weight_elems)
+                + 4 * act_elems
+                + 4 * sum(int(np.prod(s.shape)) for s in mid_scratch)
             )
         ),
-        interpret=interpret,
-    )(
-        x.astype(jnp.float32),
-        stacked["w_reduce"].astype(wdt), stacked["s_reduce"], stacked["b_reduce"],
-        mid_arg, stacked["s_mid"], stacked["b_mid"],
-        stacked["w_expand"].astype(wdt), stacked["s_expand"], stacked["b_expand"],
     )
+    if resident:
+        hw_pad = _pad_rows(h * w)
+        x_rows = x.astype(jnp.float32).reshape(n, h * w, cio)
+        if hw_pad != h * w:
+            x_rows = jnp.pad(x_rows, ((0, 0), (0, hw_pad - h * w), (0, 0)))
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks, n),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [
+                blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)),
+                mid_spec, blk((1, cmid)), blk((1, cmid)),
+                blk((cmid, cio)), blk((1, cio)), blk((1, cio)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((n, hw_pad, cio), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n, hw_pad, cio), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            + mid_scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=4 * 2 * n * h * w * cio + weight_bytes,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+            interpret=interpret,
+        )(
+            x_rows,
+            stacked["w_reduce"].astype(wdt), stacked["s_reduce"], stacked["b_reduce"],
+            mid_arg, stacked["s_mid"], stacked["b_mid"],
+            stacked["w_expand"].astype(wdt), stacked["s_expand"], stacked["b_expand"],
+        )
+        out = out[:, : h * w].reshape(n, h, w, cio)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(n, n_blocks),
+            in_specs=[
+                pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
+                blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)),
+                mid_spec, blk((1, cmid)), blk((1, cmid)),
+                blk((cmid, cio)), blk((1, cio)), blk((1, cio)),
+            ],
+            out_specs=pl.BlockSpec((1, h, w, cio), img, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w, cio), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((h * w, cio), jnp.float32)] + mid_scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=4 * 2 * n * h * w * cio + n * weight_bytes,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+            interpret=interpret,
+        )(
+            x.astype(jnp.float32),
+            stacked["w_reduce"].astype(wdt), stacked["s_reduce"], stacked["b_reduce"],
+            mid_arg, stacked["s_mid"], stacked["b_mid"],
+            stacked["w_expand"].astype(wdt), stacked["s_expand"], stacked["b_expand"],
+        )
     return out[0] if squeeze else out

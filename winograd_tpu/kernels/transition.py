@@ -115,7 +115,103 @@ def _transition_kernel(
     out_ref[0] = jnp.maximum(h3 + skip, 0.0).reshape(ho, wo, tile_co)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_co", "interpret", "precision"))
+def _transition_kernel_resident(
+    x_hbm,     # (N, H, W, Cin) in ANY (HBM) — manually DMA'd at j == 0
+    wr_ref,    # (Cin, Cmid)          resident
+    s1_ref, b1_ref,   # (1, Cmid)
+    w9_ref,    # (9*Cmid, Cmid)       resident
+    s2_ref, b2_ref,   # (1, Cmid)
+    we_ref,    # (Cmid, TILE_CO)      streamed over outer j — fetched ONCE
+    s3_ref, b3_ref,   # (1, TILE_CO)
+    wp_ref,    # (Cin, TILE_CO)       streamed over outer j
+    sp_ref, bp_ref,   # (1, TILE_CO)
+    out_ref,   # (1, HO, WO, TILE_CO)
+    xin_ref,   # scratch (HWp, Cin)         DMA landing buffer (padded rows)
+    h2_ref,    # scratch (N, HWOp, Cmid)    every image's mid output, resident
+    xs_ref,    # scratch (N, HWOp, Cin)     every image's subsampled skip
+    col_ref,   # scratch (HO*WO, 9*Cmid)
+    sem,       # DMA semaphore
+    *xpads,
+    h: int,
+    w: int,
+    cin: int,
+    cmid: int,
+    n_mid_groups: int,
+    precision: str,
+):
+    """Output-tile-OUTER batched transition: grid (n_j, N). The wide
+    expand/projection weights are indexed by the outer j axis only, so each
+    tile streams from HBM once for the whole batch (the image-outer kernel
+    re-streams them per image — N x the traffic that bounds the
+    conv4_x -> conv5_x transition). The front (reduce + stride-2 3x3 +
+    skip subsample) runs once per image at j == 0 into that image's rows of
+    the resident h2/xs scratch, padded to HWOp = roundup(HO*WO, 8) so the
+    dynamic per-image slices stay sublane-aligned (kernels/stage.py)."""
+    ho, wo = -(-h // 2), -(-w // 2)
+    hwo = ho * wo
+    hwo_pad = h2_ref.shape[1]
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    mids = xpads[:n_mid_groups]
+    ins = xpads[n_mid_groups:]
+    cgm = mids[0].shape[-1]
+    cgi = ins[0].shape[-1]
+
+    def pad_rows(v):
+        if hwo_pad == hwo:
+            return v
+        return jnp.concatenate(
+            [v, jnp.zeros((hwo_pad - hwo, v.shape[1]), jnp.float32)]
+        )
+
+    @pl.when(j == 0)
+    def _front():
+        cp = pltpu.make_async_copy(x_hbm.at[i], xin_ref, sem)
+        cp.start()
+        cp.wait()
+        xin = xin_ref[:]
+        x2 = xin[: h * w]
+        h1 = jnp.maximum(
+            split_dot(x2, wr_ref[:], precision) * s1_ref[:] + b1_ref[:], 0.0
+        )
+        h1 = h1.reshape(h, w, cmid)
+        for g, xp in enumerate(mids):
+            gsl = slice(g * cgm, (g + 1) * cgm)
+            ph, pw = xp.shape[0], xp.shape[1]
+            xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
+            xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
+            xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
+            xp[1 : h + 1, w + 1 :, :] = jnp.zeros((h, pw - w - 1, cgm), jnp.float32)
+            xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
+            for r in range(3):
+                for s in range(3):
+                    patch = xp[
+                        pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
+                    ].reshape(hwo, cgm)
+                    base = (3 * r + s) * cmid + g * cgm
+                    col_ref[:, base : base + cgm] = patch
+        h2_ref[i] = pad_rows(
+            jnp.maximum(
+                split_dot(col_ref[:], w9_ref[:], precision) * s2_ref[:] + b2_ref[:],
+                0.0,
+            )
+        )
+        for g, xg in enumerate(ins):
+            gsl = slice(g * cgi, (g + 1) * cgi)
+            xg[:, :, :] = x2[:, gsl].reshape(h, w, cgi)
+            xs_ref[i, :, gsl] = pad_rows(
+                xg[pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :].reshape(hwo, cgi)
+            )
+
+    h3 = split_dot(h2_ref[i], we_ref[:], precision) * s3_ref[:] + b3_ref[:]
+    skip = split_dot(xs_ref[i], wp_ref[:], precision) * sp_ref[:] + bp_ref[:]
+    tile_co = out_ref.shape[-1]
+    out_ref[0] = jnp.maximum(h3 + skip, 0.0)[:hwo].reshape(ho, wo, tile_co)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_co", "interpret", "precision", "resident")
+)
 def transition_block_fused_pallas(
     x: jax.Array,
     params: dict,
@@ -123,6 +219,7 @@ def transition_block_fused_pallas(
     tile_co: int | None = None,
     interpret: bool | None = None,
     precision: str = "highest",
+    resident: bool | None = None,
 ) -> jax.Array:
     """One-kernel stride-2 transition block. x: (H, W, Cin) or
     (N, H, W, Cin); params needs w_reduce/s_reduce/b_reduce, w9_mid (direct
@@ -170,22 +267,77 @@ def transition_block_fused_pallas(
     wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
     wbytes_per = 2 if precision == "bf16w" else 4
 
+    # Output-tile-outer weight-resident layout for batches: each expand/
+    # projection tile streams from HBM once for ALL images instead of once
+    # per image (kernels/stage.py applies the same idea to whole stages).
+    # Only worth it when the output is actually tiled (n_j > 1) — at
+    # n_j == 1 the image-outer layout's constant weight index already
+    # fetches once per batch, and the resident path's blocking per-image
+    # DMA measured slower (mode 11 int8: 120 vs 78 us at N=8).
+    if resident is None:
+        resident = n > 1 and n_j > 1
+    resident = resident and n > 1 and n_j > 1
     kernel = functools.partial(
-        _transition_kernel,
+        _transition_kernel_resident if resident else _transition_kernel,
         h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid, precision=precision,
     )
-    res = lambda i, j: (0, 0)  # resident weight blocks
-    stream = lambda i, j: (0, j)  # output-channel streamed blocks
+    if resident:
+        res = lambda j, i: (0, 0)  # resident weight blocks
+        stream = lambda j, i: (0, j)  # fetched once per OUTER j step
+        out_idx = lambda j, i: (i, 0, 0, j)
+    else:
+        res = lambda i, j: (0, 0)
+        stream = lambda i, j: (0, j)
+        out_idx = lambda i, j: (i, 0, 0, j)
     flops = 2 * n * (
         h * w * cin * cmid
         + ho * wo * (9 * cmid * cmid + cmid * cout + cin * cout)
     )
     weight_bytes = wbytes_per * (cin * cmid + 9 * cmid * cmid + (cmid + cin) * cout)
+    if resident:
+        from winograd_tpu.kernels.stage import _pad_rows
+
+        hw_pad = _pad_rows(h * w)
+        hwo_pad = _pad_rows(ho * wo)
+        scratch_shapes = [
+            pltpu.VMEM((hw_pad, cin), jnp.float32),  # DMA landing buffer
+            pltpu.VMEM((n, hwo_pad, cmid), jnp.float32),
+            pltpu.VMEM((n, hwo_pad, cin), jnp.float32),
+            pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((ho * wo, cmid), jnp.float32),
+            pltpu.VMEM((ho * wo, cin), jnp.float32),
+            pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
+        ]
+    scratch_shapes = (
+        scratch_shapes
+        + [pltpu.VMEM((ph, pw, cgm), jnp.float32) for _ in range(n_mid)]
+        + [pltpu.VMEM((h, w, cgi), jnp.float32) for _ in range(cin // cgi)]
+    )
+    if resident:
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        grid = (n_j, n)
+        # Rows layout, padded to the sublane tile, so the per-image DMA
+        # slice extents match Mosaic's tiled extents.
+        x_arg = x.astype(jnp.float32).reshape(n, h * w, cin)
+        if hw_pad != h * w:
+            x_arg = jnp.pad(x_arg, ((0, 0), (0, hw_pad - h * w), (0, 0)))
+    else:
+        in_specs = [
+            pl.BlockSpec(
+                (1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        grid = (n, n_j)
+        x_arg = x.astype(jnp.float32)
     out = pl.pallas_call(
         kernel,
-        grid=(n, n_j),
-        in_specs=[
-            pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=in_specs
+        + [
             pl.BlockSpec((cin, cmid), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
@@ -200,32 +352,25 @@ def transition_block_fused_pallas(
             pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, ho, wo, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+            (1, ho, wo, tile_co), out_idx, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.float32),
-        scratch_shapes=(
-            [
-                pltpu.VMEM((ho * wo, cmid), jnp.float32),
-                pltpu.VMEM((ho * wo, cin), jnp.float32),
-                pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
-            ]
-            + [pltpu.VMEM((ph, pw, cgm), jnp.float32) for _ in range(n_mid)]
-            + [pltpu.VMEM((h, w, cgi), jnp.float32) for _ in range(cin // cgi)]
-        ),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * n * (h * w * cin + ho * wo * cout) + weight_bytes,
+            bytes_accessed=4 * n * (h * w * cin + ho * wo * cout)
+            + (1 if resident else n) * weight_bytes,
             transcendentals=0,
         ),
         # Resident weights + streamed blocks + staging can exceed the
         # compiler's conservative default scoped cap at the conv4_x->conv5_x
         # geometry (~19 MB); same override rationale as kernels/stage.py.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=28 * 1024 * 1024
+            vmem_limit_bytes=(28 + (4 * n if resident else 0)) * 1024 * 1024
         ),
         interpret=interpret,
     )(
-        x.astype(jnp.float32),
+        x_arg,
         jnp.asarray(params["w_reduce"]).astype(wdt),
         row(params["s_reduce"], cmid),
         row(params["b_reduce"], cmid),
