@@ -158,7 +158,9 @@ def test_transition_weight_resident_batched():
     xb = np.stack([x1, 0.5 * x1, -x1])
     # tile_co=128 forces n_j > 1 so the batched call takes the resident
     # layout (at n_j == 1 it deliberately keeps the image-outer kernel).
-    out_b = np.asarray(transition_block_fused_pallas(xb, params, tile_co=128))
+    out_b = np.asarray(
+        transition_block_fused_pallas(xb, params, tile_co=128, resident=True)
+    )
     per_img = np.stack(
         [
             np.asarray(transition_block_fused_pallas(xb[i], params))
@@ -168,7 +170,9 @@ def test_transition_weight_resident_batched():
     assert np.abs(out_b - per_img).max() < PARITY_ATOL
     assert np.abs(out_b[0] - case["golden"]).max() < 10 * PARITY_ATOL
     out_bf = np.asarray(
-        transition_block_fused_pallas(xb, params, tile_co=128, precision="bf16w")
+        transition_block_fused_pallas(
+            xb, params, tile_co=128, precision="bf16w", resident=True
+        )
     )
     rel = np.abs(out_bf - per_img).max() / np.abs(per_img).max()
     assert rel < 5e-3, rel

@@ -144,7 +144,7 @@ def test_int8_stage_and_transition_weight_resident_batched():
     case = make_block_case(cfg, seed=71)
     qs = quantize_stage_params(block_params_list(cfg, case))
     x = case["x"]
-    out_b = np.asarray(resnet_stage_int8_pallas(x, qs))
+    out_b = np.asarray(resnet_stage_int8_pallas(x, qs, resident=True))
     per = np.stack(
         [np.asarray(resnet_stage_int8_pallas(x[i], qs)) for i in range(4)]
     )
@@ -156,7 +156,9 @@ def test_int8_stage_and_transition_weight_resident_batched():
     qp = quantize_transition_params(transition_params(tcase))
     x1 = tcase["x"]
     xb = np.stack([x1, 0.5 * x1, -x1])
-    tb = np.asarray(transition_block_int8_pallas(xb, qp, tile_co=128))
+    tb = np.asarray(
+        transition_block_int8_pallas(xb, qp, tile_co=128, resident=True)
+    )
     tper = np.stack(
         [np.asarray(transition_block_int8_pallas(xb[i], qp)) for i in range(3)]
     )

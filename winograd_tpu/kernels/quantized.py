@@ -318,51 +318,76 @@ def _stage_int8_block_body(x2, wr_ref, wr_s_ref, s1_ref, b1_ref,
 
 
 def _stage_int8_kernel_resident(
-    x_hbm,     # (N, H*W, Cio) f32 in ANY (HBM)
+    x_hbm,     # (N, HWp, Cio) f32 in ANY (HBM)
     wr_ref, wr_s_ref, s1_ref, b1_ref,
     w9_ref, w9_s_ref, s2_ref, b2_ref,
     we_ref, we_s_ref, s3_ref, b3_ref,
-    out_hbm,   # (N, H*W, Cio) in ANY (HBM)
-    act_ref,   # scratch (N, H*W, Cio) — every image's activation, resident
+    out_hbm,   # (N, HWp, Cio) in ANY (HBM)
+    act_ref,   # scratch (N, HWp, Cio) — every image's activation, resident
     sem,       # DMA semaphores (2,)
-    xpad_ref,
-    col_ref,
+    xpad_ref,  # scratch (H+2, W+2, Cmid) per-image im2col staging
+    col_ref,   # scratch (N, HWp, 9*Cmid) ALL images' im2col rows
     *,
     h: int,
     w: int,
     cio: int,
     cmid: int,
     n_blocks: int,
+    n: int,
 ):
-    """Block-OUTER batched int8 stage (kernels/stage.py resident layout):
-    grid (n_blocks, N); each block's int8 weights are fetched once for the
-    whole batch instead of once per image. Rows padded to roundup(H*W, 8)
-    outside the kernel (kernels/stage.py::_pad_rows)."""
+    """Block-OUTER row-batched int8 stage (kernels/stage.py resident
+    layout): grid (n_blocks,); each block's int8 weights are fetched once
+    for the whole batch, and the int8 GEMMs contract all images' rows at
+    once. Rows padded to roundup(H*W, 8) (kernels/stage.py::_pad_rows);
+    pad rows are zeros, so their dynamic activation scale clamps to 1 and
+    they stay finite through every block."""
     hw = h * w
     hw_pad = act_ref.shape[1]
     b = pl.program_id(0)
-    i = pl.program_id(1)
 
     @pl.when(b == 0)
-    def _load_image():
-        cp = pltpu.make_async_copy(x_hbm.at[i], act_ref.at[i], sem.at[0])
-        cp.start()
-        cp.wait()
+    def _load_images():
+        for i in range(n):
+            cp = pltpu.make_async_copy(x_hbm.at[i], act_ref.at[i], sem.at[0])
+            cp.start()
+            cp.wait()
+        if hw_pad != hw:
+            for i in range(n):
+                col_ref[i, hw:, :] = jnp.zeros(
+                    (hw_pad - hw, col_ref.shape[-1]), jnp.float32
+                )
 
-    y = _stage_int8_block_body(
-        act_ref[i][:hw], wr_ref, wr_s_ref, s1_ref, b1_ref,
-        w9_ref, w9_s_ref, s2_ref, b2_ref, we_ref, we_s_ref, s3_ref, b3_ref,
-        xpad_ref, col_ref, h=h, w=w, cmid=cmid,
+    allact = act_ref[:].reshape(n * hw_pad, cio)
+    h1all = jnp.maximum(
+        _qdot(allact, wr_ref[0], wr_s_ref[0]) * s1_ref[0] + b1_ref[0], 0.0
     )
-    if hw_pad != hw:
-        y = jnp.concatenate([y, jnp.zeros((hw_pad - hw, cio), jnp.float32)])
-    act_ref[i] = y
+    for i in range(n):
+        h1 = h1all[i * hw_pad : i * hw_pad + hw].reshape(h, w, cmid)
+        xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+        xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, 1 : w + 1, :] = h1
+        for r in range(3):
+            for s in range(3):
+                patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
+                col_ref[i, :hw, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+    h2all = jnp.maximum(
+        _qdot(col_ref[:].reshape(n * hw_pad, 9 * cmid), w9_ref[0], w9_s_ref[0])
+        * s2_ref[0]
+        + b2_ref[0],
+        0.0,
+    )
+    h3all = _qdot(h2all, we_ref[0], we_s_ref[0]) * s3_ref[0] + b3_ref[0]
+    yall = jnp.maximum(h3all + allact, 0.0)
+    act_ref[:] = yall.reshape(act_ref.shape)
 
     @pl.when(b == n_blocks - 1)
-    def _store_image():
-        cp = pltpu.make_async_copy(act_ref.at[i], out_hbm.at[i], sem.at[1])
-        cp.start()
-        cp.wait()
+    def _store_images():
+        for i in range(n):
+            cp = pltpu.make_async_copy(act_ref.at[i], out_hbm.at[i], sem.at[1])
+            cp.start()
+            cp.wait()
 
 
 # --- int8 stride-2 transition kernel ------------------------------------------
@@ -450,7 +475,7 @@ def _transition_int8_kernel_resident(
     w9_ref, w9_s_ref, s2_ref, b2_ref,
     we_ref, we_s_ref, s3_ref, b3_ref,   # streamed over OUTER j — once/batch
     wp_ref, wp_s_ref, sp_ref, bp_ref,   # streamed over OUTER j
-    out_ref,   # (1, HO, WO, TILE_CO)
+    out_ref,   # (N, HO, WO, TILE_CO)
     xin_ref,   # scratch (HWp, Cin)        DMA landing buffer (padded rows)
     h2_ref,    # scratch (N, HWOp, Cmid)   every image's mid output
     xs_ref,    # scratch (N, HWOp, Cin)    every image's subsampled skip
@@ -462,15 +487,16 @@ def _transition_int8_kernel_resident(
     cin: int,
     cmid: int,
     n_mid_groups: int,
+    n: int,
 ):
-    """Tile-OUTER batched int8 transition (kernels/transition.py resident
-    layout): grid (n_j, N); each expand/projection int8 tile streams once
-    for the whole batch. Rows padded to HWOp = roundup(HO*WO, 8)."""
+    """Tile-OUTER row-batched int8 transition (kernels/transition.py
+    resident layout): grid (n_j,); each expand/projection int8 tile streams
+    once for the whole batch and its GEMMs contract all images' rows at
+    once. Rows padded to HWOp = roundup(HO*WO, 8)."""
     ho, wo = -(-h // 2), -(-w // 2)
     hwo = ho * wo
     hwo_pad = h2_ref.shape[1]
     j = pl.program_id(0)
-    i = pl.program_id(1)
     mids = xpads[:n_mid_groups]
     ins = xpads[n_mid_groups:]
     cgm = mids[0].shape[-1]
@@ -485,44 +511,52 @@ def _transition_int8_kernel_resident(
 
     @pl.when(j == 0)
     def _front():
-        cp = pltpu.make_async_copy(x_hbm.at[i], xin_ref, sem)
-        cp.start()
-        cp.wait()
-        x2 = xin_ref[:][: h * w]
-        h1 = jnp.maximum(
-            _qdot(x2, wr_ref, wr_s_ref[:]) * s1_ref[:] + b1_ref[:], 0.0
-        ).reshape(h, w, cmid)
-        for g, xp in enumerate(mids):
-            gsl = slice(g * cgm, (g + 1) * cgm)
-            ph, pw = xp.shape[0], xp.shape[1]
-            xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
-            xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
-            xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
-            xp[1 : h + 1, w + 1 :, :] = jnp.zeros((h, pw - w - 1, cgm), jnp.float32)
-            xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
-            for r in range(3):
-                for s in range(3):
-                    patch = xp[
-                        pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
-                    ].reshape(hwo, cgm)
-                    base = (3 * r + s) * cmid + g * cgm
-                    col_ref[:, base : base + cgm] = patch
-        h2_ref[i] = pad_rows(
-            jnp.maximum(
-                _qdot(col_ref[:], w9_ref, w9_s_ref[:]) * s2_ref[:] + b2_ref[:], 0.0
+        for i in range(n):
+            cp = pltpu.make_async_copy(x_hbm.at[i], xin_ref, sem)
+            cp.start()
+            cp.wait()
+            x2 = xin_ref[:][: h * w]
+            h1 = jnp.maximum(
+                _qdot(x2, wr_ref, wr_s_ref[:]) * s1_ref[:] + b1_ref[:], 0.0
+            ).reshape(h, w, cmid)
+            for g, xp in enumerate(mids):
+                gsl = slice(g * cgm, (g + 1) * cgm)
+                ph, pw = xp.shape[0], xp.shape[1]
+                xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
+                xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
+                xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
+                xp[1 : h + 1, w + 1 :, :] = jnp.zeros(
+                    (h, pw - w - 1, cgm), jnp.float32
+                )
+                xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
+                for r in range(3):
+                    for s in range(3):
+                        patch = xp[
+                            pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
+                        ].reshape(hwo, cgm)
+                        base = (3 * r + s) * cmid + g * cgm
+                        col_ref[:, base : base + cgm] = patch
+            h2_ref[i] = pad_rows(
+                jnp.maximum(
+                    _qdot(col_ref[:], w9_ref, w9_s_ref[:]) * s2_ref[:]
+                    + b2_ref[:],
+                    0.0,
+                )
             )
-        )
-        for g, xg in enumerate(ins):
-            gsl = slice(g * cgi, (g + 1) * cgi)
-            xg[:, :, :] = x2[:, gsl].reshape(h, w, cgi)
-            xs_ref[i, :, gsl] = pad_rows(
-                xg[pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :].reshape(hwo, cgi)
-            )
+            for g, xg in enumerate(ins):
+                gsl = slice(g * cgi, (g + 1) * cgi)
+                xg[:, :, :] = x2[:, gsl].reshape(h, w, cgi)
+                xs_ref[i, :, gsl] = pad_rows(
+                    xg[pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :].reshape(hwo, cgi)
+                )
 
-    h3 = _qdot(h2_ref[i], we_ref, we_s_ref[:]) * s3_ref[:] + b3_ref[:]
-    skip = _qdot(xs_ref[i], wp_ref, wp_s_ref[:]) * sp_ref[:] + bp_ref[:]
+    h2all = h2_ref[:].reshape(n * hwo_pad, cmid)
+    xsall = xs_ref[:].reshape(n * hwo_pad, cin)
+    h3 = _qdot(h2all, we_ref, we_s_ref[:]) * s3_ref[:] + b3_ref[:]
+    skip = _qdot(xsall, wp_ref, wp_s_ref[:]) * sp_ref[:] + bp_ref[:]
     tile_co = out_ref.shape[-1]
-    out_ref[0] = jnp.maximum(h3 + skip, 0.0)[:hwo].reshape(ho, wo, tile_co)
+    y = jnp.maximum(h3 + skip, 0.0).reshape(n, hwo_pad, tile_co)
+    out_ref[:] = y[:, :hwo, :].reshape(n, ho, wo, tile_co)
 
 
 @functools.partial(
@@ -574,20 +608,22 @@ def transition_block_int8_pallas(
     # layout already fetches the weights once per batch, and its pipelined
     # x blocks beat the resident path's blocking per-image DMA.
     if resident is None:
-        resident = n > 1 and n_j > 1
+        # Default OFF — same end-to-end finding as the f32 twin
+        # (kernels/transition.py): explicit opt-in only.
+        resident = False
     resident = resident and n > 1 and n_j > 1
-    kernel = functools.partial(
-        _transition_int8_kernel_resident if resident else _transition_int8_kernel,
-        h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid,
-    )
     if resident:
         from winograd_tpu.kernels.stage import _pad_rows
 
-        res = lambda j, i: (0, 0)
-        stream = lambda j, i: (0, j)
-        out_idx = lambda j, i: (i, 0, 0, j)
+        kernel = functools.partial(
+            _transition_int8_kernel_resident,
+            h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid, n=n,
+        )
+        res = lambda j: (0, 0)
+        stream = lambda j: (0, j)
+        out_idx = lambda j: (0, 0, 0, j)
         x_spec = pl.BlockSpec(memory_space=pl.ANY)
-        grid = (n_j, n)
+        grid = (n_j,)
         # Rows layout, padded to the sublane tile (kernels/transition.py).
         x_arg = x.astype(jnp.float32).reshape(n, h * w, cin)
         if _pad_rows(h * w) != h * w:
@@ -595,6 +631,10 @@ def transition_block_int8_pallas(
                 x_arg, ((0, 0), (0, _pad_rows(h * w) - h * w), (0, 0))
             )
     else:
+        kernel = functools.partial(
+            _transition_int8_kernel,
+            h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid,
+        )
         res = lambda i, j: (0, 0)
         stream = lambda i, j: (0, j)
         out_idx = lambda i, j: (i, 0, 0, j)
@@ -654,7 +694,9 @@ def transition_block_int8_pallas(
         grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec(
-            (1, ho, wo, tile_co), out_idx, memory_space=pltpu.VMEM
+            ((n if resident else 1), ho, wo, tile_co),
+            out_idx,
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.float32),
         scratch_shapes=scratch_shapes,
@@ -712,21 +754,27 @@ def resnet_stage_int8_pallas(
     # for the whole batch instead of once per image. At n_blocks == 1 the
     # image-outer layout's constant weight index already fetches once.
     if resident is None:
-        resident = n > 1 and n_blocks > 1
+        # Default OFF — same end-to-end finding as the f32 twin
+        # (kernels/stage.py): explicit opt-in only.
+        resident = False
     resident = resident and n > 1
-    kernel = functools.partial(
-        _stage_int8_kernel_resident if resident else _stage_int8_kernel,
-        h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
-    )
-    img = lambda i, b: (i, 0, 0, 0)
     if resident:
+        kernel = functools.partial(
+            _stage_int8_kernel_resident,
+            h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks, n=n,
+        )
         blk = lambda shape: pl.BlockSpec(
-            (1,) + shape, lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            (1,) + shape, lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         )
     else:
+        kernel = functools.partial(
+            _stage_int8_kernel,
+            h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
+        )
         blk = lambda shape: pl.BlockSpec(
             (1,) + shape, lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM
         )
+    img = lambda i, b: (i, 0, 0, 0)
     flops = 2 * n * n_blocks * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
     wbytes = n_blocks * (2 * cio * cmid + 9 * cmid * cmid)  # int8: 1 B each
     weight_specs = [
@@ -753,25 +801,35 @@ def resnet_stage_int8_pallas(
         x_rows = x.astype(jnp.float32).reshape(n, h * w, cio)
         if hw_pad != h * w:
             x_rows = jnp.pad(x_rows, ((0, 0), (0, hw_pad - h * w), (0, 0)))
+        vmem_limit = max(
+            24 * 1024 * 1024,
+            int(
+                1.5
+                * (
+                    2 * 2 * (2 * cio * cmid + 9 * cmid * cmid)  # int8+scales
+                    + 4 * n * hw_pad * (cio + 9 * cmid)
+                    + 4 * (h + 2) * (w + 2) * cmid
+                )
+            ),
+        )
         out = pl.pallas_call(
             kernel,
-            grid=(n_blocks, n),
+            grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + weight_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((n, hw_pad, cio), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((n, hw_pad, cio), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-            ]
-            + mid_scratch,
+                pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
+                pltpu.VMEM((n, hw_pad, 9 * cmid), jnp.float32),
+            ],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=4 * 2 * n * h * w * cio + wbytes,
                 transcendentals=0,
             ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(24 + 4 * n) * 1024 * 1024
-            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
             interpret=interpret,
         )(x_rows, *weight_args)
         out = out[:, : h * w].reshape(n, h, w, cio)

@@ -158,47 +158,79 @@ def _stage_kernel_resident(
     out_hbm,   # (N, HWp, Cio) in ANY (HBM)
     act_ref,   # scratch (N, HWp, Cio) — every image's activation, resident
     sem,       # DMA semaphores (2,): [0] image load, [1] image store
-    *scratch,
+    xpad_ref,  # scratch (H+2, W+2, Cmid) per-image im2col staging
+    col_ref,   # scratch (N, HWp, 9*Cmid) ALL images' im2col rows
+    *,
     h: int,
     w: int,
     cio: int,
     cmid: int,
     n_blocks: int,
-    mid_algo: str,
+    n: int,
     precision: str,
 ):
-    """Block-OUTER batched stage: grid (n_blocks, N). The weight BlockSpecs
-    are indexed by the outer block axis only, so Pallas's pipeline fetches
-    each block's weights ONCE for the whole batch (the image-outer kernel
+    """Block-OUTER batched stage: grid (n_blocks,). The weight BlockSpecs
+    are indexed by the block axis, so Pallas's pipeline fetches each
+    block's weights ONCE for the whole batch (the image-outer kernel
     re-streams them per image: N x the HBM traffic — the bound at conv5_x
-    geometry). All N images' activations persist in one VMEM scratch;
-    images are DMA'd in at the first block and out after the last. Rows
-    are padded to HWp = roundup(H*W, 8) outside the kernel (_pad_rows)."""
+    geometry). All N images' activations persist in one VMEM scratch, and
+    the reduce / 3x3 / expand GEMMs run over ALL images' rows at once
+    (N*HWp rows — full MXU row blocks even at conv5_x's 49 rows/image);
+    only the spatial im2col staging loops per image. Rows are padded to
+    HWp = roundup(H*W, 8) (_pad_rows) so the (N, HWp, C) <-> (N*HWp, C)
+    reshapes are layout-free and the per-image DMA slices stay aligned.
+    Pad rows carry zeros in x; through the GEMM+BN chain they stay finite
+    (never NaN: col pad rows are zeroed once) and are clipped after the
+    kernel."""
     hw = h * w
     hw_pad = act_ref.shape[1]
     b = pl.program_id(0)
-    i = pl.program_id(1)
 
     @pl.when(b == 0)
-    def _load_image():
-        cp = pltpu.make_async_copy(x_hbm.at[i], act_ref.at[i], sem.at[0])
-        cp.start()
-        cp.wait()
+    def _load_images():
+        for i in range(n):
+            cp = pltpu.make_async_copy(x_hbm.at[i], act_ref.at[i], sem.at[0])
+            cp.start()
+            cp.wait()
+        if hw_pad != hw:
+            for i in range(n):
+                col_ref[i, hw:, :] = jnp.zeros(
+                    (hw_pad - hw, col_ref.shape[-1]), jnp.float32
+                )
 
-    y = _block_compute(
-        act_ref[i][:hw],
-        wr_ref, s1_ref, b1_ref, w9_ref, s2_ref, b2_ref, we_ref, s3_ref, b3_ref,
-        scratch, h=h, w=w, cmid=cmid, mid_algo=mid_algo, precision=precision,
+    allact = act_ref[:].reshape(n * hw_pad, cio)
+    h1all = jnp.maximum(
+        split_dot(allact, wr_ref[0], precision) * s1_ref[0] + b1_ref[0], 0.0
     )
-    if hw_pad != hw:
-        y = jnp.concatenate([y, jnp.zeros((hw_pad - hw, cio), jnp.float32)])
-    act_ref[i] = y
+    for i in range(n):
+        h1 = h1all[i * hw_pad : i * hw_pad + hw].reshape(h, w, cmid)
+        xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+        xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+        xpad_ref[1 : h + 1, 1 : w + 1, :] = h1
+        for r in range(3):
+            for s in range(3):
+                patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
+                col_ref[i, :hw, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+    h2all = jnp.maximum(
+        split_dot(
+            col_ref[:].reshape(n * hw_pad, 9 * cmid), w9_ref[0], precision
+        )
+        * s2_ref[0]
+        + b2_ref[0],
+        0.0,
+    )
+    h3all = split_dot(h2all, we_ref[0], precision) * s3_ref[0] + b3_ref[0]
+    yall = jnp.maximum(h3all + allact, 0.0)
+    act_ref[:] = yall.reshape(act_ref.shape)
 
     @pl.when(b == n_blocks - 1)
-    def _store_image():
-        cp = pltpu.make_async_copy(act_ref.at[i], out_hbm.at[i], sem.at[1])
-        cp.start()
-        cp.wait()
+    def _store_images():
+        for i in range(n):
+            cp = pltpu.make_async_copy(act_ref.at[i], out_hbm.at[i], sem.at[1])
+            cp.start()
+            cp.wait()
 
 
 @functools.partial(
@@ -242,30 +274,48 @@ def resnet_stage_fused_pallas(
     wbytes_per = 2 if precision == "bf16w" else 4
 
     # Block-outer weight-resident layout for batches: each block's weights
-    # are fetched from HBM once for ALL images instead of once per image.
-    # At n_blocks == 1 the image-outer layout's constant weight index
-    # already fetches once per batch (see kernels/transition.py).
+    # are fetched from HBM once for ALL images instead of once per image,
+    # and the GEMMs run over all images' rows at once. At n_blocks == 1 the
+    # image-outer layout's constant weight index already fetches once per
+    # batch (see kernels/transition.py); the row-batched kernel covers the
+    # direct-im2col mid only (winograd2 stages — conv3_x — are compute-
+    # bound with negligible weight traffic, so they keep the image-outer
+    # layout).
     if resident is None:
-        resident = n > 1 and n_blocks > 1
-    resident = resident and n > 1
-    kernel = functools.partial(
-        _stage_kernel_resident if resident else _stage_kernel,
-        h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
-        mid_algo=mid_algo, precision=precision,
-    )
-    img = lambda i, b: (i, 0, 0, 0)
+        # Default OFF: measured end-to-end (13-block backbone at N=8, v5e)
+        # the explicit resident layout never beats the image-outer layout
+        # in-chain — Pallas already skips re-fetching revisited blocks, the
+        # block-megakernel route keeps weights batch-constant via its index
+        # maps, and the resident layout's costs (XLA pad/slice boundary
+        # copies, serialized per-image DMAs, lost x/out pipelining) eat the
+        # streaming savings even at conv5_x's 17.8 MB/block (selective
+        # resident: 1324.5 us vs image-outer 1304.7). Kept as an explicit
+        # opt-in for isolated weight-bound single-component serving.
+        resident = False
+    resident = resident and n > 1 and mid_algo == "direct"
     if resident:
+        kernel = functools.partial(
+            _stage_kernel_resident,
+            h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
+            n=n, precision=precision,
+        )
         blk = lambda shape: pl.BlockSpec(
             (1,) + shape,
-            (lambda b, i: (b,) + (0,) * len(shape)),
+            (lambda b: (b,) + (0,) * len(shape)),
             memory_space=pltpu.VMEM,
         )
     else:
+        kernel = functools.partial(
+            _stage_kernel,
+            h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
+            mid_algo=mid_algo, precision=precision,
+        )
         blk = lambda shape: pl.BlockSpec(
             (1,) + shape,
             (lambda i, b: (b,) + (0,) * len(shape)),
             memory_space=pltpu.VMEM,
         )
+    img = lambda i, b: (i, 0, 0, 0)
     flops = 2 * n * n_blocks * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
     if mid_algo == "winograd2":
         from winograd_tpu.kernels.winograd import _pad_tiles_w
@@ -293,18 +343,25 @@ def resnet_stage_fused_pallas(
     # the resident layout) + mid scratch; ~17 MB at conv4_x, ~30 MB for a
     # streamed conv5_x block. Raise the compiler's conservative 16 MB
     # scoped cap to the estimate (v5e has far more physical VMEM).
-    # Activation VMEM: resident keeps all N images in scratch (x/out live
-    # in HBM); the streaming layout holds double-buffered x/out blocks
-    # (4 images' worth) plus one act scratch.
-    act_elems = n * h * w * cio if resident else 5 * h * w * cio
+    # Activation VMEM: resident keeps all N images' act AND im2col rows in
+    # scratch (x/out live in HBM); the streaming layout holds
+    # double-buffered x/out blocks (4 images' worth) plus one act scratch.
+    if resident:
+        act_elems = n * _pad_rows(h * w) * (cio + 9 * cmid) + (h + 2) * (w + 2) * cmid
+    else:
+        act_elems = 5 * h * w * cio + sum(
+            int(np.prod(s.shape)) for s in mid_scratch
+        )
+    # 1.5x margin: the compiler's scoped-stack accounting adds copy/layout
+    # temporaries beyond the declared buffers (1.25x measured 1.5 MB short
+    # at conv4_x batch-8).
     vmem_limit = max(
         24 * 1024 * 1024,
         int(
-            1.25
+            1.5
             * (
                 2 * wbytes_per * (2 * cio * cmid + mid_weight_elems)
                 + 4 * act_elems
-                + 4 * sum(int(np.prod(s.shape)) for s in mid_scratch)
             )
         ),
     )
@@ -315,7 +372,7 @@ def resnet_stage_fused_pallas(
             x_rows = jnp.pad(x_rows, ((0, 0), (0, hw_pad - h * w), (0, 0)))
         out = pl.pallas_call(
             kernel,
-            grid=(n_blocks, n),
+            grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
             + [
                 blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)),
@@ -327,8 +384,9 @@ def resnet_stage_fused_pallas(
             scratch_shapes=[
                 pltpu.VMEM((n, hw_pad, cio), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-            ]
-            + mid_scratch,
+                pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
+                pltpu.VMEM((n, hw_pad, 9 * cmid), jnp.float32),
+            ],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=4 * 2 * n * h * w * cio + weight_bytes,

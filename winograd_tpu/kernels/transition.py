@@ -125,7 +125,7 @@ def _transition_kernel_resident(
     s3_ref, b3_ref,   # (1, TILE_CO)
     wp_ref,    # (Cin, TILE_CO)       streamed over outer j
     sp_ref, bp_ref,   # (1, TILE_CO)
-    out_ref,   # (1, HO, WO, TILE_CO)
+    out_ref,   # (N, HO, WO, TILE_CO)
     xin_ref,   # scratch (HWp, Cin)         DMA landing buffer (padded rows)
     h2_ref,    # scratch (N, HWOp, Cmid)    every image's mid output, resident
     xs_ref,    # scratch (N, HWOp, Cin)     every image's subsampled skip
@@ -137,21 +137,23 @@ def _transition_kernel_resident(
     cin: int,
     cmid: int,
     n_mid_groups: int,
+    n: int,
     precision: str,
 ):
-    """Output-tile-OUTER batched transition: grid (n_j, N). The wide
-    expand/projection weights are indexed by the outer j axis only, so each
-    tile streams from HBM once for the whole batch (the image-outer kernel
-    re-streams them per image — N x the traffic that bounds the
-    conv4_x -> conv5_x transition). The front (reduce + stride-2 3x3 +
-    skip subsample) runs once per image at j == 0 into that image's rows of
-    the resident h2/xs scratch, padded to HWOp = roundup(HO*WO, 8) so the
-    dynamic per-image slices stay sublane-aligned (kernels/stage.py)."""
+    """Output-tile-OUTER batched transition: grid (n_j,). The wide expand/
+    projection weights are indexed by the grid axis, so each tile streams
+    from HBM once for the whole batch (the image-outer kernel re-streams
+    them per image — N x the traffic that bounds the conv4_x -> conv5_x
+    transition), and the per-tile GEMMs contract ALL images' rows at once
+    (N*HWOp rows — full MXU row blocks even at 7x7's 49 rows/image). The
+    front (reduce + stride-2 3x3 + skip subsample) runs once per image at
+    j == 0 into that image's rows of the resident h2/xs scratch, padded to
+    HWOp = roundup(HO*WO, 8) so reshapes are layout-free
+    (kernels/stage.py::_pad_rows)."""
     ho, wo = -(-h // 2), -(-w // 2)
     hwo = ho * wo
     hwo_pad = h2_ref.shape[1]
     j = pl.program_id(0)
-    i = pl.program_id(1)
     mids = xpads[:n_mid_groups]
     ins = xpads[n_mid_groups:]
     cgm = mids[0].shape[-1]
@@ -166,47 +168,53 @@ def _transition_kernel_resident(
 
     @pl.when(j == 0)
     def _front():
-        cp = pltpu.make_async_copy(x_hbm.at[i], xin_ref, sem)
-        cp.start()
-        cp.wait()
-        xin = xin_ref[:]
-        x2 = xin[: h * w]
-        h1 = jnp.maximum(
-            split_dot(x2, wr_ref[:], precision) * s1_ref[:] + b1_ref[:], 0.0
-        )
-        h1 = h1.reshape(h, w, cmid)
-        for g, xp in enumerate(mids):
-            gsl = slice(g * cgm, (g + 1) * cgm)
-            ph, pw = xp.shape[0], xp.shape[1]
-            xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
-            xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
-            xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
-            xp[1 : h + 1, w + 1 :, :] = jnp.zeros((h, pw - w - 1, cgm), jnp.float32)
-            xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
-            for r in range(3):
-                for s in range(3):
-                    patch = xp[
-                        pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
-                    ].reshape(hwo, cgm)
-                    base = (3 * r + s) * cmid + g * cgm
-                    col_ref[:, base : base + cgm] = patch
-        h2_ref[i] = pad_rows(
-            jnp.maximum(
-                split_dot(col_ref[:], w9_ref[:], precision) * s2_ref[:] + b2_ref[:],
-                0.0,
+        for i in range(n):
+            cp = pltpu.make_async_copy(x_hbm.at[i], xin_ref, sem)
+            cp.start()
+            cp.wait()
+            x2 = xin_ref[:][: h * w]
+            h1 = jnp.maximum(
+                split_dot(x2, wr_ref[:], precision) * s1_ref[:] + b1_ref[:], 0.0
             )
-        )
-        for g, xg in enumerate(ins):
-            gsl = slice(g * cgi, (g + 1) * cgi)
-            xg[:, :, :] = x2[:, gsl].reshape(h, w, cgi)
-            xs_ref[i, :, gsl] = pad_rows(
-                xg[pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :].reshape(hwo, cgi)
+            h1 = h1.reshape(h, w, cmid)
+            for g, xp in enumerate(mids):
+                gsl = slice(g * cgm, (g + 1) * cgm)
+                ph, pw = xp.shape[0], xp.shape[1]
+                xp[0:1, :, :] = jnp.zeros((1, pw, cgm), jnp.float32)
+                xp[h + 1 :, :, :] = jnp.zeros((ph - h - 1, pw, cgm), jnp.float32)
+                xp[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cgm), jnp.float32)
+                xp[1 : h + 1, w + 1 :, :] = jnp.zeros(
+                    (h, pw - w - 1, cgm), jnp.float32
+                )
+                xp[1 : h + 1, 1 : w + 1, :] = h1[:, :, gsl]
+                for r in range(3):
+                    for s in range(3):
+                        patch = xp[
+                            pl.Slice(r, ho, 2), pl.Slice(s, wo, 2), :
+                        ].reshape(hwo, cgm)
+                        base = (3 * r + s) * cmid + g * cgm
+                        col_ref[:, base : base + cgm] = patch
+            h2_ref[i] = pad_rows(
+                jnp.maximum(
+                    split_dot(col_ref[:], w9_ref[:], precision) * s2_ref[:]
+                    + b2_ref[:],
+                    0.0,
+                )
             )
+            for g, xg in enumerate(ins):
+                gsl = slice(g * cgi, (g + 1) * cgi)
+                xg[:, :, :] = x2[:, gsl].reshape(h, w, cgi)
+                xs_ref[i, :, gsl] = pad_rows(
+                    xg[pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :].reshape(hwo, cgi)
+                )
 
-    h3 = split_dot(h2_ref[i], we_ref[:], precision) * s3_ref[:] + b3_ref[:]
-    skip = split_dot(xs_ref[i], wp_ref[:], precision) * sp_ref[:] + bp_ref[:]
+    h2all = h2_ref[:].reshape(n * hwo_pad, cmid)
+    xsall = xs_ref[:].reshape(n * hwo_pad, cin)
+    h3 = split_dot(h2all, we_ref[:], precision) * s3_ref[:] + b3_ref[:]
+    skip = split_dot(xsall, wp_ref[:], precision) * sp_ref[:] + bp_ref[:]
     tile_co = out_ref.shape[-1]
-    out_ref[0] = jnp.maximum(h3 + skip, 0.0)[:hwo].reshape(ho, wo, tile_co)
+    y = jnp.maximum(h3 + skip, 0.0).reshape(n, hwo_pad, tile_co)
+    out_ref[:] = y[:, :hwo, :].reshape(n, ho, wo, tile_co)
 
 
 @functools.partial(
@@ -275,17 +283,29 @@ def transition_block_fused_pallas(
     # fetches once per batch, and the resident path's blocking per-image
     # DMA measured slower (mode 11 int8: 120 vs 78 us at N=8).
     if resident is None:
-        resident = n > 1 and n_j > 1
+        # Default OFF: the image-outer layout's per-(image, tile) weight
+        # re-fetch fully overlaps the per-step GEMMs in practice (trans12
+        # f32 N=8: 298.2 us image-outer vs 301.8 resident), and in-chain
+        # the resident layout's boundary pad/slice copies cost more than
+        # the streaming it saves (see kernels/stage.py). Explicit opt-in
+        # only.
+        resident = False
     resident = resident and n > 1 and n_j > 1
-    kernel = functools.partial(
-        _transition_kernel_resident if resident else _transition_kernel,
-        h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid, precision=precision,
-    )
     if resident:
-        res = lambda j, i: (0, 0)  # resident weight blocks
-        stream = lambda j, i: (0, j)  # fetched once per OUTER j step
-        out_idx = lambda j, i: (i, 0, 0, j)
+        kernel = functools.partial(
+            _transition_kernel_resident,
+            h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid, n=n,
+            precision=precision,
+        )
+        res = lambda j: (0, 0)  # resident weight blocks
+        stream = lambda j: (0, j)  # fetched once per grid step
+        out_idx = lambda j: (0, 0, 0, j)
     else:
+        kernel = functools.partial(
+            _transition_kernel,
+            h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid,
+            precision=precision,
+        )
         res = lambda i, j: (0, 0)
         stream = lambda i, j: (0, j)
         out_idx = lambda i, j: (i, 0, 0, j)
@@ -319,7 +339,7 @@ def transition_block_fused_pallas(
     )
     if resident:
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-        grid = (n_j, n)
+        grid = (n_j,)
         # Rows layout, padded to the sublane tile, so the per-image DMA
         # slice extents match Mosaic's tiled extents.
         x_arg = x.astype(jnp.float32).reshape(n, h * w, cin)
@@ -352,7 +372,9 @@ def transition_block_fused_pallas(
             pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, ho, wo, tile_co), out_idx, memory_space=pltpu.VMEM
+            ((n if resident else 1), ho, wo, tile_co),
+            out_idx,
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.float32),
         scratch_shapes=scratch_shapes,

@@ -158,16 +158,13 @@ def resnet_stage_pallas(
             # One block's weights, double-buffered, must fit next to the
             # activation/col scratch (see kernels/stage.py); the bf16 tier
             # halves the per-block bytes and rides the kernel's dynamic
-            # VMEM cap, so its ceiling is looser. Batched inputs take the
-            # weight-resident layout, whose per-block traffic amortizes over
-            # the whole batch — worth the larger VMEM cap even at f32
-            # conv5_x geometry (2 x 17.8 MB double-buffered + batch
-            # activations ~= 40 MB, well under v5e's physical VMEM).
-            batched = x.ndim == 4 and x.shape[0] > 1
+            # VMEM cap, so its ceiling is looser. f32 conv5_x stays on
+            # per_block: the block megakernel's batch-constant weight index
+            # maps make it effectively weight-resident at N>1 already
+            # (kernels/block.py grid=(n,)), measured faster than streaming
+            # 17.8 MB/block through the stage kernel per image.
             wbytes = (2 if bf16w else 4) * 2 * (2 * cio * cmid + 9 * cmid * cmid)
-            uniform = wbytes <= (
-                40 * 2**20 if (bf16w or batched) else 10 * 2**20
-            )
+            uniform = wbytes <= (40 * 2**20 if bf16w else 10 * 2**20)
         algo = "fused_stage" if uniform else "per_block"
     if algo == "fused_stage":
         from winograd_tpu.kernels.stage import (
