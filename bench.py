@@ -16,10 +16,10 @@ REFERENCE_US = 59.0  # custom CUDA kernel, mode 0 (/root/reference/README.md:27)
 def main() -> int:
     from winograd_tpu.bench.cli import run_case
 
-    # scan_len 16384 puts ~50 ms of device work behind each timed call, so
-    # the tunnel's per-call RTT jitter (~ms) perturbs the slope by well
-    # under 0.1 us (at the default 4096 it is a ~±1 us spread).
-    r = run_case(0, iterations=100, warmup=2, strict=True, scan_len=16384)
+    # scan_len=None sizes the timing legs adaptively to ~0.5 s of device
+    # work each (utils/timing.py::bench_scan), so the tunnel's per-call RTT
+    # jitter (~ms) perturbs the slope by well under 1%.
+    r = run_case(0, iterations=100, warmup=2, strict=True, scan_len=None)
     # Steady-state per-op device latency (scan-slope protocol,
     # utils/timing.py) — comparable to the reference's timed region, which
     # excludes transfers and brackets only kernel launches + one sync. The

@@ -90,8 +90,11 @@ def run_case(
         case = make_case(mode, seed=seed)
     golden = case["golden"]
     dev = jax.devices()[0]
-    if scan_len is None:
-        scan_len = 4096 if jax.default_backend() == "tpu" else 4
+    if scan_len is None and jax.default_backend() != "tpu":
+        scan_len = 4
+    # On TPU scan_len=None lets bench_scan size the legs adaptively
+    # (~0.5 s of kernel time — the fixed 4096 left us-scale ops inside the
+    # dispatch floor's jitter; utils/timing.py).
 
     core_direct = None
     core_wino4 = None

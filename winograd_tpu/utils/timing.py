@@ -109,8 +109,9 @@ def bench_loop(
 def bench_scan(
     core: Callable[[jax.Array], jax.Array],
     x: jax.Array,
-    scan_len: int = 4096,
+    scan_len: int | None = 4096,
     repeats: int = 5,
+    target_s: float = 0.5,
 ) -> float:
     """Per-op DEVICE time: run `core` inside ONE jitted lax.scan, iterations
     serialized by a data dependency, so host dispatch is paid once. The
@@ -121,14 +122,18 @@ def bench_scan(
     /root/reference/Kernel128_winograd.cu:261-270): the steady-state
     per-layer device latency a deployed network would see.
 
+    scan_len=None picks the length ADAPTIVELY: a two-length probe estimates
+    the op time, then the long leg is sized so the kernel time itself is
+    ~target_s seconds (power-of-two, clamped to [1024, 2**18]). A fixed
+    4096 leaves a ~1.5 us op's long leg at ~6 ms — smaller than the
+    remote-dispatch floor's own jitter, which showed up as 30-50% swings
+    on the layer modes. With ~0.5 s legs the floor jitter perturbs the
+    slope by <0.5%.
+
     `core` maps x -> y (any output shape); the carry multiplies x by
     (1 + 0*y[0]), which XLA cannot fold away (NaN semantics: 0*NaN != 0)
     and which adds only a scalar-broadcast epilogue per step.
     """
-    # The spread between the two lengths must make L*t_op dwarf the jitter of
-    # the constant floor (~ms through a remote-dispatch tunnel), so the short
-    # leg is ~1/64 of the long one.
-    l_short = max(scan_len // 64, 2)
 
     def make(length):
         @jax.jit
@@ -143,14 +148,26 @@ def bench_scan(
 
         return scan_n
 
-    times = {}
-    for length in (l_short, scan_len):
+    def measure(length, reps):
         fn = make(length)
         jax.block_until_ready(fn(x))  # compile + warm
         best = float("inf")
-        for _ in range(repeats):
+        for _ in range(reps):
             t0 = time.perf_counter_ns()
             jax.block_until_ready(fn(x))
             best = min(best, (time.perf_counter_ns() - t0) / 1e3)
-        times[length] = best
+        return best
+
+    if scan_len is None:
+        # Probe slope between 256 and 1024 iterations (floor cancels),
+        # then size the long leg to ~target_s seconds of kernel time.
+        t256, t1024 = measure(256, 2), measure(1024, 2)
+        est_us = max((t1024 - t256) / 768.0, 1e-3)
+        scan_len = 1 << max(10, min(18, int(target_s * 1e6 / est_us).bit_length()))
+
+    # The spread between the two lengths must make L*t_op dwarf the jitter
+    # of the constant floor (~ms through a remote-dispatch tunnel), so the
+    # short leg is ~1/64 of the long one.
+    l_short = max(scan_len // 64, 2)
+    times = {length: measure(length, repeats) for length in (l_short, scan_len)}
     return (times[scan_len] - times[l_short]) / (scan_len - l_short)
