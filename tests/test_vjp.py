@@ -195,3 +195,51 @@ def test_filter_transform_jnp_matches_numpy():
     got = np.asarray(vjp.filter_transform_jnp(jnp.asarray(w), m=4))
     want = transforms.transform_filter(w, m=4)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_optimizer_loop_converges_through_megakernel():
+    """A REAL training loop: optax Adam distilling a frozen random-teacher
+    block into a student, forward = the serving block megakernel
+    (bottleneck_block_train). Loss must fall by >10x — the end-to-end proof
+    that the custom-VJP training path optimizes, beyond per-step grad
+    parity."""
+    import optax
+
+    from winograd_tpu.models.resnet import (
+        bottleneck_block_train,
+        init_bottleneck_params,
+    )
+
+    teacher = init_bottleneck_params(0, c_io=64, c_mid=16)
+    teacher = {
+        k: jnp.asarray(v)
+        for k, v in teacher.items()
+        if k not in ("w9_mid", "u_mid", "u2_mid")
+    }
+    # Student starts near (not at) the teacher: the optimum is reachable,
+    # so the bar below tests the OPTIMIZER path, not task expressibility.
+    keys = jax.random.split(jax.random.PRNGKey(2), len(teacher))
+    student = {
+        k: v + 0.05 * jax.random.normal(kk, v.shape, v.dtype)
+        for kk, (k, v) in zip(keys, sorted(teacher.items()))
+    }
+    x = jax.random.normal(jax.random.PRNGKey(7), (14, 14, 64), jnp.float32)
+    target = bottleneck_block_train(x, teacher)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(student)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.mean((bottleneck_block_train(x, p) - target) ** 2)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(150):
+        student, opt_state, loss = step(student, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])

@@ -304,6 +304,16 @@ def run_case(
             return None
         return round(flops / (device_us * 1e-6) / V5E_PEAK_FLOPS, 4)
 
+    # Serving throughput (images/s) from the steady-state device latency —
+    # the BottleneckEngine/BackboneEngine serving metric, derived from the
+    # same measurement rather than re-timed.
+    batch = getattr(cfg, "batch", 1)
+
+    def _im_s(device_us):
+        if device_us is None or not device_us > 0:
+            return None
+        return round(batch / (device_us * 1e-6), 1)
+
     return {
         "mode": mode,
         "name": cfg.name,
@@ -325,6 +335,8 @@ def run_case(
         "int8_rel_error": int8_rel_error,
         "bf16w_device_us": bf16w_device_us,
         "bf16w_rel_error": bf16w_rel_error,
+        "throughput_im_s": _im_s(r_pallas.device_us),
+        "throughput_int8_im_s": _im_s(int8_device_us),
         "iterations": r_pallas.iterations,
         "max_error_pallas": check_pallas.max_error,
         "max_error_xla": check_baseline.max_error,
