@@ -48,7 +48,8 @@ from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
 from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
 from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
 from winograd_tpu.kernels.transition import transition_block_fused_pallas
-from winograd_tpu.engine import BottleneckEngine
+from winograd_tpu.kernels.stage import resnet_stage_fused_pallas
+from winograd_tpu.engine import BackboneEngine, BottleneckEngine
 
 __version__ = "0.2.0"
 
@@ -67,6 +68,8 @@ __all__ = [
     "conv3x3_bn_direct_pallas",
     "bottleneck_block_fused_pallas",
     "transition_block_fused_pallas",
+    "resnet_stage_fused_pallas",
     "BottleneckEngine",
+    "BackboneEngine",
     "__version__",
 ]

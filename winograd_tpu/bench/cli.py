@@ -391,19 +391,33 @@ def main(argv=None) -> int:
     for m in modes:
         print(f"=== mode {m}: {CASES[m].name} ===", file=sys.stderr)
         try:
-            results.append(
-                run_case(
-                    m,
-                    args.iterations,
-                    args.warmup,
-                    args.seed,
-                    strict=not args.no_strict,
-                    data_dir=args.data_dir,
-                    profile_dir=args.profile,
-                )
-            )
+            for attempt in (1, 2):
+                try:
+                    results.append(
+                        run_case(
+                            m,
+                            args.iterations,
+                            args.warmup,
+                            args.seed,
+                            strict=not args.no_strict,
+                            data_dir=args.data_dir,
+                            profile_dir=args.profile,
+                        )
+                    )
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    # Transient remote-compile/dispatch infrastructure
+                    # failures (tunnel resets) otherwise kill an hour-long
+                    # sweep; one retry per mode (compiles are cached).
+                    if attempt == 2:
+                        raise
+                    print(f"  TRANSIENT RUNTIME ERROR, retrying: {e}",
+                          file=sys.stderr)
         except ParityError as e:
             print(f"  PARITY FAILURE: {e}", file=sys.stderr)
+            failed = True
+        except jax.errors.JaxRuntimeError as e:
+            print(f"  RUNTIME FAILURE: {e}", file=sys.stderr)
             failed = True
         except (FileNotFoundError, ValueError) as e:
             print(f"  DATA ERROR: {e}", file=sys.stderr)
