@@ -409,7 +409,17 @@ def main(argv=None) -> int:
                     # Transient remote-compile/dispatch infrastructure
                     # failures (tunnel resets) otherwise kill an hour-long
                     # sweep; one retry per mode (compiles are cached).
-                    if attempt == 2:
+                    # Deterministic failures (Mosaic lowering errors) are
+                    # not retried — re-running a 1-6 min compile to fail
+                    # identically just doubles time-to-failure.
+                    transient = any(
+                        marker in str(e)
+                        for marker in (
+                            "read body", "response body", "Connection",
+                            "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                        )
+                    )
+                    if attempt == 2 or not transient:
                         raise
                     print(f"  TRANSIENT RUNTIME ERROR, retrying: {e}",
                           file=sys.stderr)

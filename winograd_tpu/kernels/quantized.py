@@ -159,19 +159,18 @@ def _block_int8_kernel(
     cio: int,
     cmid: int,
 ):
+    from winograd_tpu.kernels.stage import _im2col_same3x3
+
     hw = h * w
     x2 = x_ref[0].reshape(hw, cio)
     h1 = jnp.maximum(_qdot(x2, wr_ref, wr_s_ref[:]) * s1_ref[:] + b1_ref[:], 0.0)
 
-    xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-    xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cmid)
-    for r in range(3):
-        for s in range(3):
-            patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
-            col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+    def col_write(t, patch):
+        col_ref[:, t * cmid : (t + 1) * cmid] = patch
+
+    _im2col_same3x3(
+        xpad_ref, h1.reshape(h, w, cmid), col_write, h=h, w=w, cmid=cmid
+    )
     h2 = jnp.maximum(_qdot(col_ref[:], w9_ref, w9_s_ref[:]) * s2_ref[:] + b2_ref[:], 0.0)
 
     h3 = _qdot(h2, we_ref, we_s_ref[:]) * s3_ref[:] + b3_ref[:]
@@ -299,17 +298,16 @@ def _stage_int8_block_body(x2, wr_ref, wr_s_ref, s1_ref, b1_ref,
                            xpad_ref, col_ref, *, h, w, cmid):
     """One int8 bottleneck block on one image's rows (shared by the
     image-outer streaming kernel and the weight-resident batched one)."""
-    hw = h * w
+    from winograd_tpu.kernels.stage import _im2col_same3x3
+
     h1 = jnp.maximum(_qdot(x2, wr_ref[0], wr_s_ref[0]) * s1_ref[0] + b1_ref[0], 0.0)
-    xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-    xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-    xpad_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cmid)
-    for r in range(3):
-        for s in range(3):
-            patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
-            col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+
+    def col_write(t, patch):
+        col_ref[:, t * cmid : (t + 1) * cmid] = patch
+
+    _im2col_same3x3(
+        xpad_ref, h1.reshape(h, w, cmid), col_write, h=h, w=w, cmid=cmid
+    )
     h2 = jnp.maximum(
         _qdot(col_ref[:], w9_ref[0], w9_s_ref[0]) * s2_ref[0] + b2_ref[0], 0.0
     )
@@ -361,17 +359,15 @@ def _stage_int8_kernel_resident(
     h1all = jnp.maximum(
         _qdot(allact, wr_ref[0], wr_s_ref[0]) * s1_ref[0] + b1_ref[0], 0.0
     )
+    from winograd_tpu.kernels.stage import _im2col_same3x3
+
     for i in range(n):
         h1 = h1all[i * hw_pad : i * hw_pad + hw].reshape(h, w, cmid)
-        xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-        xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, 1 : w + 1, :] = h1
-        for r in range(3):
-            for s in range(3):
-                patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
-                col_ref[i, :hw, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+
+        def col_write(t, patch, i=i):
+            col_ref[i, :hw, t * cmid : (t + 1) * cmid] = patch
+
+        _im2col_same3x3(xpad_ref, h1, col_write, h=h, w=w, cmid=cmid)
     h2all = jnp.maximum(
         _qdot(col_ref[:].reshape(n * hw_pad, 9 * cmid), w9_ref[0], w9_s_ref[0])
         * s2_ref[0]
@@ -615,6 +611,8 @@ def transition_block_int8_pallas(
     if resident:
         from winograd_tpu.kernels.stage import _pad_rows
 
+        hw_pad = _pad_rows(h * w)
+        hwo_pad = _pad_rows(ho * wo)
         kernel = functools.partial(
             _transition_int8_kernel_resident,
             h=h, w=w, cin=cin, cmid=cmid, n_mid_groups=n_mid, n=n,
@@ -626,10 +624,8 @@ def transition_block_int8_pallas(
         grid = (n_j,)
         # Rows layout, padded to the sublane tile (kernels/transition.py).
         x_arg = x.astype(jnp.float32).reshape(n, h * w, cin)
-        if _pad_rows(h * w) != h * w:
-            x_arg = jnp.pad(
-                x_arg, ((0, 0), (0, _pad_rows(h * w) - h * w), (0, 0))
-            )
+        if hw_pad != h * w:
+            x_arg = jnp.pad(x_arg, ((0, 0), (0, hw_pad - h * w), (0, 0)))
     else:
         kernel = functools.partial(
             _transition_int8_kernel,
@@ -667,10 +663,6 @@ def transition_block_int8_pallas(
         pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
     ]
     if resident:
-        from winograd_tpu.kernels.stage import _pad_rows
-
-        hw_pad = _pad_rows(h * w)
-        hwo_pad = _pad_rows(ho * wo)
         scratch_shapes = [
             pltpu.VMEM((hw_pad, cin), jnp.float32),  # DMA landing buffer
             pltpu.VMEM((n, hwo_pad, cmid), jnp.float32),

@@ -49,6 +49,22 @@ def stack_stage_params(params_list: List[dict]) -> dict:
     return out
 
 
+def _im2col_same3x3(xpad_ref, h1_hwc, col_write, *, h: int, w: int, cmid: int):
+    """SAME-pad 3x3 im2col staging shared by the stage kernels (f32 and
+    int8, image-outer and weight-resident): zero the one-pixel border of
+    xpad_ref, scatter h1 into the interior, and emit the 9 shifted
+    (H*W, Cmid) patches via col_write(tap_index, patch)."""
+    xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+    xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
+    xpad_ref[1 : h + 1, 1 : w + 1, :] = h1_hwc
+    for r in range(3):
+        for s in range(3):
+            patch = xpad_ref[r : r + h, s : s + w, :].reshape(h * w, cmid)
+            col_write(3 * r + s, patch)
+
+
 def _block_compute(
     x2,        # (H*W, Cio) value — the block input rows
     wr_ref,    # (1, Cio, Cmid)     block b's weights
@@ -95,15 +111,13 @@ def _block_compute(
         h3 = h3 * s3_ref[0] + b3_ref[0]
     else:
         xpad_ref, col_ref = scratch
-        xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-        xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cmid)
-        for r in range(3):
-            for s in range(3):
-                patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
-                col_ref[:, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+
+        def col_write(t, patch):
+            col_ref[:, t * cmid : (t + 1) * cmid] = patch
+
+        _im2col_same3x3(
+            xpad_ref, h1.reshape(h, w, cmid), col_write, h=h, w=w, cmid=cmid
+        )
         h2 = jnp.maximum(
             split_dot(col_ref[:], w9_ref[0], precision) * s2_ref[0] + b2_ref[0], 0.0
         )
@@ -204,15 +218,11 @@ def _stage_kernel_resident(
     )
     for i in range(n):
         h1 = h1all[i * hw_pad : i * hw_pad + hw].reshape(h, w, cmid)
-        xpad_ref[0:1, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-        xpad_ref[h + 1 :, :, :] = jnp.zeros((1, w + 2, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, 0:1, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, w + 1 :, :] = jnp.zeros((h, 1, cmid), jnp.float32)
-        xpad_ref[1 : h + 1, 1 : w + 1, :] = h1
-        for r in range(3):
-            for s in range(3):
-                patch = xpad_ref[r : r + h, s : s + w, :].reshape(hw, cmid)
-                col_ref[i, :hw, (3 * r + s) * cmid : (3 * r + s + 1) * cmid] = patch
+
+        def col_write(t, patch, i=i):
+            col_ref[i, :hw, t * cmid : (t + 1) * cmid] = patch
+
+        _im2col_same3x3(xpad_ref, h1, col_write, h=h, w=w, cmid=cmid)
     h2all = jnp.maximum(
         split_dot(
             col_ref[:].reshape(n * hw_pad, 9 * cmid), w9_ref[0], precision

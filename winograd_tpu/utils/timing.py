@@ -148,8 +148,12 @@ def bench_scan(
 
         return scan_n
 
+    fns = {}  # one jitted scan per length (make() closures would recompile)
+
     def measure(length, reps):
-        fn = make(length)
+        fn = fns.get(length)
+        if fn is None:
+            fn = fns[length] = make(length)
         jax.block_until_ready(fn(x))  # compile + warm
         best = float("inf")
         for _ in range(reps):
@@ -160,7 +164,9 @@ def bench_scan(
 
     if scan_len is None:
         # Probe slope between 256 and 1024 iterations (floor cancels),
-        # then size the long leg to ~target_s seconds of kernel time.
+        # then size the long leg to ~target_s seconds of kernel time. The
+        # probed programs are kept in `fns`, so a clamped-to-1024 choice
+        # (slow ops) reuses the compiled probe program.
         t256, t1024 = measure(256, 2), measure(1024, 2)
         est_us = max((t1024 - t256) / 768.0, 1e-3)
         scan_len = 1 << max(10, min(18, int(target_s * 1e6 / est_us).bit_length()))
