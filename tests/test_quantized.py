@@ -163,3 +163,24 @@ def test_int8_stage_and_transition_weight_resident_batched():
         [np.asarray(transition_block_int8_pallas(xb[i], qp)) for i in range(3)]
     )
     assert np.abs(tb - tper).max() < 1e-5
+
+
+def test_int8_direct_3x3_matches_golden():
+    """The int8 direct 3x3 kernel (modes 0/1's serving tier) stays inside
+    the 8-bit bound vs the float64 golden on both reference geometries."""
+    from winograd_tpu.datagen.generate import make_case
+    from winograd_tpu.kernels.quantized import (
+        conv3x3_bn_int8_pallas,
+        quantize_weights,
+    )
+
+    for mode in (0, 1):
+        case = make_case(mode, seed=mode)
+        w9q, sw = quantize_weights(np.asarray(case["w9"]))
+        out = np.asarray(
+            conv3x3_bn_int8_pallas(
+                case["x"], w9q, sw, case["scale"], case["bias"]
+            )
+        )
+        rel = np.abs(out - case["golden"]).max() / np.abs(case["golden"]).max()
+        assert rel < 5e-2, (mode, rel)

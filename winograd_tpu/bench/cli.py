@@ -229,6 +229,19 @@ def run_case(
         # the reference's own F(4,3) algebra.
         core_direct = lambda x_: conv3x3_bn_direct_pallas(x_, w9, s, b, relu=cfg.relu)
         core_wino4 = lambda x_: conv3x3_bn_winograd_pallas(x_, u, s, b, relu=cfg.relu)
+        # Int8 serving tier (direct im2col — the Winograd algebra is not
+        # quantized; kernels/quantized.py::conv3x3_bn_int8_pallas).
+        from winograd_tpu.kernels.quantized import (
+            conv3x3_bn_int8_pallas,
+            quantize_weights,
+        )
+
+        w9q_np, sw9 = quantize_weights(np.asarray(w9))
+        w9q = jax.device_put(jnp.asarray(w9q_np), dev)
+        sw9 = jax.device_put(jnp.asarray(sw9), dev)
+        core_int8 = lambda x_: conv3x3_bn_int8_pallas(
+            x_, w9q, sw9, s, b, relu=cfg.relu
+        )
     else:
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         w = jax.device_put(jnp.asarray(case["w"]), dev)
@@ -238,6 +251,19 @@ def run_case(
         baseline_fn = lambda: baseline.conv1x1_bn(x, w, s, b, relu=cfg.relu)
         core_pallas = lambda x_: conv1x1_bn_pallas(x_, w, s, b, relu=cfg.relu)
         core_xla = lambda x_: baseline.conv1x1_bn(x_, w, s, b, relu=cfg.relu)
+        # Int8 serving tier (per-channel weights + per-row activations,
+        # kernels/quantized.py::conv1x1_bn_int8_pallas).
+        from winograd_tpu.kernels.quantized import (
+            conv1x1_bn_int8_pallas,
+            quantize_weights,
+        )
+
+        wq_np, sw = quantize_weights(np.asarray(case["w"]))
+        wq = jax.device_put(jnp.asarray(wq_np), dev)
+        sw = jax.device_put(jnp.asarray(sw), dev)
+        core_int8 = lambda x_: conv1x1_bn_int8_pallas(
+            x_, wq, sw, s, b, relu=cfg.relu
+        )
 
     # Parity first (all paths vs the independent golden model).
     check_pallas = _check(f"{cfg.name}/pallas", pallas_fn(), golden, strict)

@@ -129,6 +129,120 @@ def conv1x1_bn_int8_pallas(
     return out[:p].reshape(*lead, cout)
 
 
+# --- int8 direct 3x3 kernel ---------------------------------------------------
+
+
+def _direct_int8_kernel(
+    x_ref,      # (1, H, W, Cin) f32
+    w9q_ref,    # (9*Cin, TILE_CO) int8
+    w9s_ref,    # (1, TILE_CO) weight scales
+    scale_ref,  # (1, TILE_CO)
+    bias_ref,   # (1, TILE_CO)
+    out_ref,    # (1, H, W, TILE_CO)
+    xpad_ref,   # scratch (H+2, W+2, Cin)
+    col_ref,    # scratch (H*W, 9*Cin)
+    *,
+    h: int,
+    w: int,
+    cin: int,
+    relu: bool,
+):
+    from winograd_tpu.kernels.stage import _im2col_same3x3
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _im2col():
+        def col_write(t, patch):
+            col_ref[:, t * cin : (t + 1) * cin] = patch
+
+        _im2col_same3x3(xpad_ref, x_ref[0], col_write, h=h, w=w, cmid=cin)
+
+    y = _qdot(col_ref[:], w9q_ref, w9s_ref[:])
+    tile_co = out_ref.shape[-1]
+    y = y * scale_ref[:] + bias_ref[:]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.reshape(h, w, tile_co)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "tile_co", "interpret")
+)
+def conv3x3_bn_int8_pallas(
+    x: jax.Array,
+    w9_q: jax.Array,
+    s_w9: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    relu: bool = True,
+    *,
+    tile_co: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Int8 fused 3x3 conv (pad 1) + BN (+ReLU): direct im2col staging, one
+    int8 MXU GEMM with per-row dynamic activation quant, f32 epilogue —
+    the 8-bit twin of kernels/direct.py::conv3x3_bn_direct_pallas,
+    completing the serving-tier matrix for the standalone 3x3 modes
+    (the Winograd algebra is not quantized: the +/-1 transform amplifies
+    the per-tile dynamic range, so int8 tiles lose ~1 bit; direct im2col
+    keeps activations in their natural scale). w9_q/s_w9 from
+    quantize_weights(direct_filter(w))."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, cin = x.shape
+    assert w9_q.shape[0] == 9 * cin, (w9_q.shape, cin)
+    cout = w9_q.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile_co is None:
+        from winograd_tpu.kernels.pointwise import largest_divisor_leq
+
+        tile_co = cout if 9 * cin * cout <= 4 * 2**20 else largest_divisor_leq(cout, 256)
+    assert cout % tile_co == 0, (cout, tile_co)
+    n_j = cout // tile_co
+
+    def row(v, c):
+        return jnp.asarray(v, jnp.float32).reshape(1, c)
+
+    kernel = functools.partial(
+        _direct_int8_kernel, h=h, w=w, cin=cin, relu=relu
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_j),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2, cin), jnp.float32),
+            pltpu.VMEM((h * w, 9 * cin), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * 2 * h * w * 9 * cin * cout,
+            bytes_accessed=4 * n * h * w * (cin + cout) + 9 * cin * cout,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32),
+        jnp.asarray(w9_q, jnp.int8),
+        row(s_w9, cout),
+        row(scale, cout),
+        row(bias, cout),
+    )
+    return out[0] if squeeze else out
+
+
 # --- int8 bottleneck-block megakernel ---------------------------------------
 
 
