@@ -176,3 +176,21 @@ def test_transition_weight_resident_batched():
     )
     rel = np.abs(out_bf - per_img).max() / np.abs(per_img).max()
     assert rel < 5e-3, rel
+
+
+def test_full_resnet50_trunk_16_blocks():
+    """Mode 15: the COMPLETE ResNet-50 residual trunk — conv2_x (56x56)
+    through conv5_x (7x7), 16 bottleneck blocks, three fused stride-2
+    transitions — through the serving kernels, vs the float64 golden."""
+    from winograd_tpu.config import CASES
+    from winograd_tpu.datagen.generate import backbone_stages, make_backbone_case
+    from winograd_tpu.models.downsample import resnet50_stages
+
+    cfg = CASES[15]
+    assert cfg.stages[0] == (256, 64, 56, 3)
+    case = make_backbone_case(cfg, seed=15)
+    stages = backbone_stages(cfg, case)
+    out = np.asarray(resnet50_stages(case["x"], stages))
+    assert out.shape == (7, 7, 2048)
+    err = np.abs(out - case["golden"]).max()
+    assert err < 10 * PARITY_ATOL, err

@@ -1,8 +1,9 @@
 """Benchmark CLI — the reference's Test.c harness, rebuilt for TPU.
 
 `python -m winograd_tpu.bench <mode>` runs one case (modes 0-5 match the
-reference CLI, /root/reference/Test.c:17-44; 6-14 extend it: composed
-blocks/stages, stride-2 transitions, the 13-block backbone at N=1/8): 100
+reference CLI, /root/reference/Test.c:17-44; 6-15 extend it: composed
+blocks/stages, stride-2 transitions, the 13-block backbone at N=1/8, the
+complete 16-block ResNet-50 trunk): 100
 iterations, 2 warmups, mean of the rest (Test.c:14,45-48), timing the
 custom Pallas paths (every in-house 3x3 algorithm, plus the int8 tier on
 block modes) and the XLA baseline (the "cuDNN role"), with MFU vs the v5e

@@ -23,6 +23,7 @@ Extensions beyond the reference:
     11/12: stride-2 stage transitions (fused megakernel)
     13: the 13-block conv3_x->conv4_x->conv5_x backbone
     14: the same backbone at batch 8 (serving-throughput regime)
+    15: the COMPLETE 16-block ResNet-50 residual trunk (conv2_x..conv5_x)
 """
 
 from __future__ import annotations
@@ -129,6 +130,24 @@ CASES[13] = BackboneConfig("resnet50_backbone_13")
 # Batched serving: the same 13-block backbone at N=8 (throughput regime —
 # the megakernel grids batch over images; reference is N=1 only).
 CASES[14] = BackboneConfig("resnet50_backbone_13_b8", batch=8)
+
+
+@dataclasses.dataclass(frozen=True)
+class FullTrunkConfig(BackboneConfig):
+    """The COMPLETE ResNet-50 residual trunk: conv2_x at 56x56 through
+    conv5_x at 7x7 — 16 bottleneck blocks across four resolutions with
+    three stride-2 transitions (the stem conv/maxpool and the head are
+    outside the reference's scope and ours)."""
+
+    stages = (
+        (256, 64, 56, 3),
+        (512, 128, 28, 3),
+        (1024, 256, 14, 5),
+        (2048, 512, 7, 2),
+    )
+
+
+CASES[15] = FullTrunkConfig("resnet50_trunk_16")
 
 
 def case_flops(cfg) -> int:
