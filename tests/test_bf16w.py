@@ -37,6 +37,41 @@ def test_split_dot_bf16w_error_is_weight_rounding_only():
     assert np.abs(out - exact).max() / scale < BF16W_RTOL
 
 
+def test_bf16w_layer_kernels():
+    """The standalone layer kernels at the bf16w tier — every reference case
+    family (modes 0-5) runs the tier, not just the composed blocks: the
+    F(2,3) winograd kernel, the direct im2col kernel, and the pointwise
+    kernel with a bfloat16-rounded weight artifact."""
+    from winograd_tpu.config import CASES
+    from winograd_tpu.datagen.generate import make_pointwise_case, make_winograd_case
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+    from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+    from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+
+    case = make_winograd_case(CASES[0], seed=20)
+    out = conv3x3_bn_winograd_pallas(
+        case["x"], case["u2"], case["scale"], case["bias"], relu=True,
+        precision="bf16w",
+    )
+    rel = _rel(out, case["golden"])
+    assert rel < BF16W_RTOL, f"bf16w winograd2 layer relative error {rel}"
+
+    out_d = conv3x3_bn_direct_pallas(
+        case["x"], case["w9"], case["scale"], case["bias"], relu=True,
+        precision="bf16w",
+    )
+    rel_d = _rel(out_d, case["golden"])
+    assert rel_d < BF16W_RTOL, f"bf16w direct layer relative error {rel_d}"
+
+    pcase = make_pointwise_case(CASES[3], seed=21)
+    out_p = conv1x1_bn_pallas(
+        pcase["x"], pcase["w"], pcase["scale"], pcase["bias"], relu=False,
+        precision="bf16w",
+    )
+    rel_p = _rel(out_p, pcase["golden"])
+    assert rel_p < BF16W_RTOL, f"bf16w pointwise layer relative error {rel_p}"
+
+
 def test_bf16w_block_megakernel():
     from winograd_tpu.config import CASES
     from winograd_tpu.datagen.generate import block_params_list, make_block_case

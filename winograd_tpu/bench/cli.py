@@ -243,6 +243,11 @@ def run_case(
         core_int8 = lambda x_: conv3x3_bn_int8_pallas(
             x_, w9q, sw9, s, b, relu=cfg.relu
         )
+        # bf16 weight-storage tier on the F(2,3) algebra (its +-1 transforms
+        # do not amplify the offline weight rounding; kernels/winograd.py).
+        core_bf16w = lambda x_: conv3x3_bn_winograd_pallas(
+            x_, u2, s, b, relu=cfg.relu, precision="bf16w"
+        )
     else:
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         w = jax.device_put(jnp.asarray(case["w"]), dev)
@@ -264,6 +269,9 @@ def run_case(
         sw = jax.device_put(jnp.asarray(sw), dev)
         core_int8 = lambda x_: conv1x1_bn_int8_pallas(
             x_, wq, sw, s, b, relu=cfg.relu
+        )
+        core_bf16w = lambda x_: conv1x1_bn_pallas(
+            x_, w, s, b, relu=cfg.relu, precision="bf16w"
         )
 
     # Parity first (all paths vs the independent golden model).
@@ -439,10 +447,15 @@ def main(argv=None) -> int:
                     # Deterministic failures (Mosaic lowering errors) are
                     # not retried — re-running a 1-6 min compile to fail
                     # identically just doubles time-to-failure.
+                    # Markers are the specific tunnel/gRPC phrases observed,
+                    # not broad words ("Connection") that could match a
+                    # deterministic Mosaic diagnostic and re-run a 1-6 min
+                    # compile destined to fail identically.
                     transient = any(
                         marker in str(e)
                         for marker in (
-                            "read body", "response body", "Connection",
+                            "failed to read body", "response body",
+                            "Connection reset", "Connection refused",
                             "UNAVAILABLE", "DEADLINE_EXCEEDED",
                         )
                     )

@@ -213,9 +213,13 @@ BN_EPS = 1e-5
 # golden, NOT the f32 parity bar): the bf16 weight-storage tier is set by
 # offline bf16 weight rounding (~2^-9 per weight; measured ~1e-3 on
 # unit-scale data), the int8 tier by 8-bit quantization (~1e-2). Composed
-# multi-layer runs (the 13-block backbone) compound per-layer error, so
-# their bounds are one notch looser.
+# multi-layer runs (the 13/16-block backbones) compound per-layer error.
+# Backbone bounds are set from measurement + margin: ~1.1e-2 (int8) /
+# ~1.8e-3 (bf16w) measured across modes 13/14 (BENCH_FULL_r02.json), so
+# these keep a ~3-5x margin and an accuracy regression actually trips the
+# hard check (round-2 bounds had 10x+ slack that would have let a 5x
+# regression pass quietly).
 BF16W_RTOL = 5e-3
-BF16W_RTOL_BACKBONE = 2e-2
+BF16W_RTOL_BACKBONE = 5e-3
 INT8_RTOL = 5e-2
-INT8_RTOL_BACKBONE = 2e-1
+INT8_RTOL_BACKBONE = 5e-2

@@ -357,6 +357,13 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     from winograd_tpu.utils.io import get_parameters
 
     cfg = CASES[mode]
+    if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
+        # generate_all deliberately skips batched backbones ("the bench
+        # generates it in memory"); honor that promise here so a
+        # `bench all --data-dir` sweep doesn't FileNotFoundError on them.
+        # The case is self-consistent (it carries its own golden), so the
+        # default generate_all seeding (seed + mode) is reproduced.
+        return make_case(mode, seed=mode)
     if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
         with np.load(os.path.join(data_dir, f"{cfg.name}.npz")) as z:
             return {k: z[k] for k in z.files}

@@ -200,7 +200,7 @@ def conv3x3_bn_direct_pallas(
     assert cout % tile_co == 0, (cout, tile_co)
     out = _direct_dense(
         x.astype(jnp.float32),
-        w9.astype(jnp.float32),
+        w9.astype(jnp.bfloat16 if precision == "bf16w" else jnp.float32),
         scale.reshape(1, cout).astype(jnp.float32),
         bias.reshape(1, cout).astype(jnp.float32),
         relu,

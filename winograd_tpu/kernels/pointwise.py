@@ -163,7 +163,7 @@ def conv1x1_bn_pallas(
 
     out = _conv1x1_bn_2d(
         x2d,
-        w.astype(jnp.float32),
+        w.astype(jnp.bfloat16 if precision == "bf16w" else jnp.float32),
         scale.reshape(1, cout).astype(jnp.float32),
         bias.reshape(1, cout).astype(jnp.float32),
         relu,

@@ -435,7 +435,7 @@ def conv3x3_bn_winograd_pallas(
 
     out = _winograd_dense(
         x.astype(jnp.float32),
-        u.astype(jnp.float32),
+        u.astype(jnp.bfloat16 if precision == "bf16w" else jnp.float32),
         scale.reshape(1, cout).astype(jnp.float32),
         bias.reshape(1, cout).astype(jnp.float32),
         relu,

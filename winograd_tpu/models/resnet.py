@@ -174,7 +174,13 @@ def resnet_stage_pallas(
 
         kw = {} if precision is None else {"precision": precision}
         return resnet_stage_fused_pallas(x, stack_stage_params(params_list), **kw)
-    assert not bf16w, "bf16w tier requires the streaming fused_stage path"
+    if bf16w:
+        raise ValueError(
+            "precision='bf16w' requires the weight-streaming fused_stage "
+            "kernel, but this stage resolved to per_block (non-uniform block "
+            "geometries, a missing w9_mid artifact, or weights past the VMEM "
+            "cap); serve it at f32 or make the stage uniform"
+        )
     for params in params_list:
         x = bottleneck_block_pallas(x, params)
     return x

@@ -169,7 +169,14 @@ def bench_scan(
         # (slow ops) reuses the compiled probe program.
         t256, t1024 = measure(256, 2), measure(1024, 2)
         est_us = max((t1024 - t256) / 768.0, 1e-3)
-        scan_len = 1 << max(10, min(18, int(target_s * 1e6 / est_us).bit_length()))
+        # Wall-clock guard: t1024/1024 upper-bounds the true per-iteration
+        # cost (constant floor included), so even a mis-probed slope (e.g. a
+        # non-positive one clamped to 1e-3) cannot size a leg that runs for
+        # minutes through the ~29 ms-RTT tunnel.
+        cap = max(1024, int(target_s * 1e6 * 1024 / max(t1024, 1e-3)))
+        scan_len = 1 << max(
+            10, min(18, int(min(target_s * 1e6 / est_us, cap)).bit_length())
+        )
 
     # The spread between the two lengths must make L*t_op dwarf the jitter
     # of the constant floor (~ms through a remote-dispatch tunnel), so the
