@@ -1,0 +1,160 @@
+"""The COMPLETE ResNet-50 (mode 16): stem + projection block + 16-block
+trunk + head, vs the float64 golden chain, at every serving tier.
+
+The reference never composes its layers into a network (SURVEY.md §2); this
+is the framework's whole-model deliverable — a 224x224x3 image to 1000
+logits through the fused Pallas kernels.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.config import (
+    BF16W_RTOL_BACKBONE,
+    CASES,
+    INT8_RTOL_BACKBONE,
+    PARITY_ATOL,
+    ResNet50Config,
+)
+
+
+def _rel(out, gold):
+    return np.abs(np.asarray(out) - gold).max() / max(np.abs(gold).max(), 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class _TinyR50(ResNet50Config):
+    """Shape-generality config: same structure (stem, stride-1 projection
+    entry, two stages with a stride-2 transition, head), toy sizes."""
+
+    stages = ((64, 16, 8, 1), (128, 32, 4, 1))
+    img: int = 32
+    stem_c: int = 16
+    num_classes: int = 24
+
+
+def test_stem_matches_golden():
+    from winograd_tpu.datagen.generate import _bn_params, _rand
+    from winograd_tpu.models.resnet50 import stem_filter, stem_pallas
+    from winograd_tpu.ops import jnp_ops, reference
+
+    rng = np.random.default_rng(0)
+    x = _rand(rng, 32, 32, 3)
+    w7 = _rand(rng, 16, 3, 7, 7)
+    bn = _bn_params(rng, 16)
+    gold = np.asarray(reference.stem(x, w7, bn["scale"], bn["bias"]), np.float32)
+    params = {
+        "w49_stem": jnp.asarray(stem_filter(w7)),
+        "w7_stem": jnp.asarray(w7),
+        "s_stem": jnp.asarray(bn["scale"]),
+        "b_stem": jnp.asarray(bn["bias"]),
+    }
+    out = np.asarray(stem_pallas(jnp.asarray(x), params))
+    assert out.shape == (8, 8, 16)
+    assert np.abs(out - gold).max() < PARITY_ATOL
+    out_xla = np.asarray(jnp_ops.stem(jnp.asarray(x), params))
+    assert np.abs(out_xla - gold).max() < PARITY_ATOL
+    # Batched.
+    xb = np.stack([x, 0.5 * x])
+    outb = np.asarray(stem_pallas(jnp.asarray(xb), params))
+    assert outb.shape == (2, 8, 8, 16)
+    assert np.abs(outb[0] - gold).max() < PARITY_ATOL
+
+
+def test_head_matches_golden_with_class_padding():
+    """num_classes=1000 is not lane-aligned; the head pads to 1024 and
+    slices back."""
+    from winograd_tpu.datagen.generate import _rand
+    from winograd_tpu.models.resnet50 import head_pallas
+    from winograd_tpu.ops import jnp_ops, reference
+
+    rng = np.random.default_rng(1)
+    x = _rand(rng, 7, 7, 256)
+    w_fc = _rand(rng, 256, 1000, scale=0.1)
+    b_fc = _rand(rng, 1000)
+    gold = np.asarray(reference.head(x, w_fc, b_fc), np.float32)
+    params = {"w_fc": jnp.asarray(w_fc), "b_fc": jnp.asarray(b_fc)}
+    out = np.asarray(head_pallas(jnp.asarray(x), params))
+    assert out.shape == (1000,)
+    assert np.abs(out - gold).max() < PARITY_ATOL
+    out_xla = np.asarray(jnp_ops.head(jnp.asarray(x), params))
+    assert np.abs(out_xla - gold).max() < PARITY_ATOL
+
+
+def test_projection_block_stride1():
+    """conv2_x's entry block: channels change (16->64), resolution doesn't,
+    1x1 projection shortcut — golden stride=1 variant."""
+    from winograd_tpu.config import TransitionConfig
+    from winograd_tpu.datagen.generate import _transition_params_random
+    from winograd_tpu.kernels import transforms
+    from winograd_tpu.models.downsample import projection_bottleneck_block_pallas
+    from winograd_tpu.ops import jnp_ops, reference
+
+    rng = np.random.default_rng(2)
+    pcfg = TransitionConfig("p", 16, 16, 64, hw=8)
+    p = _transition_params_random(rng, pcfg)
+    p["u2_mid"] = transforms.transform_filter(p["w_mid"], m=2)
+    x = ((rng.random((8, 8, 16)) - 0.5)).astype(np.float32)
+    gold = reference.downsample_bottleneck_block(
+        x,
+        p["w_reduce"], p["s_reduce"], p["b_reduce"],
+        p["w_mid"], p["s_mid"], p["b_mid"],
+        p["w_expand"], p["s_expand"], p["b_expand"],
+        p["w_proj"], p["s_proj"], p["b_proj"],
+        stride=1,
+    )
+    out = np.asarray(projection_bottleneck_block_pallas(jnp.asarray(x), p))
+    assert out.shape == (8, 8, 64)
+    assert np.abs(out - gold).max() < PARITY_ATOL
+    out_xla = np.asarray(jnp_ops.downsample_bottleneck_block(jnp.asarray(x), p, stride=1))
+    assert np.abs(out_xla - gold).max() < PARITY_ATOL
+
+
+def test_tiny_resnet50_all_tiers():
+    """End-to-end tiny full model: f32 Pallas, XLA baseline, bf16w, int8 —
+    all against the float64 golden logits."""
+    from winograd_tpu.datagen.generate import make_resnet50_case
+    from winograd_tpu.models.resnet50 import (
+        quantize_resnet50,
+        resnet50_forward_int8,
+        resnet50_forward_pallas,
+        resnet50_forward_xla,
+        resnet50_params,
+    )
+
+    cfg = _TinyR50("tiny_resnet50")
+    case = make_resnet50_case(cfg, seed=7)
+    params = resnet50_params(case, cfg)
+    x = jnp.asarray(case["x"])
+    gold = case["golden"]
+    assert gold.shape == (cfg.num_classes,)
+
+    out = np.asarray(resnet50_forward_pallas(x, params))
+    assert np.abs(out - gold).max() < 10 * PARITY_ATOL
+
+    out_xla = np.asarray(resnet50_forward_xla(x, params))
+    assert np.abs(out_xla - gold).max() < 10 * PARITY_ATOL
+
+    out_bf = np.asarray(resnet50_forward_pallas(x, params, precision="bf16w"))
+    assert _rel(out_bf, gold) < BF16W_RTOL_BACKBONE
+
+    qparams = quantize_resnet50(params)
+    out_i8 = np.asarray(resnet50_forward_int8(x, qparams))
+    assert _rel(out_i8, gold) < INT8_RTOL_BACKBONE
+
+
+def test_full_resnet50_mode16():
+    """Bench mode 16 at real shape: 224x224x3 -> 1000 logits through the
+    serving kernels, trunk AND logits against the float64 golden chain."""
+    from winograd_tpu.datagen.generate import make_case
+    from winograd_tpu.models.resnet50 import resnet50_forward_pallas, resnet50_params
+
+    cfg = CASES[16]
+    case = make_case(16, seed=16)
+    params = resnet50_params(case, cfg)
+    out = np.asarray(resnet50_forward_pallas(jnp.asarray(case["x"]), params))
+    assert out.shape == (1000,)
+    err = np.abs(out - case["golden"]).max()
+    assert err < 10 * PARITY_ATOL, err

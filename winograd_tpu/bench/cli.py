@@ -101,7 +101,100 @@ def run_case(
     core_wino4 = None
     core_int8 = None
     core_bf16w = None
-    if isinstance(cfg, BackboneConfig):
+    extras: Dict = {}
+    from winograd_tpu.config import ResNet50Config, TrainConfig
+
+    if isinstance(cfg, TrainConfig):
+        from winograd_tpu.datagen.generate import backbone_stages
+        from winograd_tpu.models.downsample import resnet50_stages_train
+        from winograd_tpu.ops import jnp_ops
+
+        # Trainable params only (raw w_mid; the offline filter layouts are
+        # derived in-trace inside the custom-VJP forwards).
+        def _trainable(d):
+            drop = ("u_mid", "u2_mid", "w9_mid")
+            return {
+                k: jax.device_put(jnp.asarray(v), dev)
+                for k, v in d.items()
+                if k not in drop
+            }
+
+        stages = [
+            {
+                "transition": None
+                if st["transition"] is None
+                else _trainable(st["transition"]),
+                "blocks": [_trainable(b) for b in st["blocks"]],
+            }
+            for st in backbone_stages(cfg, case)
+        ]
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+
+        def xla_forward(st, x_):
+            for s_ in st:
+                if s_["transition"] is not None:
+                    x_ = jnp_ops.downsample_bottleneck_block(x_, s_["transition"])
+                for b in s_["blocks"]:
+                    x_ = jnp_ops.bottleneck_block(x_, b)
+            return x_
+
+        # Forward parity vs the golden: the trained forward IS the served
+        # forward (fused megakernels), so it must hit the same 1e-4 bar.
+        fwd_pallas = jax.jit(lambda x_: resnet50_stages_train(x_, stages))
+        fwd_xla = jax.jit(lambda x_: xla_forward(stages, x_))
+        pallas_fn = lambda: fwd_pallas(x)
+        baseline_fn = lambda: fwd_xla(x)
+
+        # Timed cores: ONE full train step — scalar loss, grads wrt every
+        # parameter; the grads are folded into one scalar so they all stay
+        # live under the single-carry scan-timing protocol.
+        def _step(fwd):
+            def loss(st, x_):
+                out = fwd(st, x_)
+                return jnp.sum(out * out)
+
+            def step(x_):
+                l, g = jax.value_and_grad(loss)(stages, x_)
+                return l + sum(
+                    jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(g)
+                )
+
+            return jax.jit(step)
+
+        core_pallas = _step(lambda st, x_: resnet50_stages_train(x_, st))
+        core_xla = _step(xla_forward)
+        # Gradient agreement (differential check, the reference's
+        # mine-vs-vendor pattern): the megakernel step's loss+grad-norm
+        # scalar vs the all-XLA autodiff step's.
+        gp, gx = float(core_pallas(x)), float(core_xla(x))
+        grad_rel = abs(gp - gx) / max(abs(gx), 1.0)
+        print(f"  [{cfg.name}/train_grad] rel_error={grad_rel:.3e}", file=sys.stderr)
+        if strict and not grad_rel < 1e-3:
+            raise ParityError(f"{cfg.name}: train-step grad mismatch: {grad_rel}")
+        extras["train_grad_rel_error"] = grad_rel
+    elif isinstance(cfg, ResNet50Config):
+        from winograd_tpu.models.resnet50 import (
+            quantize_resnet50,
+            resnet50_forward_int8,
+            resnet50_forward_pallas,
+            resnet50_forward_xla,
+            resnet50_params,
+        )
+
+        params = jax.device_put(resnet50_params(case, cfg), dev)
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        fused = jax.jit(lambda x_: resnet50_forward_pallas(x_, params))
+        xla_fn = jax.jit(lambda x_: resnet50_forward_xla(x_, params))
+        pallas_fn = lambda: fused(x)
+        baseline_fn = lambda: xla_fn(x)
+        core_pallas = fused
+        core_xla = xla_fn
+        qparams = jax.device_put(quantize_resnet50(params), dev)
+        core_int8 = jax.jit(lambda x_: resnet50_forward_int8(x_, qparams))
+        core_bf16w = jax.jit(
+            lambda x_: resnet50_forward_pallas(x_, params, precision="bf16w")
+        )
+    elif isinstance(cfg, BackboneConfig):
         from winograd_tpu.datagen.generate import backbone_stages
         from winograd_tpu.models.downsample import resnet50_stages
         from winograd_tpu.ops import jnp_ops
@@ -350,6 +443,7 @@ def run_case(
         return round(batch / (device_us * 1e-6), 1)
 
     return {
+        **extras,
         "mode": mode,
         "name": cfg.name,
         "backend": jax.default_backend(),
@@ -388,6 +482,168 @@ def run_case(
     }
 
 
+def run_smoke() -> int:
+    """Compile-smoke: one tiny run of EVERY kernel family on the current
+    backend, no timing. The test suite runs interpret mode on CPU, so
+    Mosaic lowering regressions (e.g. >128-lane strided refs that crash
+    the remote compiler) otherwise surface only hours into a hardware
+    sweep; this surfaces them in minutes. Uses the real bench geometries
+    (conv4_x block/stage, the conv4->5 transition, a 28x28 winograd2
+    block) because lowering legality depends on the actual shapes.
+    Returns nonzero if any family fails to compile/run finite."""
+    from winograd_tpu.config import BlockConfig, TransitionConfig
+    from winograd_tpu.datagen.generate import (
+        block_params_list,
+        make_block_case,
+        make_case,
+        make_transition_case,
+        transition_params,
+    )
+
+    failures = []
+
+    def check(name, thunk):
+        try:
+            out = jax.block_until_ready(thunk())
+            ok = bool(np.isfinite(np.asarray(out)).all())
+        except Exception as e:  # noqa: BLE001 — report every family
+            print(f"  [smoke] {name}: FAIL {type(e).__name__}: {e}", file=sys.stderr)
+            failures.append(name)
+            return
+        print(f"  [smoke] {name}: {'ok' if ok else 'NON-FINITE'}", file=sys.stderr)
+        if not ok:
+            failures.append(name)
+
+    # Layer kernels (mode-0/2 geometries), every tier.
+    c0 = make_case(0)
+    x0, u2, u4 = jnp.asarray(c0["x"]), jnp.asarray(c0["u2"]), jnp.asarray(c0["u"])
+    s0, b0 = jnp.asarray(c0["scale"]), jnp.asarray(c0["bias"])
+    w9 = jnp.asarray(c0["w9"])
+    check("winograd_f23", lambda: conv3x3_bn_winograd_pallas(x0, u2, s0, b0))
+    check("winograd_f43", lambda: conv3x3_bn_winograd_pallas(x0, u4, s0, b0))
+    check(
+        "winograd_f23_bf16w",
+        lambda: conv3x3_bn_winograd_pallas(x0, u2, s0, b0, precision="bf16w"),
+    )
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+
+    check("direct3x3", lambda: conv3x3_bn_direct_pallas(x0, w9, s0, b0))
+    from winograd_tpu.kernels.quantized import (
+        conv1x1_bn_int8_pallas,
+        conv3x3_bn_int8_pallas,
+        quantize_weights,
+    )
+
+    w9q, sw9 = quantize_weights(np.asarray(c0["w9"]))
+    check(
+        "direct3x3_int8",
+        lambda: conv3x3_bn_int8_pallas(x0, jnp.asarray(w9q), jnp.asarray(sw9), s0, b0),
+    )
+    c2 = make_case(2)
+    x2, w2 = jnp.asarray(c2["x"]), jnp.asarray(c2["w"])
+    s2, b2 = jnp.asarray(c2["scale"]), jnp.asarray(c2["bias"])
+    check("pointwise", lambda: conv1x1_bn_pallas(x2, w2, s2, b2, relu=True))
+    check(
+        "pointwise_bf16w",
+        lambda: conv1x1_bn_pallas(x2, w2, s2, b2, relu=True, precision="bf16w"),
+    )
+    wq2, sw2 = quantize_weights(np.asarray(c2["w"]))
+    check(
+        "pointwise_int8",
+        lambda: conv1x1_bn_int8_pallas(x2, jnp.asarray(wq2), jnp.asarray(sw2), s2, b2, True),
+    )
+
+    # Megakernels at the real composed geometries.
+    c6 = make_case(6)
+    p6 = {k: jnp.asarray(v) for k, v in block_params_list(CASES[6], c6)[0].items()}
+    x6 = jnp.asarray(c6["x"])
+    from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
+
+    check("block_megakernel", lambda: bottleneck_block_fused_pallas(x6, p6))
+    stage_cfg = BlockConfig("smoke_stage", c_io=1024, c_mid=256, hw=14, blocks=2)
+    cs = make_block_case(stage_cfg, seed=1)
+    ps = block_params_list(stage_cfg, cs)
+    xs = jnp.asarray(cs["x"])
+    check("stage_streaming", lambda: resnet.resnet_stage_pallas(xs, ps))
+    check(
+        "stage_streaming_bf16w",
+        lambda: resnet.resnet_stage_pallas(xs, ps, precision="bf16w"),
+    )
+    from winograd_tpu.kernels.quantized import (
+        quantize_stage_params,
+        resnet_stage_int8_pallas,
+    )
+
+    qs = quantize_stage_params(ps)
+    check("stage_int8", lambda: resnet_stage_int8_pallas(xs, qs))
+    # 28x28 winograd2-mid stage routing (conv3_x geometry).
+    c9 = make_case(9)
+    p9 = block_params_list(CASES[9], c9)
+    x9 = jnp.asarray(c9["x"])
+    check("stage_winograd2_28", lambda: resnet.resnet_stage_pallas(x9, p9, algo="fused_stage"))
+    # Transition megakernel at the conv4->5 geometry (the widest).
+    c12 = make_case(12)
+    p12 = transition_params(c12)
+    x12 = jnp.asarray(c12["x"])
+    from winograd_tpu.models.downsample import downsample_bottleneck_block_pallas
+
+    check("transition", lambda: downsample_bottleneck_block_pallas(x12, p12))
+    check(
+        "transition_bf16w",
+        lambda: downsample_bottleneck_block_pallas(x12, p12, precision="bf16w"),
+    )
+    from winograd_tpu.kernels.quantized import (
+        quantize_transition_params,
+        transition_block_int8_pallas,
+    )
+
+    q12 = quantize_transition_params(p12)
+    check("transition_int8", lambda: transition_block_int8_pallas(x12, q12))
+
+    # Training VJPs (fwd+bwd through the serving megakernels).
+    from winograd_tpu.kernels.vjp import (
+        bottleneck_block_train_fused,
+        transition_block_train_fused,
+    )
+
+    loss6 = jax.jit(lambda x_: jnp.sum(bottleneck_block_train_fused(x_, p6) ** 2))
+    check("block_train_vjp", lambda: jax.grad(loss6)(x6))
+    tcfg = TransitionConfig("smoke_t", 512, 256, 1024, hw=28)
+    ct = make_transition_case(tcfg, seed=2)
+    pt = transition_params(ct)
+    xt = jnp.asarray(ct["x"])
+    losst = jax.jit(lambda x_: jnp.sum(transition_block_train_fused(x_, pt) ** 2))
+    check("transition_train_vjp", lambda: jax.grad(losst)(xt))
+
+    # Stem + head (the mode-16 additions).
+    from winograd_tpu.datagen.generate import _bn_params, _rand
+
+    rng = np.random.default_rng(3)
+    from winograd_tpu.models.resnet50 import head_pallas, stem_filter, stem_pallas
+
+    ximg = jnp.asarray(_rand(rng, 224, 224, 3))
+    w7 = _rand(rng, 64, 3, 7, 7)
+    bns = _bn_params(rng, 64)
+    stem_p = {
+        "w49_stem": jnp.asarray(stem_filter(w7)),
+        "s_stem": jnp.asarray(bns["scale"]),
+        "b_stem": jnp.asarray(bns["bias"]),
+    }
+    check("stem", lambda: stem_pallas(ximg, stem_p))
+    xh = jnp.asarray(_rand(rng, 7, 7, 2048))
+    head_p = {
+        "w_fc": jnp.asarray(_rand(rng, 2048, 1000, scale=0.06)),
+        "b_fc": jnp.asarray(_rand(rng, 1000)),
+    }
+    check("head", lambda: head_pallas(xh, head_p))
+
+    if failures:
+        print(f"SMOKE FAILURES: {failures}", file=sys.stderr)
+        return 1
+    print("smoke: all kernel families compiled and ran finite", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="winograd_tpu benchmark harness")
     ap.add_argument("mode", nargs="?", default="all",
@@ -408,9 +664,15 @@ def main(argv=None) -> int:
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="dump a jax.profiler trace of one iteration per "
                          "case to DIR (view with tensorboard/xprof)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="compile-smoke every kernel family once (no "
+                         "timing); catches Mosaic lowering regressions in "
+                         "minutes instead of at sweep hour three")
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.smoke:
+        return run_smoke()
 
     if args.mode == "all":
         modes = sorted(CASES)
@@ -472,6 +734,14 @@ def main(argv=None) -> int:
         except (FileNotFoundError, ValueError) as e:
             print(f"  DATA ERROR: {e}", file=sys.stderr)
             failed = True
+    # A full sweep must actually contain every mode it claims to cover —
+    # round 2 shipped a "full" artifact missing its newest mode; this makes
+    # that a hard failure rather than a silent gap.
+    got = {r["mode"] for r in results}
+    missing = [m for m in modes if m not in got]
+    if missing:
+        print(f"SWEEP INCOMPLETE: missing modes {missing}", file=sys.stderr)
+        failed = True
     if args.json:
         print(json.dumps(results))
     else:

@@ -150,6 +150,46 @@ class FullTrunkConfig(BackboneConfig):
 CASES[15] = FullTrunkConfig("resnet50_trunk_16")
 
 
+@dataclasses.dataclass(frozen=True)
+class ResNet50Config(BackboneConfig):
+    """The COMPLETE ResNet-50 image classifier: the stem (7x7/2 conv + BN +
+    ReLU + 3x3/2 maxpool, 224x224x3 -> 56x56x64), conv2_x's stride-1
+    PROJECTION entry block (64 -> 256 at 56x56), the 16-block residual
+    trunk, and the head (global avgpool + FC to num_classes logits).
+
+    Unlike FullTrunkConfig (whose conv2_x is 3 identity blocks at a fixed
+    256-channel width), stage 0 here is the real conv2_x: a projection
+    block plus 2 identity blocks. The reference scopes to single layers of
+    one stage (report.pdf section 1); this is the whole deployable model."""
+
+    stages = (
+        (256, 64, 56, 2),     # conv2_x: projection entry + 2 identity
+        (512, 128, 28, 3),
+        (1024, 256, 14, 5),
+        (2048, 512, 7, 2),
+    )
+    img: int = 224
+    stem_c: int = 64
+    num_classes: int = 1000
+
+
+CASES[16] = ResNet50Config("resnet50_full")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig(BackboneConfig):
+    """Training benchmark: ONE fwd+bwd step over the 13-block backbone,
+    forward through the SAME fused serving megakernels (kernels/vjp.py
+    custom VJPs, backward = rematerializing XLA autodiff), measured against
+    the all-XLA autodiff step. The reference has no training at all
+    (report.pdf section 1: "no training related operations"); modes 0-16
+    cover serving — this mode gives the training story its performance
+    number."""
+
+
+CASES[17] = TrainConfig("resnet50_backbone_13_trainstep")
+
+
 def case_flops(cfg) -> int:
     """Nominal conv FLOPs of a case (the conventional 2*MACs count of the
     mathematical convolution — algorithm-independent, so Winograd's FLOP
@@ -168,6 +208,19 @@ def case_flops(cfg) -> int:
                             batch=cfg.batch, blocks=blocks)
             )
             prev = c_io
+        if isinstance(cfg, ResNet50Config):
+            hs = cfg.img // 2
+            c_io0, c_mid0, hw0, _ = cfg.stages[0]
+            # Stem 7x7/2 conv + conv2_x's stride-1 projection entry block
+            # (reduce, 3x3, expand, projection shortcut) + head FC.
+            total += 2 * cfg.batch * hs * hs * 49 * 3 * cfg.stem_c
+            total += 2 * cfg.batch * hw0 * hw0 * (
+                cfg.stem_c * c_mid0 + 9 * c_mid0 * c_mid0
+                + c_mid0 * c_io0 + cfg.stem_c * c_io0
+            )
+            total += 2 * cfg.batch * cfg.stages[-1][0] * cfg.num_classes
+        if isinstance(cfg, TrainConfig):
+            total *= 3  # fwd + bwd ~ 3x forward FLOPs (standard estimate)
         return total
     if isinstance(cfg, TransitionConfig):
         ho = -(-cfg.hw // 2)

@@ -268,6 +268,84 @@ def _transition_params_random(rng, tcfg: TransitionConfig, bn_scale=1.0) -> Dict
     )
 
 
+def make_resnet50_case(cfg, seed: int = 0) -> Dict[str, np.ndarray]:
+    """The COMPLETE ResNet-50 case: image input, stem params (raw OIHW 7x7
+    filter AND its im2col GEMM layout), conv2_x's stride-1 projection entry
+    block ("p0_" prefix), the 16-block trunk (same "s{i}_"/"t{i}_" naming as
+    make_backbone_case), head FC params, and the float64 golden — both the
+    trunk feature map (golden_trunk, for diagnostics) and the final logits
+    (golden, what the bench checks)."""
+    from winograd_tpu.models.resnet50 import stem_filter
+
+    rng = np.random.default_rng(seed)
+    case: Dict[str, np.ndarray] = {}
+    img, stem_c = cfg.img, cfg.stem_c
+    shape = (
+        (img, img, 3) if cfg.batch == 1 else (cfg.batch, img, img, 3)
+    )
+    x = _rand(rng, *shape)
+    case["x"] = x
+
+    # Stem: 7x7/2 conv + BN + ReLU + 3x3/2 maxpool.
+    w7 = _rand(rng, stem_c, 3, 7, 7)
+    bn_stem = _bn_params(rng, stem_c, scale=0.5)
+    case.update(
+        stem_w7=w7, stem_w49=stem_filter(w7),
+        stem_scale=bn_stem["scale"], stem_bias=bn_stem["bias"],
+    )
+    h = reference.stem(x.astype(np.float64), w7, bn_stem["scale"], bn_stem["bias"])
+
+    # conv2_x entry: stride-1 projection block stem_c -> c_io0.
+    c_io0, c_mid0 = cfg.stages[0][0], cfg.stages[0][1]
+    pcfg = TransitionConfig("p0", stem_c, c_mid0, c_io0, hw=cfg.stages[0][2])
+    p0 = _transition_params_random(rng, pcfg, bn_scale=0.5)
+    p0["u2_mid"] = transforms.transform_filter(p0["w_mid"], m=2)
+    h = reference.downsample_bottleneck_block(
+        h,
+        p0["w_reduce"], p0["s_reduce"], p0["b_reduce"],
+        p0["w_mid"], p0["s_mid"], p0["b_mid"],
+        p0["w_expand"], p0["s_expand"], p0["b_expand"],
+        p0["w_proj"], p0["s_proj"], p0["b_proj"],
+        stride=1,
+    )
+    case.update({f"p0_{k}": v for k, v in p0.items()})
+
+    # The 16-block trunk (identical structure to make_backbone_case).
+    prev = None
+    for si, (c_io, c_mid, hw, blocks) in enumerate(cfg.stages):
+        if prev is not None:
+            tcfg = TransitionConfig("t", prev, c_mid, c_io, hw=2 * hw)
+            tcase = _transition_params_random(rng, tcfg, bn_scale=0.5)
+            h = reference.downsample_bottleneck_block(
+                h,
+                tcase["w_reduce"], tcase["s_reduce"], tcase["b_reduce"],
+                tcase["w_mid"], tcase["s_mid"], tcase["b_mid"],
+                tcase["w_expand"], tcase["s_expand"], tcase["b_expand"],
+                tcase["w_proj"], tcase["s_proj"], tcase["b_proj"],
+            )
+            case.update({f"t{si}_{k}": v for k, v in tcase.items()})
+        for bi in range(blocks):
+            b = _block_params_random(rng, c_io, c_mid, bn_scale=0.5)
+            h = reference.bottleneck_block(
+                h,
+                b["w_reduce"], b["s_reduce"], b["b_reduce"],
+                b["w_mid"], b["s_mid"], b["b_mid"],
+                b["w_expand"], b["s_expand"], b["b_expand"],
+            )
+            case.update({f"s{si}_b{bi}_{k}": v for k, v in b.items()})
+        prev = c_io
+    case["golden_trunk"] = np.asarray(h, np.float32)
+
+    # Head: global avgpool + FC. FC weights are He-scaled (~sqrt(2/C)) so
+    # the 2048-term logit sum keeps abs errors inside the strict 1e-4 bar.
+    nc = cfg.num_classes
+    w_fc = _rand(rng, cfg.stages[-1][0], nc, scale=2 * np.sqrt(2.0 / cfg.stages[-1][0]))
+    b_fc = _rand(rng, nc)
+    case.update(head_wfc=w_fc, head_bfc=b_fc)
+    case["golden"] = np.asarray(reference.head(h, w_fc, b_fc), np.float32)
+    return case
+
+
 def backbone_stages(cfg: BackboneConfig, case: Dict[str, np.ndarray]):
     """Rebuild the models/downsample.py::resnet50_stages structure from a
     flat backbone case dict."""
@@ -291,7 +369,11 @@ def backbone_stages(cfg: BackboneConfig, case: Dict[str, np.ndarray]):
 
 
 def make_case(mode: int, seed: int = 0) -> Dict[str, np.ndarray]:
+    from winograd_tpu.config import ResNet50Config
+
     cfg = CASES[mode]
+    if isinstance(cfg, ResNet50Config):
+        return make_resnet50_case(cfg, seed)
     if isinstance(cfg, BackboneConfig):
         return make_backbone_case(cfg, seed)
     if isinstance(cfg, TransitionConfig):
@@ -335,11 +417,17 @@ def _write_pointwise_files(outdir: str, cfg: LayerConfig, case: Dict[str, np.nda
 
 def generate_all(outdir: str = "data", seed: int = 0) -> None:
     os.makedirs(outdir, exist_ok=True)
+    from winograd_tpu.config import TrainConfig
+
     for mode, cfg in CASES.items():
         if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
             # The batched-backbone case (mode 14) is bench-only: its float64
             # golden chain costs ~2 min and ~100 MB on disk; the bench
             # generates it in memory (same seeded path).
+            continue
+        if isinstance(cfg, TrainConfig):
+            # The train-step case is the mode-13 backbone's data under a
+            # different seed; bench-only (load_case regenerates in memory).
             continue
         case = make_case(mode, seed=seed + mode)
         if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
@@ -356,13 +444,17 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     Returns the same dict structure as make_case."""
     from winograd_tpu.utils.io import get_parameters
 
+    from winograd_tpu.config import TrainConfig
+
     cfg = CASES[mode]
-    if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
-        # generate_all deliberately skips batched backbones ("the bench
-        # generates it in memory"); honor that promise here so a
-        # `bench all --data-dir` sweep doesn't FileNotFoundError on them.
-        # The case is self-consistent (it carries its own golden), so the
-        # default generate_all seeding (seed + mode) is reproduced.
+    if (isinstance(cfg, BackboneConfig) and cfg.batch > 1) or isinstance(
+        cfg, TrainConfig
+    ):
+        # generate_all deliberately skips these cases ("the bench generates
+        # it in memory"); honor that promise here so a `bench all
+        # --data-dir` sweep doesn't FileNotFoundError on them. The case is
+        # self-consistent (it carries its own golden), so the default
+        # generate_all seeding (seed + mode) is reproduced.
         return make_case(mode, seed=mode)
     if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
         with np.load(os.path.join(data_dir, f"{cfg.name}.npz")) as z:

@@ -55,6 +55,43 @@ def conv3x3_s2_bn_relu_pallas(x, w9, scale, bias, relu: bool = True) -> jax.Arra
     return conv1x1_bn_pallas(cols, w9, scale, bias, relu=relu)
 
 
+def projection_bottleneck_block_pallas(
+    x: jax.Array, params: Dict, precision: str | None = None
+) -> jax.Array:
+    """Stride-1 PROJECTION bottleneck (conv2_x's entry block in the full
+    ResNet-50): 1x1 reduce -> 3x3 -> 1x1 expand, 1x1 projection shortcut —
+    channels change (64 -> 256), resolution doesn't. Composed from the
+    per-layer fused kernels; the 3x3 runs the F(2,3) Winograd megakernel
+    when the u2_mid artifact is present (the fast algebra at 56x56).
+
+    This block exists once per network and carries ~2% of its FLOPs, so
+    per-layer fusion (4 Pallas kernels + one XLA add/ReLU) is the right
+    cost/complexity point vs a dedicated megakernel."""
+    kw = {} if precision is None else {"precision": precision}
+    h = conv1x1_bn_pallas(
+        x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True, **kw
+    )
+    if "u2_mid" in params:
+        from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+
+        h = conv3x3_bn_winograd_pallas(
+            h, params["u2_mid"], params["s_mid"], params["b_mid"], relu=True, **kw
+        )
+    else:
+        from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+
+        h = conv3x3_bn_direct_pallas(
+            h, params["w9_mid"], params["s_mid"], params["b_mid"], relu=True, **kw
+        )
+    h = conv1x1_bn_pallas(
+        h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False, **kw
+    )
+    skip = conv1x1_bn_pallas(
+        x, params["w_proj"], params["s_proj"], params["b_proj"], relu=False, **kw
+    )
+    return jnp.maximum(h + skip, 0.0)
+
+
 def downsample_bottleneck_block_pallas(
     x: jax.Array, params: Dict, algo: str = "fused", precision: str | None = None
 ) -> jax.Array:

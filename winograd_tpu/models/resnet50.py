@@ -1,0 +1,275 @@
+"""The COMPLETE ResNet-50 image classifier — stem + 16-block trunk + head.
+
+The reference scopes to single fused layers of one bottleneck stage
+(/root/reference/report.pdf section 1: "single example inference...the 14x14
+stage"); the composed trunk (bench modes 13-15) already goes beyond it.
+This module closes the model: a 224x224x3 image in, 1000 logits out, every
+conv through the framework's fused Pallas kernels, all three serving tiers.
+
+TPU-first structure:
+* Stem 7x7/2 conv: strided im2col (49 XLA strided slices that fuse into one
+  relayout copy) into the SAME fused GEMM+BN+ReLU Pallas kernel the 1x1
+  layers use — a (112*112, 147) x (147, 64) MXU GEMM; then a 3x3/2 maxpool
+  (jax.lax.reduce_window — a bandwidth-bound VPU op XLA already emits
+  optimally; there is no MXU work to fuse into).
+* conv2_x entry: the stride-1 PROJECTION bottleneck
+  (models/downsample.py::projection_bottleneck_block_pallas).
+* Trunk: models/downsample.py::resnet50_stages — the stage/transition
+  megakernels (modes 13-15's serving path).
+* Head: global avgpool (one VPU reduction) + the FC through the fused
+  pointwise kernel, classes padded to a lane-aligned 1024 and sliced back.
+
+Tiers: f32 (strict 1e-4 parity on logits), bf16w (bf16 weight storage
+end to end — the head FC alone streams 8 MB/image at f32), int8 (all
+GEMMs int8 except the stem conv, whose 37 KB of weights cannot pay for
+quantizing the 8-bit-scale image input path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+from winograd_tpu.models.downsample import (
+    projection_bottleneck_block_pallas,
+    resnet50_stages,
+    resnet50_stages_int8,
+)
+from winograd_tpu.ops import jnp_ops
+
+
+def stem_filter(w7: np.ndarray) -> np.ndarray:
+    """(Cout, Cin, 7, 7) OIHW -> (49*Cin, Cout) im2col GEMM layout
+    (row index = (7r + s) * Cin + c, matching _stem_im2col's columns)."""
+    cout, cin = w7.shape[0], w7.shape[1]
+    return np.transpose(np.asarray(w7), (2, 3, 1, 0)).reshape(49 * cin, cout)
+
+
+def _stem_im2col(x: jax.Array) -> jax.Array:
+    """(..., H, W, C) -> (..., ceil(H/2), ceil(W/2), 49*C): stride-2 7x7
+    patches at pad 3 (the golden model's conv7x7_stride2 sampling)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    ho, wo = -(-h // 2), -(-w // 2)
+    xp = jnp.pad(x, ((0, 0), (3, 2 * ho + 2 - h), (3, 2 * wo + 2 - w), (0, 0)))
+    cols = [
+        xp[:, r : r + 2 * ho - 1 : 2, s : s + 2 * wo - 1 : 2, :]
+        for r in range(7)
+        for s in range(7)
+    ]
+    out = jnp.concatenate(cols, axis=-1)
+    return out[0] if squeeze else out
+
+
+def stem_pallas(x: jax.Array, params: Dict, precision: str | None = None) -> jax.Array:
+    """Stem: 7x7/2 conv + BN + ReLU (im2col into the fused pointwise GEMM
+    kernel) + 3x3/2 maxpool. (..., 224, 224, 3) -> (..., 56, 56, 64).
+    Keys: w49_stem (147, 64), s_stem, b_stem."""
+    kw = {} if precision is None else {"precision": precision}
+    cols = _stem_im2col(x)
+    h = conv1x1_bn_pallas(
+        cols, params["w49_stem"], params["s_stem"], params["b_stem"], relu=True, **kw
+    )
+    return jnp_ops.maxpool3x3_s2(h)
+
+
+def head_pallas(x: jax.Array, params: Dict, precision: str | None = None) -> jax.Array:
+    """Head: global avgpool + FC through the fused pointwise kernel.
+    Classes are padded to a lane-aligned multiple of 128 for the MXU and
+    sliced back. Keys: w_fc (C, num_classes), b_fc (num_classes,)."""
+    kw = {} if precision is None else {"precision": precision}
+    pooled = jnp.mean(x, axis=(-3, -2))
+    w_fc, b_fc = params["w_fc"], params["b_fc"]
+    nc = w_fc.shape[1]
+    nc_pad = -(-nc // 128) * 128
+    if nc_pad != nc:
+        w_fc = jnp.pad(w_fc, ((0, 0), (0, nc_pad - nc)))
+        b_fc = jnp.pad(b_fc, ((0, nc_pad - nc),))
+    logits = conv1x1_bn_pallas(
+        pooled, w_fc, jnp.ones((nc_pad,), jnp.float32), b_fc, relu=False, **kw
+    )
+    return logits[..., :nc]
+
+
+def resnet50_forward_pallas(
+    x: jax.Array, params: Dict, precision: str | None = None
+) -> jax.Array:
+    """Full ResNet-50 forward through the fused Pallas kernels.
+
+    params: {"stem": ..., "proj": conv2_x entry block, "stages": the
+    resnet50_stages structure, "head": ...}. precision=None is the f32
+    tier; "bf16w" streams bfloat16 weights end to end."""
+    h = stem_pallas(x, params["stem"], precision)
+    h = projection_bottleneck_block_pallas(h, params["proj"], precision)
+    h = resnet50_stages(h, params["stages"], precision=precision)
+    return head_pallas(h, params["head"], precision)
+
+
+def resnet50_forward_xla(x: jax.Array, params: Dict) -> jax.Array:
+    """The same network through jitted XLA ops (the vendor-baseline role)."""
+    h = jnp_ops.stem(x, params["stem"])
+    h = jnp_ops.downsample_bottleneck_block(h, params["proj"], stride=1)
+    for stage in params["stages"]:
+        if stage.get("transition") is not None:
+            h = jnp_ops.downsample_bottleneck_block(h, stage["transition"])
+        for b in stage["blocks"]:
+            h = jnp_ops.bottleneck_block(h, b)
+    return jnp_ops.head(h, params["head"])
+
+
+def quantize_resnet50(params: Dict) -> Dict:
+    """Offline int8 quantization of the full model. The stem stays f32
+    (37 KB of weights; quantizing the image input path saves nothing);
+    the projection block, the 16-block trunk, and the head FC go int8."""
+    from winograd_tpu.kernels.quantized import (
+        quantize_transition_params,
+        quantize_weights,
+    )
+    from winograd_tpu.models.downsample import quantize_backbone
+
+    wq, sw = quantize_weights(np.asarray(params["head"]["w_fc"]))
+    return {
+        "stem": params["stem"],
+        "proj": quantize_transition_params(params["proj"]),
+        "stages": quantize_backbone(params["stages"]),
+        "head": {
+            "w_fc_q": jnp.asarray(wq),
+            "w_fc_s": jnp.asarray(sw),
+            "b_fc": jnp.asarray(params["head"]["b_fc"], jnp.float32),
+        },
+    }
+
+
+def _projection_block_int8(x: jax.Array, q: Dict) -> jax.Array:
+    """Stride-1 projection bottleneck at the int8 tier, composed from the
+    quantized per-layer kernels (quantize_transition_params layout)."""
+    from winograd_tpu.kernels.quantized import (
+        conv1x1_bn_int8_pallas,
+        conv3x3_bn_int8_pallas,
+    )
+
+    h = conv1x1_bn_int8_pallas(
+        x, q["w_reduce_q"], q["w_reduce_s"], q["s_reduce"], q["b_reduce"], relu=True
+    )
+    h = conv3x3_bn_int8_pallas(
+        h, q["w9_mid_q"], q["w9_mid_s"], q["s_mid"], q["b_mid"], relu=True
+    )
+    h = conv1x1_bn_int8_pallas(
+        h, q["w_expand_q"], q["w_expand_s"], q["s_expand"], q["b_expand"], relu=False
+    )
+    skip = conv1x1_bn_int8_pallas(
+        x, q["w_proj_q"], q["w_proj_s"], q["s_proj"], q["b_proj"], relu=False
+    )
+    return jnp.maximum(h + skip, 0.0)
+
+
+def _head_int8(x: jax.Array, q: Dict) -> jax.Array:
+    from winograd_tpu.kernels.quantized import conv1x1_bn_int8_pallas
+
+    pooled = jnp.mean(x, axis=(-3, -2))
+    wq, sw, b_fc = q["w_fc_q"], q["w_fc_s"], q["b_fc"]
+    nc = wq.shape[1]
+    nc_pad = -(-nc // 128) * 128
+    if nc_pad != nc:
+        wq = jnp.pad(wq, ((0, 0), (0, nc_pad - nc)))
+        sw = jnp.pad(sw, ((0, nc_pad - nc),), constant_values=1.0)
+        b_fc = jnp.pad(b_fc, ((0, nc_pad - nc),))
+    logits = conv1x1_bn_int8_pallas(
+        pooled, wq, sw, jnp.ones((nc_pad,), jnp.float32), b_fc, relu=False
+    )
+    return logits[..., :nc]
+
+
+def resnet50_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
+    """Full ResNet-50 at the int8 serving tier (stem f32 — see
+    quantize_resnet50)."""
+    h = stem_pallas(x, qparams["stem"])
+    h = _projection_block_int8(h, qparams["proj"])
+    h = resnet50_stages_int8(h, qparams["stages"])
+    return _head_int8(h, qparams["head"])
+
+
+def init_resnet50_params(cfg, seed: int = 0) -> Dict:
+    """Random full-model params in the resnet50_forward_pallas structure —
+    no float64 golden chain (that's make_resnet50_case's job), so this is
+    fast enough for compile checks and engine warmup."""
+    from winograd_tpu.datagen.generate import (
+        _block_params_random,
+        _bn_params,
+        _rand,
+        _transition_params_random,
+    )
+    from winograd_tpu.config import TransitionConfig
+    from winograd_tpu.kernels import transforms
+
+    rng = np.random.default_rng(seed)
+    w7 = _rand(rng, cfg.stem_c, 3, 7, 7)
+    bn_stem = _bn_params(rng, cfg.stem_c, scale=0.5)
+    c_io0, c_mid0 = cfg.stages[0][0], cfg.stages[0][1]
+    p0 = _transition_params_random(
+        rng, TransitionConfig("p0", cfg.stem_c, c_mid0, c_io0, hw=cfg.stages[0][2]),
+        bn_scale=0.5,
+    )
+    p0["u2_mid"] = transforms.transform_filter(p0["w_mid"], m=2)
+    stages = []
+    prev = None
+    for c_io, c_mid, hw, blocks in cfg.stages:
+        transition = None
+        if prev is not None:
+            transition = _transition_params_random(
+                rng, TransitionConfig("t", prev, c_mid, c_io, hw=2 * hw), bn_scale=0.5
+            )
+        stages.append(
+            {
+                "transition": transition,
+                "blocks": [
+                    _block_params_random(rng, c_io, c_mid, bn_scale=0.5)
+                    for _ in range(blocks)
+                ],
+            }
+        )
+        prev = c_io
+    return {
+        "stem": {
+            "w49_stem": stem_filter(w7), "w7_stem": w7,
+            "s_stem": bn_stem["scale"], "b_stem": bn_stem["bias"],
+        },
+        "proj": p0,
+        "stages": stages,
+        "head": {
+            "w_fc": _rand(
+                rng, cfg.stages[-1][0], cfg.num_classes,
+                scale=2 * np.sqrt(2.0 / cfg.stages[-1][0]),
+            ),
+            "b_fc": _rand(rng, cfg.num_classes),
+        },
+    }
+
+
+def resnet50_params(case: Dict[str, np.ndarray], cfg) -> Dict:
+    """Build the nested forward-params structure from a flat
+    make_resnet50_case dict (datagen/generate.py)."""
+    from winograd_tpu.datagen.generate import backbone_stages
+
+    proj_keys = (
+        "w_reduce", "s_reduce", "b_reduce", "w_mid", "u2_mid", "w9_mid",
+        "s_mid", "b_mid", "w_expand", "s_expand", "b_expand",
+        "w_proj", "s_proj", "b_proj",
+    )
+    return {
+        "stem": {
+            "w49_stem": case["stem_w49"],
+            "w7_stem": case["stem_w7"],
+            "s_stem": case["stem_scale"],
+            "b_stem": case["stem_bias"],
+        },
+        "proj": {k: case[f"p0_{k}"] for k in proj_keys if f"p0_{k}" in case},
+        "stages": backbone_stages(cfg, case),
+        "head": {"w_fc": case["head_wfc"], "b_fc": case["head_bfc"]},
+    }

@@ -67,16 +67,78 @@ def conv3x3_s2_bn_relu(x, w, scale, bias, relu: bool = True) -> jax.Array:
     return y[0] if squeeze else y
 
 
-def downsample_bottleneck_block(x, params) -> jax.Array:
+def downsample_bottleneck_block(x, params, stride: int = 2) -> jax.Array:
     """ResNet v1.5 transition block (differentiable XLA path; keys as in
-    models/downsample.py with raw w_mid)."""
+    models/downsample.py with raw w_mid). stride=1 is the PROJECTION block
+    (conv2_x's entry: channels change, resolution doesn't)."""
     h = conv1x1_bn(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
-    h = conv3x3_s2_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
+    if stride == 2:
+        h = conv3x3_s2_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
+        x_skip = x[..., ::2, ::2, :]
+    else:
+        h = conv3x3_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
+        x_skip = x
     h = conv1x1_bn(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
     skip = conv1x1_bn(
-        x[..., ::2, ::2, :], params["w_proj"], params["s_proj"], params["b_proj"], relu=False
+        x_skip, params["w_proj"], params["s_proj"], params["b_proj"], relu=False
     )
     return jnp.maximum(h + skip, 0.0)
+
+
+def conv7x7_s2_bn_relu(x, w7, scale, bias) -> jax.Array:
+    """ResNet stem conv: 7x7, stride 2, pad 3 + folded BN + ReLU.
+    w7: (Cout, Cin, 7, 7) OIHW."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.transpose(w7, (2, 3, 1, 0)),
+        window_strides=(2, 2),
+        padding=((3, 2), (3, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = bn_act(y, scale, bias, relu=True)
+    return y[0] if squeeze else y
+
+
+def maxpool3x3_s2(x) -> jax.Array:
+    """3x3/2 max pool, pad 1 (-inf semantics, matching the golden model)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    y = jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 0), (1, 0), (0, 0)),
+    )
+    return y[0] if squeeze else y
+
+
+def stem(x, params) -> jax.Array:
+    """ResNet-50 stem (XLA path): conv7x7/2 + BN + ReLU + maxpool3x3/2.
+    Keys: w7_stem (Cout, 3, 7, 7), s_stem, b_stem."""
+    h = conv7x7_s2_bn_relu(x, params["w7_stem"], params["s_stem"], params["b_stem"])
+    return maxpool3x3_s2(h)
+
+
+def head(x, params) -> jax.Array:
+    """ResNet-50 head (XLA path): global avgpool + FC logits.
+    Keys: w_fc (C, num_classes), b_fc (num_classes,)."""
+    pooled = jnp.mean(x, axis=(-3, -2))
+    return (
+        jnp.dot(
+            pooled, params["w_fc"],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + params["b_fc"]
+    )
 
 
 def bottleneck_block(x, params) -> jax.Array:
