@@ -12,7 +12,7 @@ def test_entry_jits():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (14, 14, 1024)
+    assert out.shape == (1000,)  # full ResNet-50 logits (bench mode 16)
 
 
 def test_dryrun_multichip():

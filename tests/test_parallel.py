@@ -130,3 +130,54 @@ def test_block_shardings_cover_all_params(mesh):
     _, p_sh = block_shardings(mesh)
     params = init_bottleneck_params(0, c_io=32, c_mid=16)
     assert set(params) <= set(p_sh)
+
+
+def test_tp_stage_model_sharded_matches(mesh):
+    """resnet_stage_tp: a whole identity stage with weights sharded over
+    "model" (the conv5_x HBM lever) must match the single-device streaming
+    stage kernel and the golden-composed XLA chain."""
+    from winograd_tpu.models.resnet import resnet_stage_pallas
+    from winograd_tpu.parallel.tensor_parallel import resnet_stage_tp
+
+    c_io, c_mid = 128, 32
+    params_list = [
+        init_bottleneck_params(i, c_io=c_io, c_mid=c_mid) for i in range(2)
+    ]
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 7, 7, c_io), jnp.float32) * 0.5
+    single = resnet_stage_pallas(x, params_list)
+    tp = resnet_stage_tp(mesh, x, params_list)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(single), atol=1e-4)
+    xla = x
+    for p in params_list:
+        xla = jnp_ops.bottleneck_block(xla, p)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(xla), atol=1e-4)
+
+
+def test_backbone_engine_mesh_dp_matches(mesh):
+    """BackboneEngine(mesh=...): batch-sharded serving of a multi-stage
+    backbone (transition included) matches the single-device engine."""
+    from winograd_tpu.config import BackboneConfig
+    from winograd_tpu.datagen.generate import backbone_stages, make_backbone_case
+    from winograd_tpu.engine import BackboneEngine
+
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyBackbone(BackboneConfig):
+        stages = ((64, 16, 8, 1), (128, 32, 4, 1))
+
+    cfg = _TinyBackbone("tiny_backbone", batch=8)
+    case = make_backbone_case(cfg, seed=3)
+    stages = backbone_stages(cfg, case)
+    single = BackboneEngine(stages)
+    dp = BackboneEngine(stages, mesh=mesh)
+    x = case["x"]
+    out_single = np.asarray(single(x))
+    out_dp = np.asarray(dp(x))
+    np.testing.assert_allclose(out_dp, out_single, atol=1e-5)
+    assert np.abs(out_dp - case["golden"]).max() < 1e-3
+
+    dp_int8 = BackboneEngine(stages, mesh=mesh, tier="int8")
+    out_i8 = np.asarray(dp_int8(x))
+    rel = np.abs(out_i8 - case["golden"]).max() / np.abs(case["golden"]).max()
+    assert rel < 5e-2, rel

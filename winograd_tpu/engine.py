@@ -120,13 +120,25 @@ class BackboneEngine:
     """Serves a full multi-stage backbone (models/downsample.py
     resnet50_stages structure: identity stages + stride-2 transitions)
     through the fused megakernels, at the f32 tier or the int8
-    weight-streaming tier."""
+    weight-streaming tier.
 
-    def __init__(self, stages, tier: str = "f32"):
+    With a mesh, inputs are batch-sharded over the "data" axis and every
+    device runs the megakernel chain on its shard (weights replicated) —
+    the serving-throughput scaling path for modes 14/15. For per-chip
+    weight-bandwidth scaling of an HBM-bound stage, see
+    parallel/tensor_parallel.py::resnet_stage_tp (model-sharded weights)."""
+
+    def __init__(self, stages, tier: str = "f32", mesh=None):
         assert tier in ("f32", "bf16w", "int8"), tier
         self.tier = tier
-        dev = jax.devices()[0]
-        put = lambda p: {k: jax.device_put(jnp.asarray(v), dev) for k, v in p.items()}
+        self.mesh = mesh
+        if mesh is None:
+            dest = jax.devices()[0]
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dest = NamedSharding(mesh, P())  # weights replicated on every chip
+        put = lambda p: {k: jax.device_put(jnp.asarray(v), dest) for k, v in p.items()}
         self.stages = [
             {
                 "transition": None if st.get("transition") is None else put(st["transition"]),
@@ -137,25 +149,46 @@ class BackboneEngine:
         if tier == "int8":
             from winograd_tpu.models.downsample import quantize_backbone
 
-            self._qstages = quantize_backbone(self.stages)
+            qstages = quantize_backbone(self.stages)
+            if mesh is not None:
+                qstages = jax.device_put(qstages, dest)
+            self._params = qstages
 
-            def fwd(x):
+            def fwd(x, qstages_):
                 from winograd_tpu.models.downsample import resnet50_stages_int8
 
-                return resnet50_stages_int8(x, self._qstages)
+                return resnet50_stages_int8(x, qstages_)
         else:
             precision = "bf16w" if tier == "bf16w" else None
+            self._params = self.stages
 
-            def fwd(x):
+            def fwd(x, stages_):
                 from winograd_tpu.models.downsample import resnet50_stages
 
-                return resnet50_stages(x, self.stages, precision=precision)
+                return resnet50_stages(x, stages_, precision=precision)
 
-        self._fn = jax.jit(fwd)
+        if mesh is None:
+            self._fn = jax.jit(fwd)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            inner = shard_map(
+                fwd,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None, None, None),
+                    jax.tree.map(lambda _: P(), self._params),
+                ),
+                out_specs=P("data", None, None, None),
+                check_vma=False,
+            )
+            self._fn = jax.jit(inner)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (H, W, C_in) or (N, H, W, C_in) at the first stage's shape."""
-        return self._fn(jnp.asarray(x, jnp.float32))
+        """x: (H, W, C_in) or (N, H, W, C_in) at the first stage's shape
+        (with a mesh, N must divide by the "data" axis)."""
+        return self._fn(jnp.asarray(x, jnp.float32), self._params)
 
     def throughput(self, batch: int, hw: int, c_in: int, iters: int = 20) -> Dict:
         return _throughput(self, batch, c_in, iters, hw)

@@ -158,6 +158,84 @@ def bottleneck_block_tp(mesh, x, params):
     )
 
 
+def resnet_stage_tp(mesh, x, params_list):
+    """A whole identity-block STAGE with the block weights sharded over
+    "model" — the lever for HBM-bound geometries (ResNet conv5_x streams
+    17.8 MB of weights per block; at model=2 each chip streams half).
+
+    One shard_map over the stage; per block (the bottleneck_block_tp
+    recipe, chained):
+    * reduce 1x1 column-parallel (w_reduce output-sharded) — h1 lands
+      Cmid-sharded, no collective;
+    * 3x3 row-parallel (w9 row-sharded per tap, fused Pallas kernel on the
+      local Cmid shard) — ONE psum over "model" (at 7x7 that moves 100 KB
+      of activations vs the 8.9 MB/chip of weight streaming it saves);
+    * expand 1x1 column-parallel — h3 lands Cio-sharded, no collective;
+      the skip add slices the replicated x;
+    * one tiled all_gather re-replicates the block output for the next
+      block's reduce (400 KB at conv5_x).
+
+    Weight traffic per chip per block drops from (2*Cio*Cmid + 9*Cmid^2)
+    f32 words to 1/p of that; collective traffic is activation-sized and
+    rides ICI. x: (N, H, W, Cio) batch-shardable over "data"; every block
+    must share (Cio, Cmid) and carry w9_mid."""
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+    from winograd_tpu.kernels.stage import stack_stage_params
+
+    n_model = mesh.shape["model"]
+    n_blocks = len(params_list)
+    cio, cmid = params_list[0]["w_reduce"].shape
+    assert cmid % n_model == 0 and cio % n_model == 0, (cio, cmid, n_model)
+    cio_l = cio // n_model
+    stacked = stack_stage_params(params_list)
+    w9r = jnp.asarray(stacked["w9_mid"]).reshape(n_blocks, 9, cmid, cmid)
+    ones = jnp.ones((cmid,), jnp.float32)
+    zeros = jnp.zeros((cmid,), jnp.float32)
+
+    def local_fn(x_l, wr, s1, b1, w9, s2, b2, we, s3, b3):
+        idx = jax.lax.axis_index("model")
+        for i in range(n_blocks):
+            h1 = conv1x1_bn_pallas(x_l, wr[i], s1[i], b1[i], relu=True)
+            partial = conv3x3_bn_direct_pallas(
+                h1, w9[i].reshape(-1, cmid), ones, zeros, relu=False
+            )
+            h2 = jax.lax.psum(partial, "model")
+            h2 = jnp.maximum(h2 * s2[i] + b2[i], 0.0)
+            h3 = conv1x1_bn_pallas(h2, we[i], s3[i], b3[i], relu=False)
+            x_shard = jax.lax.dynamic_slice_in_dim(x_l, idx * cio_l, cio_l, axis=-1)
+            out_l = jnp.maximum(h3 + x_shard, 0.0)
+            x_l = jax.lax.all_gather(out_l, "model", axis=-1, tiled=True)
+        return x_l
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None, None),       # x replicated along model
+            P(None, None, "model"),            # w_reduce column-sharded
+            P(None, "model"), P(None, "model"),  # s1, b1 sharded with h1
+            P(None, None, "model", None),      # w9 row-sharded (per tap)
+            P(None, None), P(None, None),      # s2, b2 replicated
+            P(None, None, "model"),            # w_expand column-sharded
+            P(None, "model"), P(None, "model"),  # s3, b3 sharded with h3
+        ),
+        out_specs=P("data", None, None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        x,
+        jnp.asarray(stacked["w_reduce"]),
+        jnp.asarray(stacked["s_reduce"]).reshape(n_blocks, cmid),
+        jnp.asarray(stacked["b_reduce"]).reshape(n_blocks, cmid),
+        w9r,
+        jnp.asarray(stacked["s_mid"]).reshape(n_blocks, cmid),
+        jnp.asarray(stacked["b_mid"]).reshape(n_blocks, cmid),
+        jnp.asarray(stacked["w_expand"]),
+        jnp.asarray(stacked["s_expand"]).reshape(n_blocks, cio),
+        jnp.asarray(stacked["b_expand"]).reshape(n_blocks, cio),
+    )
+
+
 def conv1x1_bn_tp_expand(mesh, x, w, scale, bias, relu: bool = False):
     """Output-sharded fused 1x1 conv. x: (N, H, W, Cmid) replicated along
     "model" (batch-sharded over "data"); w: (Cmid, Cout) column-sharded.
