@@ -41,13 +41,14 @@ def _transition_kernel(
     s1_ref, b1_ref,   # (1, Cmid)
     w9_ref,    # (9*Cmid, Cmid)       resident
     s2_ref, b2_ref,   # (1, Cmid)
-    we_ref,    # (Cmid, TILE_CO)      streamed over j
-    s3_ref, b3_ref,   # (1, TILE_CO)
-    wp_ref,    # (Cin, TILE_CO)       streamed over j (projection shortcut)
-    sp_ref, bp_ref,   # (1, TILE_CO)
+    wep_ref,   # (Cmid+Cin, TILE_CO)  streamed over j: the expand AND
+               # projection weights, BN scales folded in offline and the
+               # two matrices row-concatenated — ONE double-buffered
+               # stream and ONE MXU GEMM where round 2 had two of each
+    bep_ref,   # (1, TILE_CO)         b_expand + b_proj
     out_ref,   # (1, HO, WO, TILE_CO)
-    h2_ref,    # scratch (HO*WO, Cmid)   persists across j
-    xs_ref,    # scratch (HO*WO, Cin)    subsampled skip input, persists
+    h2xs_ref,  # scratch (HO*WO, Cmid+Cin): [h2 | subsampled skip input],
+               # persists across j — the combined GEMM's row operand
     col_ref,   # scratch (HO*WO, 9*Cmid)
     *xpads,    # G_mid padded-h1 groups (H+2, W+2, CGm) then
                # G_in input groups (H, W, CGi), all minor dims <= 128
@@ -94,25 +95,25 @@ def _transition_kernel(
                     ].reshape(hwo, cgm)
                     base = (3 * r + s) * cmid + g * cgm
                     col_ref[:, base : base + cgm] = patch
-        h2_ref[:] = jnp.maximum(
+        h2xs_ref[:, :cmid] = jnp.maximum(
             split_dot(col_ref[:], w9_ref[:], precision) * s2_ref[:] + b2_ref[:],
             0.0,
         )
 
         # --- subsample the block input for the projection shortcut ---
-        # (a stride-2 1x1 conv IS subsample + GEMM).
+        # (a stride-2 1x1 conv IS subsample + GEMM) — into the combined
+        # row operand next to h2.
         for g, xg in enumerate(ins):
-            gsl = slice(g * cgi, (g + 1) * cgi)
-            xg[:, :, :] = x_ref[0, :, :, gsl]
-            xs_ref[:, gsl] = xg[
+            xg[:, :, :] = x_ref[0, :, :, g * cgi : (g + 1) * cgi]
+            h2xs_ref[:, cmid + g * cgi : cmid + (g + 1) * cgi] = xg[
                 pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :
             ].reshape(hwo, cgi)
 
-    # --- per-j: 1x1 expand + BN (no ReLU), projection + BN, add, ReLU ---
-    h3 = split_dot(h2_ref[:], we_ref[:], precision) * s3_ref[:] + b3_ref[:]
-    skip = split_dot(xs_ref[:], wp_ref[:], precision) * sp_ref[:] + bp_ref[:]
+    # --- per-j: expand + projection as ONE GEMM over the combined
+    # (Cmid+Cin) contraction (scales pre-folded), add bias, ReLU ---
+    y = split_dot(h2xs_ref[:], wep_ref[:], precision) + bep_ref[:]
     tile_co = out_ref.shape[-1]
-    out_ref[0] = jnp.maximum(h3 + skip, 0.0).reshape(ho, wo, tile_co)
+    out_ref[0] = jnp.maximum(y, 0.0).reshape(ho, wo, tile_co)
 
 
 def _transition_kernel_resident(
@@ -121,14 +122,13 @@ def _transition_kernel_resident(
     s1_ref, b1_ref,   # (1, Cmid)
     w9_ref,    # (9*Cmid, Cmid)       resident
     s2_ref, b2_ref,   # (1, Cmid)
-    we_ref,    # (Cmid, TILE_CO)      streamed over outer j — fetched ONCE
-    s3_ref, b3_ref,   # (1, TILE_CO)
-    wp_ref,    # (Cin, TILE_CO)       streamed over outer j
-    sp_ref, bp_ref,   # (1, TILE_CO)
+    wep_ref,   # (Cmid+Cin, TILE_CO)  streamed over outer j — fetched ONCE;
+               # expand+projection concatenated, BN scales folded offline
+    bep_ref,   # (1, TILE_CO)         b_expand + b_proj
     out_ref,   # (N, HO, WO, TILE_CO)
     xin_ref,   # scratch (HWp, Cin)         DMA landing buffer (padded rows)
-    h2_ref,    # scratch (N, HWOp, Cmid)    every image's mid output, resident
-    xs_ref,    # scratch (N, HWOp, Cin)     every image's subsampled skip
+    h2xs_ref,  # scratch (N, HWOp, Cmid+Cin): every image's [mid output |
+               # subsampled skip], resident — the combined GEMM row operand
     col_ref,   # scratch (HO*WO, 9*Cmid)
     sem,       # DMA semaphore
     *xpads,
@@ -152,7 +152,7 @@ def _transition_kernel_resident(
     (kernels/stage.py::_pad_rows)."""
     ho, wo = -(-h // 2), -(-w // 2)
     hwo = ho * wo
-    hwo_pad = h2_ref.shape[1]
+    hwo_pad = h2xs_ref.shape[1]
     j = pl.program_id(0)
     mids = xpads[:n_mid_groups]
     ins = xpads[n_mid_groups:]
@@ -194,7 +194,7 @@ def _transition_kernel_resident(
                         ].reshape(hwo, cgm)
                         base = (3 * r + s) * cmid + g * cgm
                         col_ref[:, base : base + cgm] = patch
-            h2_ref[i] = pad_rows(
+            h2xs_ref[i, :, :cmid] = pad_rows(
                 jnp.maximum(
                     split_dot(col_ref[:], w9_ref[:], precision) * s2_ref[:]
                     + b2_ref[:],
@@ -204,16 +204,14 @@ def _transition_kernel_resident(
             for g, xg in enumerate(ins):
                 gsl = slice(g * cgi, (g + 1) * cgi)
                 xg[:, :, :] = x2[:, gsl].reshape(h, w, cgi)
-                xs_ref[i, :, gsl] = pad_rows(
+                h2xs_ref[i, :, cmid + g * cgi : cmid + (g + 1) * cgi] = pad_rows(
                     xg[pl.Slice(0, ho, 2), pl.Slice(0, wo, 2), :].reshape(hwo, cgi)
                 )
 
-    h2all = h2_ref[:].reshape(n * hwo_pad, cmid)
-    xsall = xs_ref[:].reshape(n * hwo_pad, cin)
-    h3 = split_dot(h2all, we_ref[:], precision) * s3_ref[:] + b3_ref[:]
-    skip = split_dot(xsall, wp_ref[:], precision) * sp_ref[:] + bp_ref[:]
+    rows = h2xs_ref[:].reshape(n * hwo_pad, cmid + cin)
+    y = split_dot(rows, wep_ref[:], precision) + bep_ref[:]
     tile_co = out_ref.shape[-1]
-    y = jnp.maximum(h3 + skip, 0.0).reshape(n, hwo_pad, tile_co)
+    y = jnp.maximum(y, 0.0).reshape(n, hwo_pad, tile_co)
     out_ref[:] = y[:, :hwo, :].reshape(n, ho, wo, tile_co)
 
 
@@ -275,6 +273,26 @@ def transition_block_fused_pallas(
     wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
     wbytes_per = 2 if precision == "bf16w" else 4
 
+    # Offline fusion of the wide output layers: fold the per-output-channel
+    # BN scales into the expand/projection weights and row-concatenate them
+    # so the kernel streams ONE (Cmid+Cin, TILE_CO) matrix per tile and runs
+    # ONE MXU GEMM over the combined [h2 | skip] rows — identical math
+    # ((h2 @ we)*s3 + (xs @ wp)*sp == [h2|xs] @ [we*s3; wp*sp]), half the
+    # double-buffered streams, 2x the contraction depth per GEMM.
+    wep = jnp.concatenate(
+        [
+            jnp.asarray(params["w_expand"], jnp.float32)
+            * jnp.asarray(params["s_expand"], jnp.float32)[None, :],
+            jnp.asarray(params["w_proj"], jnp.float32)
+            * jnp.asarray(params["s_proj"], jnp.float32)[None, :],
+        ],
+        axis=0,
+    ).astype(wdt)
+    bep = (
+        jnp.asarray(params["b_expand"], jnp.float32)
+        + jnp.asarray(params["b_proj"], jnp.float32)
+    ).reshape(1, cout)
+
     # Output-tile-outer weight-resident layout for batches: each expand/
     # projection tile streams from HBM once for ALL images instead of once
     # per image (kernels/stage.py applies the same idea to whole stages).
@@ -321,15 +339,13 @@ def transition_block_fused_pallas(
         hwo_pad = _pad_rows(ho * wo)
         scratch_shapes = [
             pltpu.VMEM((hw_pad, cin), jnp.float32),  # DMA landing buffer
-            pltpu.VMEM((n, hwo_pad, cmid), jnp.float32),
-            pltpu.VMEM((n, hwo_pad, cin), jnp.float32),
+            pltpu.VMEM((n, hwo_pad, cmid + cin), jnp.float32),
             pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
         scratch_shapes = [
-            pltpu.VMEM((ho * wo, cmid), jnp.float32),
-            pltpu.VMEM((ho * wo, cin), jnp.float32),
+            pltpu.VMEM((ho * wo, cmid + cin), jnp.float32),
             pltpu.VMEM((ho * wo, 9 * cmid), jnp.float32),
         ]
     scratch_shapes = (
@@ -364,11 +380,7 @@ def transition_block_fused_pallas(
             pl.BlockSpec((9 * cmid, cmid), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cmid), res, memory_space=pltpu.VMEM),
-            pl.BlockSpec((cmid, tile_co), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, tile_co), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid + cin, tile_co), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_co), stream, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -399,11 +411,7 @@ def transition_block_fused_pallas(
         jnp.asarray(params["w9_mid"]).astype(wdt),
         row(params["s_mid"], cmid),
         row(params["b_mid"], cmid),
-        jnp.asarray(params["w_expand"]).astype(wdt),
-        row(params["s_expand"], cout),
-        row(params["b_expand"], cout),
-        jnp.asarray(params["w_proj"]).astype(wdt),
-        row(params["s_proj"], cout),
-        row(params["b_proj"], cout),
+        wep,
+        bep,
     )
     return out[0] if squeeze else out
