@@ -165,6 +165,41 @@ def test_int8_stage_and_transition_weight_resident_batched():
     assert np.abs(tb - tper).max() < 1e-5
 
 
+def test_int8_stage_winograd2_mid_route():
+    """The mixed int8 tier for conv3_x-class maps (mode 9): 1x1s stay int8
+    but the 3x3 runs in-kernel F(2,3) Winograd with a BFLOAT16 filter.
+    Must (a) hold the 8-bit tier bound, (b) be at least as accurate as the
+    all-int8 direct-im2col route it replaces, (c) auto-route on 28x28."""
+    from winograd_tpu.config import BlockConfig
+    from winograd_tpu.datagen.generate import block_params_list, make_block_case
+    from winograd_tpu.kernels.quantized import (
+        quantize_stage_params,
+        resnet_stage_int8_pallas,
+    )
+
+    cfg = BlockConfig("t28", c_io=128, c_mid=32, hw=28, blocks=2)
+    case = make_block_case(cfg, seed=28)
+    qstacked = quantize_stage_params(block_params_list(cfg, case))
+    assert "u2_mid_bf16" in qstacked  # datagen ships the F(2,3) artifact
+
+    gold = case["golden"]
+    denom = max(np.abs(gold).max(), 1.0)
+    # mid_algo="auto" picks winograd2 at 28x28.
+    out_auto = np.asarray(resnet_stage_int8_pallas(case["x"], qstacked))
+    out_wino = np.asarray(
+        resnet_stage_int8_pallas(case["x"], qstacked, mid_algo="winograd2")
+    )
+    assert np.abs(out_auto - out_wino).max() == 0.0
+    rel_wino = np.abs(out_wino - gold).max() / denom
+    assert rel_wino < 5e-2, f"mixed int8/bf16w stage relative error {rel_wino}"
+
+    out_dir = np.asarray(
+        resnet_stage_int8_pallas(case["x"], qstacked, mid_algo="direct")
+    )
+    rel_dir = np.abs(out_dir - gold).max() / denom
+    assert rel_wino <= rel_dir * 1.05, (rel_wino, rel_dir)
+
+
 def test_int8_direct_3x3_matches_golden():
     """The int8 direct 3x3 kernel (modes 0/1's serving tier) stays inside
     the 8-bit bound vs the float64 golden on both reference geometries."""

@@ -248,12 +248,24 @@ def conv3x3_bn_int8_pallas(
 
 def quantize_block_params(params: dict) -> dict:
     """Offline int8 quantization of a block's three weight matrices
-    (models/resnet.py layout) — BN scale/bias stay f32."""
+    (models/resnet.py layout) — BN scale/bias stay f32.
+
+    When the F(2,3) artifact (u2_mid) is present it is carried as BFLOAT16:
+    the Winograd algebra is not int8-quantized (the +/-1 transforms amplify
+    the per-tile dynamic range, losing ~1 bit), but on large maps (28x28+)
+    a bf16-weight winograd2 mid layer is both faster AND more accurate than
+    the int8 direct-im2col mid — the int8 stage kernel routes it there
+    (mode 9's tier lever). The streamed mid bytes are 16/9*2 = 3.6x the
+    int8 direct bytes but the mid is compute-, not weight-bound at 28x28."""
     out = {}
     for key in ("w_reduce", "w9_mid", "w_expand"):
         wq, sw = quantize_weights(np.asarray(params[key]))
         out[f"{key}_q"] = wq
         out[f"{key}_s"] = sw
+    if "u2_mid" in params:
+        out["u2_mid_bf16"] = np.asarray(
+            jnp.asarray(params["u2_mid"], jnp.float32).astype(jnp.bfloat16)
+        )
     for key in ("s_reduce", "b_reduce", "s_mid", "b_mid", "s_expand", "b_expand"):
         out[key] = np.asarray(params[key], np.float32)
     return out
@@ -374,18 +386,17 @@ def quantize_stage_params(params_list) -> dict:
 def _stage_int8_kernel(
     x_ref,     # (1, H, W, Cio) f32
     wr_ref, wr_s_ref, s1_ref, b1_ref,   # block b's int8 weights + scales
-    w9_ref, w9_s_ref, s2_ref, b2_ref,
+    w9_ref, w9_s_ref, s2_ref, b2_ref,   # direct int8 OR (1,16,Cmid,Cmid) bf16
     we_ref, we_s_ref, s3_ref, b3_ref,
     out_ref,   # (1, H, W, Cio)
     act_ref,   # scratch (H*W, Cio) persists across blocks
-    xpad_ref,  # scratch (H+2, W+2, Cmid)
-    col_ref,   # scratch (H*W, 9*Cmid)
-    *,
+    *mid_scratch,  # direct: xpad + col; winograd2: G xpads + G h2 buffers
     h: int,
     w: int,
     cio: int,
     cmid: int,
     n_blocks: int,
+    mid_algo: str,
 ):
     hw = h * w
     b = pl.program_id(1)
@@ -397,7 +408,7 @@ def _stage_int8_kernel(
     y = _stage_int8_block_body(
         act_ref[:], wr_ref, wr_s_ref, s1_ref, b1_ref,
         w9_ref, w9_s_ref, s2_ref, b2_ref, we_ref, we_s_ref, s3_ref, b3_ref,
-        xpad_ref, col_ref, h=h, w=w, cmid=cmid,
+        mid_scratch, h=h, w=w, cmid=cmid, mid_algo=mid_algo,
     )
     act_ref[:] = y
 
@@ -409,23 +420,54 @@ def _stage_int8_kernel(
 def _stage_int8_block_body(x2, wr_ref, wr_s_ref, s1_ref, b1_ref,
                            w9_ref, w9_s_ref, s2_ref, b2_ref,
                            we_ref, we_s_ref, s3_ref, b3_ref,
-                           xpad_ref, col_ref, *, h, w, cmid):
+                           mid_scratch, *, h, w, cmid, mid_algo="direct"):
     """One int8 bottleneck block on one image's rows (shared by the
-    image-outer streaming kernel and the weight-resident batched one)."""
+    image-outer streaming kernel and the weight-resident batched one).
+
+    mid_algo "winograd2" runs the 3x3 as in-kernel F(2,3) Winograd with a
+    BFLOAT16 filter (w9_ref is then the (1, 16, Cmid, Cmid) u2 artifact and
+    w9_s_ref is unused): on 28x28-class maps this is both faster and more
+    accurate than the int8 direct-im2col mid — the winograd algebra's +/-1
+    transforms make int8 tiles lose ~1 bit, but they are exact in bf16w
+    (kernels/direct.py::split_dot)."""
     from winograd_tpu.kernels.stage import _im2col_same3x3
 
+    hw = h * w
     h1 = jnp.maximum(_qdot(x2, wr_ref[0], wr_s_ref[0]) * s1_ref[0] + b1_ref[0], 0.0)
 
-    def col_write(t, patch):
-        col_ref[:, t * cmid : (t + 1) * cmid] = patch
+    if mid_algo == "winograd2":
+        from winograd_tpu.kernels.block import winograd_mid_layer
 
-    _im2col_same3x3(
-        xpad_ref, h1.reshape(h, w, cmid), col_write, h=h, w=w, cmid=cmid
-    )
-    h2 = jnp.maximum(
-        _qdot(col_ref[:], w9_ref[0], w9_s_ref[0]) * s2_ref[0] + b2_ref[0], 0.0
-    )
-    h3 = _qdot(h2, we_ref[0], we_s_ref[0]) * s3_ref[0] + b3_ref[0]
+        cg = mid_scratch[0].shape[-1]
+        n_groups = cmid // cg
+        xpads, h2gs = mid_scratch[:n_groups], mid_scratch[n_groups:]
+        tw_pad = (xpads[0].shape[1] - 2) // 2
+        h2gs = winograd_mid_layer(
+            h1, w9_ref[0], s2_ref[0], b2_ref[0], xpads, h2gs,
+            h=h, w=w, cmid=cmid, tw_pad=tw_pad, precision="bf16w",
+        )
+        h3 = None
+        for g, h2g in enumerate(h2gs):
+            part = _qdot(
+                h2g[:].reshape(hw, cg),
+                we_ref[0, g * cg : (g + 1) * cg, :],
+                we_s_ref[0],
+            )
+            h3 = part if h3 is None else h3 + part
+        h3 = h3 * s3_ref[0] + b3_ref[0]
+    else:
+        xpad_ref, col_ref = mid_scratch
+
+        def col_write(t, patch):
+            col_ref[:, t * cmid : (t + 1) * cmid] = patch
+
+        _im2col_same3x3(
+            xpad_ref, h1.reshape(h, w, cmid), col_write, h=h, w=w, cmid=cmid
+        )
+        h2 = jnp.maximum(
+            _qdot(col_ref[:], w9_ref[0], w9_s_ref[0]) * s2_ref[0] + b2_ref[0], 0.0
+        )
+        h3 = _qdot(h2, we_ref[0], we_s_ref[0]) * s3_ref[0] + b3_ref[0]
     return jnp.maximum(h3 + x2, 0.0)
 
 
@@ -831,19 +873,29 @@ def transition_block_int8_pallas(
     return out[0] if squeeze else out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "resident"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "resident", "mid_algo")
+)
 def resnet_stage_int8_pallas(
     x: jax.Array,
     qstacked: dict,
     *,
     interpret: bool | None = None,
     resident: bool | None = None,
+    mid_algo: str = "auto",
 ) -> jax.Array:
     """A whole stage of int8 bottleneck blocks in ONE Pallas kernel with
     weight streaming (kernels/stage.py structure): the activation persists
     in VMEM scratch across blocks while each block's INT8 weights stream
     from HBM at a quarter of the f32 bytes — the serving tier for
     HBM-bound geometries like ResNet-50 conv5_x (17.8 MB/block in f32).
+
+    mid_algo "auto" mirrors the f32 stage kernel's routing: on large maps
+    (28x28+) the 3x3 runs in-kernel F(2,3) Winograd with the BFLOAT16 u2
+    artifact (the 1x1s stay int8) — at that geometry the winograd2 mid is
+    both faster and MORE accurate than int8 direct im2col, which is why
+    the tier mixes precisions there rather than quantizing the Winograd
+    algebra (see quantize_block_params).
 
     x: (H, W, Cio) or (N, H, W, Cio); qstacked from quantize_stage_params
     (works for n_blocks == 1 too: a single streamed int8 block)."""
@@ -852,6 +904,12 @@ def resnet_stage_int8_pallas(
         x = x[None]
     n, h, w, cio = x.shape
     n_blocks, _, cmid = qstacked["w_reduce_q"].shape
+    if mid_algo == "auto":
+        mid_algo = (
+            "winograd2"
+            if "u2_mid_bf16" in qstacked and h * w >= 28 * 28
+            else "direct"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -863,43 +921,64 @@ def resnet_stage_int8_pallas(
         # Default OFF — same end-to-end finding as the f32 twin
         # (kernels/stage.py): explicit opt-in only.
         resident = False
-    resident = resident and n > 1
+    resident = resident and n > 1 and mid_algo == "direct"
     if resident:
         kernel = functools.partial(
             _stage_int8_kernel_resident,
             h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks, n=n,
         )
         blk = lambda shape: pl.BlockSpec(
-            (1,) + shape, lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
         )
     else:
         kernel = functools.partial(
             _stage_int8_kernel,
-            h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks,
+            h=h, w=w, cio=cio, cmid=cmid, n_blocks=n_blocks, mid_algo=mid_algo,
         )
         blk = lambda shape: pl.BlockSpec(
-            (1,) + shape, lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1,) + shape, lambda i, b: (b,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
         )
     img = lambda i, b: (i, 0, 0, 0)
     flops = 2 * n * n_blocks * h * w * (cio * cmid + 9 * cmid * cmid + cmid * cio)
-    wbytes = n_blocks * (2 * cio * cmid + 9 * cmid * cmid)  # int8: 1 B each
+    if mid_algo == "winograd2":
+        from winograd_tpu.kernels.winograd import _pad_tiles_w
+
+        cg = 128 if cmid % 128 == 0 else cmid
+        th, tw = -(-h // 2), -(-w // 2)
+        tw_pad = _pad_tiles_w(tw)
+        mid_spec = blk((16, cmid, cmid))
+        mid_arg = qstacked["u2_mid_bf16"]
+        mid_s_arg = qstacked["w9_mid_s"]  # unused by the winograd2 route
+        mid_scratch = [
+            pltpu.VMEM((2 * th + 2, 2 * tw_pad + 2, cg), jnp.float32)
+            for _ in range(cmid // cg)
+        ] + [pltpu.VMEM((h, w, cg), jnp.float32) for _ in range(cmid // cg)]
+        mid_wbytes = 2 * 16 * cmid * cmid  # bf16 u2 artifact
+    else:
+        mid_spec = blk((9 * cmid, cmid))
+        mid_arg = qstacked["w9_mid_q"]
+        mid_s_arg = qstacked["w9_mid_s"]
+        mid_scratch = [
+            pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
+            pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
+        ]
+        mid_wbytes = 9 * cmid * cmid  # int8: 1 B each
+    wbytes = n_blocks * (2 * cio * cmid + mid_wbytes)
     weight_specs = [
         blk((cio, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
-        blk((9 * cmid, cmid)), blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
+        mid_spec, blk((1, cmid)), blk((1, cmid)), blk((1, cmid)),
         blk((cmid, cio)), blk((1, cio)), blk((1, cio)), blk((1, cio)),
     ]
     weight_args = (
         qstacked["w_reduce_q"], qstacked["w_reduce_s"],
         qstacked["s_reduce"], qstacked["b_reduce"],
-        qstacked["w9_mid_q"], qstacked["w9_mid_s"],
+        mid_arg, mid_s_arg,
         qstacked["s_mid"], qstacked["b_mid"],
         qstacked["w_expand_q"], qstacked["w_expand_s"],
         qstacked["s_expand"], qstacked["b_expand"],
     )
-    mid_scratch = [
-        pltpu.VMEM((h + 2, w + 2, cmid), jnp.float32),
-        pltpu.VMEM((h * w, 9 * cmid), jnp.float32),
-    ]
     if resident:
         from winograd_tpu.kernels.stage import _pad_rows
 
