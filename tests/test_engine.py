@@ -64,6 +64,44 @@ def test_backbone_engine_both_tiers():
     assert rel < 2e-1 and np.corrcoef(out8.ravel(), gold.ravel())[0, 1] > 0.98
 
 
+def test_resnet50_engine_tiers_and_dp():
+    """ResNet50Engine serves the complete classifier (image -> logits) at
+    every tier, and DP-sharded over a mesh it matches single-chip."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.datagen.generate import make_resnet50_case
+    from winograd_tpu.engine import ResNet50Engine
+
+    @dataclasses.dataclass(frozen=True)
+    class _Tiny(ResNet50Config):
+        stages = ((64, 16, 8, 1), (128, 32, 4, 1))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 24
+
+    cfg = _Tiny("tiny_resnet50_engine")
+    case = make_resnet50_case(cfg, seed=11)
+    gold = case["golden"]
+    engine = ResNet50Engine.from_case(case, cfg)
+    out = np.asarray(engine(case["x"]))
+    assert out.shape == (cfg.num_classes,)
+    assert np.abs(out - gold).max() < 1e-3
+    assert int(engine.classify(case["x"])) == int(np.argmax(gold))
+
+    out8 = np.asarray(ResNet50Engine.from_case(case, cfg, tier="int8")(case["x"]))
+    rel = np.abs(out8 - gold).max() / max(np.abs(gold).max(), 1.0)
+    assert rel < 5e-2 and np.corrcoef(out8.ravel(), gold.ravel())[0, 1] > 0.98
+
+    xb = np.stack([case["x"]] * 8) * np.linspace(0.5, 1.5, 8)[:, None, None, None]
+    xb = xb.astype(np.float32)
+    single = np.asarray(engine(xb))
+    sharded = np.asarray(
+        ResNet50Engine.from_case(case, cfg, mesh=make_mesh(8, model_axis=1))(xb)
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
 def test_engine_from_checkpoint(tmp_path):
     from winograd_tpu.models import init_bottleneck_params, save_params
     from winograd_tpu.models.resnet import bottleneck_block_pallas

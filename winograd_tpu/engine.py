@@ -194,6 +194,94 @@ class BackboneEngine:
         return _throughput(self, batch, c_in, iters, hw)
 
 
+class ResNet50Engine:
+    """Serves the COMPLETE ResNet-50 classifier (224x224x3 image in, 1000
+    logits out) through the fused kernels — the deployment surface for
+    bench mode 16.
+
+    params: the models/resnet50.py forward structure ({"stem", "proj",
+    "stages", "head"}, e.g. from resnet50_params(case, cfg) or
+    init_resnet50_params(cfg)). tier selects the serving precision
+    (f32 strict / bf16w / int8 — the stem conv stays f32 in every tier,
+    see models/resnet50.py). With a mesh, inputs are batch-sharded over
+    the "data" axis with weights replicated on every chip."""
+
+    def __init__(self, params, tier: str = "f32", mesh=None):
+        assert tier in ("f32", "bf16w", "int8"), tier
+        self.tier = tier
+        self.mesh = mesh
+        if mesh is None:
+            dest = jax.devices()[0]
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dest = NamedSharding(mesh, P())
+        if tier == "int8":
+            from winograd_tpu.models.resnet50 import quantize_resnet50
+
+            self._params = jax.device_put(quantize_resnet50(params), dest)
+
+            def fwd(x, p):
+                from winograd_tpu.models.resnet50 import resnet50_forward_int8
+
+                return resnet50_forward_int8(x, p)
+        else:
+            precision = "bf16w" if tier == "bf16w" else None
+            self._params = jax.device_put(
+                jax.tree.map(jnp.asarray, params), dest
+            )
+
+            def fwd(x, p):
+                from winograd_tpu.models.resnet50 import resnet50_forward_pallas
+
+                return resnet50_forward_pallas(x, p, precision=precision)
+
+        if mesh is None:
+            self._fn = jax.jit(fwd)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            inner = shard_map(
+                fwd,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None, None, None),
+                    jax.tree.map(lambda _: P(), self._params),
+                ),
+                out_specs=P("data", None),
+                check_vma=False,
+            )
+            self._fn = jax.jit(inner)
+
+    @classmethod
+    def from_case(cls, case, cfg, **kw) -> "ResNet50Engine":
+        """Build from a flat make_resnet50_case dict (datagen)."""
+        from winograd_tpu.models.resnet50 import resnet50_params
+
+        return cls(resnet50_params(case, cfg), **kw)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (224, 224, 3) or (N, 224, 224, 3) image(s); returns
+        (num_classes,) / (N, num_classes) logits. Single images are run
+        as N=1 so the mesh path sees a batch axis."""
+        x = jnp.asarray(x, jnp.float32)
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        out = self._fn(x, self._params)
+        return out[0] if squeeze else out
+
+    def classify(self, x: jax.Array) -> jax.Array:
+        """Argmax class id(s) for image(s) x."""
+        return jnp.argmax(self(x), axis=-1)
+
+    def throughput(self, batch: int, iters: int = 20, img: int = 224) -> Dict:
+        """img must match the deployment image side (224 for the standard
+        model) — the compiled program is shape-specific."""
+        return _throughput(self, batch, 3, iters, img)
+
+
 def _throughput(engine, batch: int, c_in: int, iters: int, hw: int) -> Dict:
     """Steady-state images/sec at the given batch size and feature-map
     side (hw must match the deployment shape — the compiled program is
