@@ -37,7 +37,11 @@ class _TinyR50(ResNet50Config):
 
 def test_stem_matches_golden():
     from winograd_tpu.datagen.generate import _bn_params, _rand
-    from winograd_tpu.models.resnet50 import stem_filter, stem_pallas
+    from winograd_tpu.models.resnet50 import (
+        stem_filter,
+        stem_filter_s2d,
+        stem_pallas,
+    )
     from winograd_tpu.ops import jnp_ops, reference
 
     rng = np.random.default_rng(0)
@@ -48,12 +52,20 @@ def test_stem_matches_golden():
     params = {
         "w49_stem": jnp.asarray(stem_filter(w7)),
         "w7_stem": jnp.asarray(w7),
+        "w192_stem": jnp.asarray(stem_filter_s2d(w7)),
         "s_stem": jnp.asarray(bn["scale"]),
         "b_stem": jnp.asarray(bn["bias"]),
     }
     out = np.asarray(stem_pallas(jnp.asarray(x), params))
     assert out.shape == (8, 8, 16)
     assert np.abs(out - gold).max() < PARITY_ATOL
+    # The space-to-depth + fused-Pallas-GEMM route (the served path on TPU).
+    out_s2d = np.asarray(stem_pallas(jnp.asarray(x), params, algo="s2d"))
+    assert np.abs(out_s2d - gold).max() < PARITY_ATOL
+    # The explicit im2col + fused-Pallas-GEMM route (kept as the non-XLA
+    # differential path; see resnet50.py docstring for why it isn't served).
+    out_im2col = np.asarray(stem_pallas(jnp.asarray(x), params, algo="im2col"))
+    assert np.abs(out_im2col - gold).max() < PARITY_ATOL
     out_xla = np.asarray(jnp_ops.stem(jnp.asarray(x), params))
     assert np.abs(out_xla - gold).max() < PARITY_ATOL
     # Batched.
@@ -61,6 +73,11 @@ def test_stem_matches_golden():
     outb = np.asarray(stem_pallas(jnp.asarray(xb), params))
     assert outb.shape == (2, 8, 8, 16)
     assert np.abs(outb[0] - gold).max() < PARITY_ATOL
+    outb_s2d = np.asarray(stem_pallas(jnp.asarray(xb), params, algo="s2d"))
+    assert outb_s2d.shape == (2, 8, 8, 16)
+    assert np.abs(outb_s2d[0] - gold).max() < PARITY_ATOL
+    assert np.abs(outb_s2d[1] - np.asarray(
+        stem_pallas(jnp.asarray(0.5 * x), params, algo="s2d"))).max() < PARITY_ATOL
 
 
 def test_head_matches_golden_with_class_padding():

@@ -619,13 +619,17 @@ def run_smoke() -> int:
     from winograd_tpu.datagen.generate import _bn_params, _rand
 
     rng = np.random.default_rng(3)
-    from winograd_tpu.models.resnet50 import head_pallas, stem_filter, stem_pallas
+    from winograd_tpu.models.resnet50 import (
+        head_pallas,
+        stem_filter_s2d,
+        stem_pallas,
+    )
 
     ximg = jnp.asarray(_rand(rng, 224, 224, 3))
     w7 = _rand(rng, 64, 3, 7, 7)
     bns = _bn_params(rng, 64)
     stem_p = {
-        "w49_stem": jnp.asarray(stem_filter(w7)),
+        "w192_stem": jnp.asarray(stem_filter_s2d(w7)),
         "s_stem": jnp.asarray(bns["scale"]),
         "b_stem": jnp.asarray(bns["bias"]),
     }

@@ -24,6 +24,11 @@ Extensions beyond the reference:
     13: the 13-block conv3_x->conv4_x->conv5_x backbone
     14: the same backbone at batch 8 (serving-throughput regime)
     15: the COMPLETE 16-block ResNet-50 residual trunk (conv2_x..conv5_x)
+    16: the COMPLETE ResNet-50 classifier (stem + trunk + head, 224x224x3
+        image -> 1000 logits)
+    17: one full training step (fwd+bwd) through the 13-block backbone's
+        serving megakernels
+    18: the complete classifier at batch 8 (serving-throughput regime)
 """
 
 from __future__ import annotations
@@ -188,6 +193,10 @@ class TrainConfig(BackboneConfig):
 
 
 CASES[17] = TrainConfig("resnet50_backbone_13_trainstep")
+
+# Batched serving of the WHOLE classifier (mode 16 at N=8) — the
+# images/s-under-load regime, like mode 14 is for the 13-block backbone.
+CASES[18] = ResNet50Config("resnet50_full_b8", batch=8)
 
 
 def case_flops(cfg) -> int:

@@ -275,7 +275,7 @@ def make_resnet50_case(cfg, seed: int = 0) -> Dict[str, np.ndarray]:
     make_backbone_case), head FC params, and the float64 golden — both the
     trunk feature map (golden_trunk, for diagnostics) and the final logits
     (golden, what the bench checks)."""
-    from winograd_tpu.models.resnet50 import stem_filter
+    from winograd_tpu.models.resnet50 import stem_filter, stem_filter_s2d
 
     rng = np.random.default_rng(seed)
     case: Dict[str, np.ndarray] = {}
@@ -286,11 +286,13 @@ def make_resnet50_case(cfg, seed: int = 0) -> Dict[str, np.ndarray]:
     x = _rand(rng, *shape)
     case["x"] = x
 
-    # Stem: 7x7/2 conv + BN + ReLU + 3x3/2 maxpool.
+    # Stem: 7x7/2 conv + BN + ReLU + 3x3/2 maxpool. Both offline GEMM
+    # layouts ship as artifacts (the offline-transform contract): the
+    # im2col form (stem_w49) and the served space-to-depth form (stem_w192).
     w7 = _rand(rng, stem_c, 3, 7, 7)
     bn_stem = _bn_params(rng, stem_c, scale=0.5)
     case.update(
-        stem_w7=w7, stem_w49=stem_filter(w7),
+        stem_w7=w7, stem_w49=stem_filter(w7), stem_w192=stem_filter_s2d(w7),
         stem_scale=bn_stem["scale"], stem_bias=bn_stem["bias"],
     )
     h = reference.stem(x.astype(np.float64), w7, bn_stem["scale"], bn_stem["bias"])

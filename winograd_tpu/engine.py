@@ -202,9 +202,11 @@ class ResNet50Engine:
     params: the models/resnet50.py forward structure ({"stem", "proj",
     "stages", "head"}, e.g. from resnet50_params(case, cfg) or
     init_resnet50_params(cfg)). tier selects the serving precision
-    (f32 strict / bf16w / int8 — the stem conv stays f32 in every tier,
-    see models/resnet50.py). With a mesh, inputs are batch-sharded over
-    the "data" axis with weights replicated on every chip."""
+    (f32 strict / bf16w / int8 — the stem's s2d GEMM maps the tier onto
+    its split_dot pass count rather than int8 weights, see
+    models/resnet50.py::stem_pallas). With a mesh, inputs are
+    batch-sharded over the "data" axis with weights replicated on every
+    chip."""
 
     def __init__(self, params, tier: str = "f32", mesh=None):
         assert tier in ("f32", "bf16w", "int8"), tier

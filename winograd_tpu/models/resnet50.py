@@ -7,11 +7,18 @@ This module closes the model: a 224x224x3 image in, 1000 logits out, every
 conv through the framework's fused Pallas kernels, all three serving tiers.
 
 TPU-first structure:
-* Stem 7x7/2 conv: strided im2col (49 XLA strided slices that fuse into one
-  relayout copy) into the SAME fused GEMM+BN+ReLU Pallas kernel the 1x1
-  layers use — a (112*112, 147) x (147, 64) MXU GEMM; then a 3x3/2 maxpool
-  (jax.lax.reduce_window — a bandwidth-bound VPU op XLA already emits
-  optimally; there is no MXU work to fuse into).
+* Stem 7x7/2 conv (served route, `algo="s2d"`): space-to-depth by the
+  stride (factor 2, so every output position keeps one cell phase), then
+  the 4x4 cell neighborhood concatenated into a (112, 112, 192) patch
+  matrix — 16 CONTIGUOUS XLA slices instead of im2col's 49 strided ones —
+  into the SAME fused GEMM+BN+ReLU Pallas kernel the 1x1 layers use, then
+  the 3x3/2 maxpool. Measured v5e (224x224x3): 109.5 us at 5.6e-6 vs the
+  float64 golden — 3.4x faster than the best strict-parity alternative,
+  XLA's conv emitter at HIGHEST (375.8 us). The relayout is 61 us of that;
+  the other routes are measured dead ends kept for differential checks:
+  `algo="conv"` (the emitter; precision ladder + the split-operand failure
+  in jnp_ops.conv7x7_s2_bn_relu's docstring) and `algo="im2col"` (3323 us
+  — the 49-slice channel-minor concat with C=3 is pathological).
 * conv2_x entry: the stride-1 PROJECTION bottleneck
   (models/downsample.py::projection_bottleneck_block_pallas).
 * Trunk: models/downsample.py::resnet50_stages — the stage/transition
@@ -49,6 +56,48 @@ def stem_filter(w7: np.ndarray) -> np.ndarray:
     return np.transpose(np.asarray(w7), (2, 3, 1, 0)).reshape(49 * cin, cout)
 
 
+def stem_filter_s2d(w7: np.ndarray) -> np.ndarray:
+    """(Cout, Cin, 7, 7) OIHW -> (16*4*Cin, Cout) GEMM layout for the
+    space-to-depth stem route (_stem_s2d_cols' column order: cell offset
+    (a, b) in 0..3, intra-cell (u, v) in 0..1, channel c; tap
+    (r, s) = (2a+u, 2b+v), zero where r or s > 6)."""
+    cout, cin = w7.shape[0], w7.shape[1]
+    wt = np.transpose(np.asarray(w7, np.float32), (2, 3, 1, 0))  # (7,7,cin,cout)
+    out = np.zeros((64 * cin, cout), np.float32)
+    for a in range(4):
+        for b in range(4):
+            for u in range(2):
+                for v in range(2):
+                    r, s = 2 * a + u, 2 * b + v
+                    if r < 7 and s < 7:
+                        i = ((a * 4 + b) * 4 + u * 2 + v) * cin
+                        out[i : i + cin] = wt[r, s]
+    return out
+
+
+def _stem_s2d_cols(x: jax.Array) -> jax.Array:
+    """(..., H, W, C) -> (..., ceil(H/2), ceil(W/2), 64*C): the stride-2 7x7
+    patch matrix via space-to-depth. Pad 3 (the conv's sampling), s2d by the
+    stride (factor 2 = stride 2, so every output position has the SAME cell
+    phase), then concatenate the 4x4 cell neighborhood — 16 contiguous
+    slices instead of im2col's 49 strided ones, and every slice has 4C
+    channels instead of C. One XLA relayout of 16x the input bytes."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    ho, wo = -(-h // 2), -(-w // 2)
+    hp, wp = 2 * (ho + 3), 2 * (wo + 3)
+    xp = jnp.pad(x, ((0, 0), (3, hp - 3 - h), (3, wp - 3 - w), (0, 0)))
+    s2d = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
+    cols = [
+        s2d[:, a : a + ho, b : b + wo, :] for a in range(4) for b in range(4)
+    ]
+    out = jnp.concatenate(cols, axis=-1)
+    return out[0] if squeeze else out
+
+
 def _stem_im2col(x: jax.Array) -> jax.Array:
     """(..., H, W, C) -> (..., ceil(H/2), ceil(W/2), 49*C): stride-2 7x7
     patches at pad 3 (the golden model's conv7x7_stride2 sampling)."""
@@ -67,10 +116,43 @@ def _stem_im2col(x: jax.Array) -> jax.Array:
     return out[0] if squeeze else out
 
 
-def stem_pallas(x: jax.Array, params: Dict, precision: str | None = None) -> jax.Array:
-    """Stem: 7x7/2 conv + BN + ReLU (im2col into the fused pointwise GEMM
-    kernel) + 3x3/2 maxpool. (..., 224, 224, 3) -> (..., 56, 56, 64).
-    Keys: w49_stem (147, 64), s_stem, b_stem."""
+def stem_pallas(
+    x: jax.Array,
+    params: Dict,
+    precision: str | None = None,
+    algo: str = "s2d",
+) -> jax.Array:
+    """Stem: 7x7/2 conv + BN + ReLU + 3x3/2 maxpool.
+    (..., 224, 224, 3) -> (..., 56, 56, 64).
+
+    algo="s2d" (default, the measured winner — see module docstring) runs
+    the space-to-depth patch GEMM through the fused pointwise Pallas
+    kernel; needs key w192_stem (192, 64) = stem_filter_s2d(w7).
+    algo="conv" runs XLA's conv emitter at the tier's precision
+    (jnp_ops.conv7x7_s2_bn_relu: f32 -> HIGHEST exact, bf16w -> HIGH
+    2.07e-4, int8 -> DEFAULT 3.1e-3); needs w7_stem (64, 3, 7, 7) OIHW.
+    algo="im2col" routes the strided im2col into the same pointwise kernel
+    (differential check only); needs w49_stem (147, 64).
+    Common keys: s_stem, b_stem."""
+    if algo == "conv":
+        h = jnp_ops.conv7x7_s2_bn_relu(
+            x, params["w7_stem"], params["s_stem"], params["b_stem"],
+            precision=precision,
+        )
+        return jnp_ops.maxpool3x3_s2(h)
+    if algo == "s2d":
+        # Space-to-depth patch matrix -> ONE fused Pallas GEMM. The tier
+        # maps onto split_dot pass counts (kernels/direct.py): 3-pass
+        # bf16x3 holds the strict 1e-4 bar; int8-tier stems run single-pass
+        # bf16 (the stem's 37 KB of weights aren't worth int8 quantizing).
+        gemm_prec = {None: "bf16x3", "bf16w": "bf16w", "int8": "default"}[precision]
+        cols = _stem_s2d_cols(x)
+        h = conv1x1_bn_pallas(
+            cols, params["w192_stem"], params["s_stem"], params["b_stem"],
+            relu=True, precision=gemm_prec,
+        )
+        return jnp_ops.maxpool3x3_s2(h)
+    assert algo == "im2col", algo
     kw = {} if precision is None else {"precision": precision}
     cols = _stem_im2col(x)
     h = conv1x1_bn_pallas(
@@ -189,7 +271,7 @@ def _head_int8(x: jax.Array, q: Dict) -> jax.Array:
 def resnet50_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
     """Full ResNet-50 at the int8 serving tier (stem f32 — see
     quantize_resnet50)."""
-    h = stem_pallas(x, qparams["stem"])
+    h = stem_pallas(x, qparams["stem"], precision="int8")
     h = _projection_block_int8(h, qparams["proj"])
     h = resnet50_stages_int8(h, qparams["stages"])
     return _head_int8(h, qparams["head"])
@@ -238,6 +320,7 @@ def init_resnet50_params(cfg, seed: int = 0) -> Dict:
     return {
         "stem": {
             "w49_stem": stem_filter(w7), "w7_stem": w7,
+            "w192_stem": stem_filter_s2d(w7),
             "s_stem": bn_stem["scale"], "b_stem": bn_stem["bias"],
         },
         "proj": p0,
@@ -266,6 +349,7 @@ def resnet50_params(case: Dict[str, np.ndarray], cfg) -> Dict:
         "stem": {
             "w49_stem": case["stem_w49"],
             "w7_stem": case["stem_w7"],
+            "w192_stem": case.get("stem_w192", stem_filter_s2d(case["stem_w7"])),
             "s_stem": case["stem_scale"],
             "b_stem": case["stem_bias"],
         },

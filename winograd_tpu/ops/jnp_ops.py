@@ -85,12 +85,30 @@ def downsample_bottleneck_block(x, params, stride: int = 2) -> jax.Array:
     return jnp.maximum(h + skip, 0.0)
 
 
-def conv7x7_s2_bn_relu(x, w7, scale, bias) -> jax.Array:
+def conv7x7_s2_bn_relu(x, w7, scale, bias, precision=None) -> jax.Array:
     """ResNet stem conv: 7x7, stride 2, pad 3 + folded BN + ReLU.
-    w7: (Cout, Cin, 7, 7) OIHW."""
+    w7: (Cout, Cin, 7, 7) OIHW.
+
+    `precision` maps the serving tiers onto XLA's conv-emitter algorithms
+    (measured v5e, 224x224x3 stem + maxpool, vs the float64 golden):
+      None   -> HIGHEST: exact-class (err 0), ~352 us — the strict-1e-4 tier
+      bf16w  -> HIGH:    2.07e-4,             ~190 us
+      int8   -> DEFAULT: 3.1e-3,              ~88 us
+    MEASURED DEAD END (round 3): applying the split_dot bf16-hi/lo trick to
+    the conv emitter (3 DEFAULT-precision convs over operand splits, with
+    optimization_barrier to stop re-merging) does NOT reconstruct f32:
+    terms=3 still errs 2.48e-3 at 273 us — barely below plain DEFAULT's
+    3.14e-3 — because DEFAULT's conv error is algorithmic (its internal
+    space-to-depth/layout passes), not operand rounding. HIGH beats it on
+    both axes; don't revisit without a different decomposition."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
+    xla_prec = {
+        None: jax.lax.Precision.HIGHEST,
+        "bf16w": jax.lax.Precision.HIGH,
+        "int8": jax.lax.Precision.DEFAULT,
+    }[precision]
     y = jax.lax.conv_general_dilated(
         x,
         jnp.transpose(w7, (2, 3, 1, 0)),
@@ -98,7 +116,7 @@ def conv7x7_s2_bn_relu(x, w7, scale, bias) -> jax.Array:
         padding=((3, 2), (3, 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=xla_prec,
     )
     y = bn_act(y, scale, bias, relu=True)
     return y[0] if squeeze else y

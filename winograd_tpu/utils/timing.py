@@ -132,7 +132,13 @@ def bench_scan(
 
     `core` maps x -> y (any output shape); the carry multiplies x by
     (1 + 0*y[0]), which XLA cannot fold away (NaN semantics: 0*NaN != 0)
-    and which adds only a scalar-broadcast epilogue per step.
+    and which adds only a scalar-broadcast epilogue per step. The y[0]
+    read goes through `lax.optimization_barrier`: without it XLA narrows
+    pure-XLA cores by pushing the slice back through the producer chain
+    (measured: a 7x7/2 stem conv "alone" timed 10 us where the true cost
+    is ~350 — the scan body computed a sliver of the output). Pallas
+    custom calls were never narrowable; the barrier makes XLA-op cores
+    (the vendor-baseline column) measure honestly too.
     """
 
     def make(length):
@@ -140,6 +146,7 @@ def bench_scan(
         def scan_n(x0):
             def body(c, _):
                 y = core(c)
+                y = jax.lax.optimization_barrier(y)
                 c = c * (1.0 + 0.0 * jnp.ravel(y)[0])
                 return c, ()
 
