@@ -162,6 +162,64 @@ def test_tiny_resnet50_all_tiers():
     assert _rel(out_i8, gold) < INT8_RTOL_BACKBONE
 
 
+def test_tiny_resnet50_train_step():
+    """Mode 19's subject at toy scale: the full-classifier training forward
+    (every conv through the fused kernels, offline layouts derived
+    in-trace) matches the golden logits, and a whole train step's
+    loss+grad-norm scalar agrees with the all-XLA autodiff step."""
+    import jax
+
+    from winograd_tpu.datagen.generate import make_resnet50_case
+    from winograd_tpu.models.resnet50 import (
+        resnet50_forward_train,
+        resnet50_forward_xla,
+        resnet50_params,
+    )
+
+    cfg = _TinyR50("tiny_resnet50_train")
+    case = make_resnet50_case(cfg, seed=9)
+    full = resnet50_params(case, cfg)
+    drop = ("u_mid", "u2_mid", "w9_mid", "w49_stem", "w192_stem")
+
+    def _trainable(d):
+        return {k: jnp.asarray(v) for k, v in d.items() if k not in drop}
+
+    params = {
+        "stem": _trainable(full["stem"]),
+        "proj": _trainable(full["proj"]),
+        "stages": [
+            {
+                "transition": None
+                if st["transition"] is None
+                else _trainable(st["transition"]),
+                "blocks": [_trainable(b) for b in st["blocks"]],
+            }
+            for st in full["stages"]
+        ],
+        "head": _trainable(full["head"]),
+    }
+    x = jnp.asarray(case["x"])
+    out = np.asarray(resnet50_forward_train(x, params))
+    assert np.abs(out - case["golden"]).max() < 10 * PARITY_ATOL
+
+    def _step(fwd):
+        def loss(p, x_):
+            o = fwd(x_, p)
+            return jnp.sum(o * o)
+
+        def step(x_):
+            l, g = jax.value_and_grad(loss)(params, x_)
+            return l + sum(
+                jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(g)
+            )
+
+        return jax.jit(step)
+
+    gp = float(_step(resnet50_forward_train)(x))
+    gx = float(_step(resnet50_forward_xla)(x))
+    assert abs(gp - gx) / max(abs(gx), 1.0) < 1e-3
+
+
 def test_full_resnet50_mode16():
     """Bench mode 16 at real shape: 224x224x3 -> 1000 logits through the
     serving kernels, trunk AND logits against the float64 golden chain."""

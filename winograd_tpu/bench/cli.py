@@ -102,9 +102,71 @@ def run_case(
     core_int8 = None
     core_bf16w = None
     extras: Dict = {}
-    from winograd_tpu.config import ResNet50Config, TrainConfig
+    from winograd_tpu.config import FullTrainConfig, ResNet50Config, TrainConfig
 
-    if isinstance(cfg, TrainConfig):
+    if isinstance(cfg, FullTrainConfig):
+        from winograd_tpu.models.resnet50 import (
+            resnet50_forward_train,
+            resnet50_forward_xla,
+            resnet50_params,
+        )
+
+        # Trainable params only: raw filters, folded BN; the offline GEMM /
+        # Winograd layouts are fixed linear maps derived in-trace.
+        full = resnet50_params(case, cfg)
+        drop = ("u_mid", "u2_mid", "w9_mid", "w49_stem", "w192_stem")
+
+        def _trainable(d):
+            return {k: jnp.asarray(v) for k, v in d.items() if k not in drop}
+
+        params = jax.device_put(
+            {
+                "stem": _trainable(full["stem"]),
+                "proj": _trainable(full["proj"]),
+                "stages": [
+                    {
+                        "transition": None
+                        if st["transition"] is None
+                        else _trainable(st["transition"]),
+                        "blocks": [_trainable(b) for b in st["blocks"]],
+                    }
+                    for st in full["stages"]
+                ],
+                "head": _trainable(full["head"]),
+            },
+            dev,
+        )
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+
+        # Forward parity vs the golden logits: the trained forward IS the
+        # served forward (same fused kernels), so it must hit the 1e-4 bar.
+        fwd_pallas = jax.jit(lambda x_: resnet50_forward_train(x_, params))
+        fwd_xla = jax.jit(lambda x_: resnet50_forward_xla(x_, params))
+        pallas_fn = lambda: fwd_pallas(x)
+        baseline_fn = lambda: fwd_xla(x)
+
+        def _step(fwd):
+            def loss(p, x_):
+                out = fwd(x_, p)
+                return jnp.sum(out * out)
+
+            def step(x_):
+                l, g = jax.value_and_grad(loss)(params, x_)
+                return l + sum(
+                    jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(g)
+                )
+
+            return jax.jit(step)
+
+        core_pallas = _step(resnet50_forward_train)
+        core_xla = _step(resnet50_forward_xla)
+        gp, gx = float(core_pallas(x)), float(core_xla(x))
+        grad_rel = abs(gp - gx) / max(abs(gx), 1.0)
+        print(f"  [{cfg.name}/train_grad] rel_error={grad_rel:.3e}", file=sys.stderr)
+        if strict and not grad_rel < 1e-3:
+            raise ParityError(f"{cfg.name}: train-step grad mismatch: {grad_rel}")
+        extras["train_grad_rel_error"] = grad_rel
+    elif isinstance(cfg, TrainConfig):
         from winograd_tpu.datagen.generate import backbone_stages
         from winograd_tpu.models.downsample import resnet50_stages_train
         from winograd_tpu.ops import jnp_ops

@@ -29,6 +29,8 @@ Extensions beyond the reference:
     17: one full training step (fwd+bwd) through the 13-block backbone's
         serving megakernels
     18: the complete classifier at batch 8 (serving-throughput regime)
+    19: one full training step (fwd+bwd) through the COMPLETE classifier
+        (stem + projection entry + 16-block trunk + head)
 """
 
 from __future__ import annotations
@@ -199,6 +201,19 @@ CASES[17] = TrainConfig("resnet50_backbone_13_trainstep")
 CASES[18] = ResNet50Config("resnet50_full_b8", batch=8)
 
 
+@dataclasses.dataclass(frozen=True)
+class FullTrainConfig(ResNet50Config):
+    """Training benchmark over the COMPLETE classifier: ONE fwd+bwd step,
+    image to logits, forward through the SAME fused kernels serving uses
+    (stem s2d GEMM via conv1x1_bn_train with the w7->w192 layout derived
+    in-trace, projection/block/transition custom VJPs, head FC) vs the
+    all-XLA autodiff step. Mode 17 covers the 13-block backbone; this is
+    the whole-model training story."""
+
+
+CASES[19] = FullTrainConfig("resnet50_full_trainstep")
+
+
 def case_flops(cfg) -> int:
     """Nominal conv FLOPs of a case (the conventional 2*MACs count of the
     mathematical convolution — algorithm-independent, so Winograd's FLOP
@@ -228,7 +243,7 @@ def case_flops(cfg) -> int:
                 + c_mid0 * c_io0 + cfg.stem_c * c_io0
             )
             total += 2 * cfg.batch * cfg.stages[-1][0] * cfg.num_classes
-        if isinstance(cfg, TrainConfig):
+        if isinstance(cfg, (TrainConfig, FullTrainConfig)):
             total *= 3  # fwd + bwd ~ 3x forward FLOPs (standard estimate)
         return total
     if isinstance(cfg, TransitionConfig):

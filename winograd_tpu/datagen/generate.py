@@ -419,17 +419,17 @@ def _write_pointwise_files(outdir: str, cfg: LayerConfig, case: Dict[str, np.nda
 
 def generate_all(outdir: str = "data", seed: int = 0) -> None:
     os.makedirs(outdir, exist_ok=True)
-    from winograd_tpu.config import TrainConfig
+    from winograd_tpu.config import FullTrainConfig, TrainConfig
 
     for mode, cfg in CASES.items():
         if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
-            # The batched-backbone case (mode 14) is bench-only: its float64
-            # golden chain costs ~2 min and ~100 MB on disk; the bench
-            # generates it in memory (same seeded path).
+            # The batched-backbone cases (modes 14/18) are bench-only: the
+            # float64 golden chains cost minutes and ~100 MB on disk; the
+            # bench generates them in memory (same seeded path).
             continue
-        if isinstance(cfg, TrainConfig):
-            # The train-step case is the mode-13 backbone's data under a
-            # different seed; bench-only (load_case regenerates in memory).
+        if isinstance(cfg, (TrainConfig, FullTrainConfig)):
+            # The train-step cases are modes 13/16's data under a different
+            # seed; bench-only (load_case regenerates in memory).
             continue
         case = make_case(mode, seed=seed + mode)
         if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
@@ -446,11 +446,11 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     Returns the same dict structure as make_case."""
     from winograd_tpu.utils.io import get_parameters
 
-    from winograd_tpu.config import TrainConfig
+    from winograd_tpu.config import FullTrainConfig, TrainConfig
 
     cfg = CASES[mode]
     if (isinstance(cfg, BackboneConfig) and cfg.batch > 1) or isinstance(
-        cfg, TrainConfig
+        cfg, (TrainConfig, FullTrainConfig)
     ):
         # generate_all deliberately skips these cases ("the bench generates
         # it in memory"); honor that promise here so a `bench all

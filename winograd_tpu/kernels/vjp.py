@@ -38,6 +38,17 @@ def filter_transform_jnp(w: jax.Array, m: int = 4) -> jax.Array:
     return u.reshape(a * a, cout, cin).transpose(0, 2, 1)
 
 
+def stem_filter_s2d_jnp(w7: jax.Array) -> jax.Array:
+    """Differentiable stem s2d GEMM layout (the in-trace twin of
+    models/resnet50.py::stem_filter_s2d): (Cout, Cin, 7, 7) OIHW ->
+    (64*Cin, Cout), a fixed pad + permutation so grads flow to w7."""
+    cout, cin = w7.shape[0], w7.shape[1]
+    wt = jnp.transpose(w7, (2, 3, 1, 0))  # (7, 7, cin, cout)
+    wt = jnp.pad(wt, ((0, 1), (0, 1), (0, 0), (0, 0)))  # taps 7 are zeros
+    w = wt.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return w.reshape(64 * cin, cout)
+
+
 # --- pointwise ---------------------------------------------------------------
 
 
@@ -225,3 +236,45 @@ def _transition_bwd(res, g):
 
 
 transition_block_train_fused.defvjp(_transition_fwd, _transition_bwd)
+
+
+# --- stride-1 projection block (conv2_x's entry) -------------------------------
+
+
+@jax.custom_vjp
+def projection_block_train_fused(x, params):
+    """Differentiable stride-1 PROJECTION bottleneck (conv2_x's entry in
+    the full classifier) whose FORWARD runs the serving composition
+    (models/downsample.py::projection_bottleneck_block_pallas, with the
+    F(2,3) filter layout derived in-trace from the raw w_mid). BACKWARD is
+    XLA autodiff of the identical math (jnp_ops.downsample_bottleneck_block
+    at stride=1), rematerialized."""
+    return _projection_fused_forward(x, params)
+
+
+def _projection_fused_forward(x, params):
+    from winograd_tpu.models.downsample import projection_bottleneck_block_pallas
+
+    kp = dict(params)
+    # 56x56 map: the F(2,3) Winograd algebra is the measured winner there.
+    kp["u2_mid"] = filter_transform_jnp(params["w_mid"], m=2)
+    return projection_bottleneck_block_pallas(x, kp)
+
+
+def _projection_fwd(x, params):
+    return _projection_fused_forward(x, params), (x, params)
+
+
+def _projection_bwd(res, g):
+    from winograd_tpu.ops import jnp_ops
+
+    x, params = res
+    _, vjp_fn = jax.vjp(
+        lambda x_, p_: jnp_ops.downsample_bottleneck_block(x_, p_, stride=1),
+        x,
+        params,
+    )
+    return vjp_fn(g)
+
+
+projection_block_train_fused.defvjp(_projection_fwd, _projection_bwd)

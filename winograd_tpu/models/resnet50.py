@@ -193,6 +193,45 @@ def resnet50_forward_pallas(
     return head_pallas(h, params["head"], precision)
 
 
+def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
+    """Differentiable COMPLETE-classifier forward whose every conv runs the
+    SAME fused Pallas kernels serving uses (mode 19's subject): the stem's
+    s2d GEMM via conv1x1_bn_train (w7 -> w192 layout derived in-trace so
+    gradients flow to the raw OIHW filter), the projection / block /
+    transition custom VJPs, and the head FC. Backward passes are XLA
+    autodiff of the identical math, rematerialized (kernels/vjp.py).
+
+    params carries the TRAINABLE set only: stem {w7_stem, s_stem, b_stem},
+    proj/stages with raw w_mid (no offline layouts), head {w_fc, b_fc}."""
+    from winograd_tpu.kernels.vjp import (
+        conv1x1_bn_train,
+        projection_block_train_fused,
+        stem_filter_s2d_jnp,
+    )
+    from winograd_tpu.models.downsample import resnet50_stages_train
+
+    st = params["stem"]
+    cols = _stem_s2d_cols(x)
+    h = conv1x1_bn_train(
+        cols, stem_filter_s2d_jnp(st["w7_stem"]), st["s_stem"], st["b_stem"], True
+    )
+    h = jnp_ops.maxpool3x3_s2(h)
+    h = projection_block_train_fused(h, params["proj"])
+    h = resnet50_stages_train(h, params["stages"])
+    hd = params["head"]
+    pooled = jnp.mean(h, axis=(-3, -2))
+    w_fc, b_fc = hd["w_fc"], hd["b_fc"]
+    nc = w_fc.shape[1]
+    nc_pad = -(-nc // 128) * 128
+    if nc_pad != nc:
+        w_fc = jnp.pad(w_fc, ((0, 0), (0, nc_pad - nc)))
+        b_fc = jnp.pad(b_fc, ((0, nc_pad - nc),))
+    logits = conv1x1_bn_train(
+        pooled, w_fc, jnp.ones((nc_pad,), jnp.float32), b_fc, False
+    )
+    return logits[..., :nc]
+
+
 def resnet50_forward_xla(x: jax.Array, params: Dict) -> jax.Array:
     """The same network through jitted XLA ops (the vendor-baseline role)."""
     h = jnp_ops.stem(x, params["stem"])
