@@ -70,6 +70,16 @@ def split_dot(a, b, precision: str):
             d1 = d(jnp.concatenate([ah, al], axis=0), bh)
             return d1[:r] + d1[r:] + d(ah, bl)
         return d(ah, bh) + d(ah, bl) + d(al, bh)
+    if precision == "bf16":
+        # Fully-bf16 single pass for BOTH operands — the int8-tier stem
+        # route, where the activation matrix is produced in bf16 upstream
+        # (half the relayout + stream bytes; error is bf16 rounding of both
+        # operands, int8-tier class).
+        return jnp.dot(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     prec = _HI if precision == "highest" else jax.lax.Precision.DEFAULT
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 

@@ -145,7 +145,11 @@ def conv1x1_bn_pallas(
     p = 1
     for d in lead:
         p *= d
-    x2d = x.reshape(p, cin).astype(jnp.float32)
+    # precision="bf16" keeps a bfloat16 activation matrix bfloat16 end to
+    # end (half the HBM stream; the int8-tier stem route).
+    x2d = x.reshape(p, cin).astype(
+        jnp.bfloat16 if precision == "bf16" else jnp.float32
+    )
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -163,7 +167,9 @@ def conv1x1_bn_pallas(
 
     out = _conv1x1_bn_2d(
         x2d,
-        w.astype(jnp.bfloat16 if precision == "bf16w" else jnp.float32),
+        w.astype(
+            jnp.bfloat16 if precision in ("bf16w", "bf16") else jnp.float32
+        ),
         scale.reshape(1, cout).astype(jnp.float32),
         bias.reshape(1, cout).astype(jnp.float32),
         relu,

@@ -75,16 +75,19 @@ def stem_filter_s2d(w7: np.ndarray) -> np.ndarray:
     return out
 
 
-def _stem_s2d_cols(x: jax.Array) -> jax.Array:
+def _stem_s2d_cols(x: jax.Array, dtype=None) -> jax.Array:
     """(..., H, W, C) -> (..., ceil(H/2), ceil(W/2), 64*C): the stride-2 7x7
     patch matrix via space-to-depth. Pad 3 (the conv's sampling), s2d by the
     stride (factor 2 = stride 2, so every output position has the SAME cell
     phase), then concatenate the 4x4 cell neighborhood — 16 contiguous
     slices instead of im2col's 49 strided ones, and every slice has 4C
-    channels instead of C. One XLA relayout of 16x the input bytes."""
+    channels instead of C. One XLA relayout of 16x the input bytes;
+    dtype=bfloat16 halves them (the int8-tier stem)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
+    if dtype is not None:
+        x = x.astype(dtype)
     n, h, w, c = x.shape
     ho, wo = -(-h // 2), -(-w // 2)
     hp, wp = 2 * (ho + 3), 2 * (wo + 3)
@@ -143,10 +146,14 @@ def stem_pallas(
     if algo == "s2d":
         # Space-to-depth patch matrix -> ONE fused Pallas GEMM. The tier
         # maps onto split_dot pass counts (kernels/direct.py): 3-pass
-        # bf16x3 holds the strict 1e-4 bar; int8-tier stems run single-pass
-        # bf16 (the stem's 37 KB of weights aren't worth int8 quantizing).
-        gemm_prec = {None: "bf16x3", "bf16w": "bf16w", "int8": "default"}[precision]
-        cols = _stem_s2d_cols(x)
+        # bf16x3 holds the strict 1e-4 bar; the int8-tier stem builds the
+        # patch matrix IN bfloat16 (half the relayout+stream bytes) and
+        # runs one fully-bf16 pass (the stem's 37 KB of weights aren't
+        # worth int8 quantizing — its cost is the activation relayout).
+        gemm_prec = {None: "bf16x3", "bf16w": "bf16w", "int8": "bf16"}[precision]
+        cols = _stem_s2d_cols(
+            x, dtype=jnp.bfloat16 if precision == "int8" else None
+        )
         h = conv1x1_bn_pallas(
             cols, params["w192_stem"], params["s_stem"], params["b_stem"],
             relu=True, precision=gemm_prec,
