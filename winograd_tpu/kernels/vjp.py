@@ -28,6 +28,16 @@ from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Backward/remat precision. Gradients are bounded by the train-step
+# agreement check at 1e-3 relative — they do not need f32. HIGH
+# (bf16x3-class, ~1e-4 per GEMM) halves the MXU passes of the
+# rematerializing backward vs HIGHEST's 6-pass f32; measured v5e mode 17:
+# the megakernel-forward train step at a HIGHEST backward LOSES to the
+# all-XLA HIGHEST autodiff step (1594 vs 1418 us — remat re-runs a 6-pass
+# forward), and the HIGH backward is the lever that flips it. The FORWARD
+# stays the strict serving path (1e-4 parity) in both steps.
+BWD_PRECISION = jax.lax.Precision.HIGH
+
 
 def filter_transform_jnp(w: jax.Array, m: int = 4) -> jax.Array:
     """Differentiable G g G^T: (Cout, Cin, 3, 3) -> (a^2, Cin, Cout)."""
@@ -68,11 +78,13 @@ def _pw_bwd(relu, res, g):
     if relu:
         g = jnp.where(y > 0, g, 0.0)
     # Rematerialize pre-BN activation for d(scale).
-    z = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=_HI)
+    z = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=BWD_PRECISION)
     gs = g * scale
     lead = tuple(range(x.ndim - 1))
-    dx = jnp.dot(gs, w.T, preferred_element_type=jnp.float32, precision=_HI)
-    dw = jnp.tensordot(x, gs, axes=(lead, lead)).astype(w.dtype)
+    dx = jnp.dot(gs, w.T, preferred_element_type=jnp.float32, precision=BWD_PRECISION)
+    dw = jnp.tensordot(
+        x, gs, axes=(lead, lead), precision=BWD_PRECISION
+    ).astype(w.dtype)
     dscale = jnp.sum(z * g, axis=lead)
     dbias = jnp.sum(g, axis=lead)
     return dx, dw, dscale, dbias
@@ -96,7 +108,7 @@ def _conv3x3(x, w):
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=_HI,
+        precision=BWD_PRECISION,
     )
     return y[0] if squeeze else y
 
@@ -137,7 +149,7 @@ def _wg_bwd(relu, m, res, g):
         for s in range(3):
             patch = xpad[:, r : r + h, s : s + wd, :]
             row.append(
-                jnp.einsum("nijo,nijc->oc", g4, patch, precision=_HI)
+                jnp.einsum("nijo,nijc->oc", g4, patch, precision=BWD_PRECISION)
             )
         dw_parts.append(row)
     dw = jnp.stack([jnp.stack(row, axis=-1) for row in dw_parts], axis=-2)  # (O,C,3,3)
@@ -192,7 +204,11 @@ def _block_bwd(res, g):
     from winograd_tpu.ops import jnp_ops
 
     x, params = res
-    _, vjp_fn = jax.vjp(jnp_ops.bottleneck_block, x, params)
+    _, vjp_fn = jax.vjp(
+        lambda x_, p_: jnp_ops.bottleneck_block(x_, p_, precision=BWD_PRECISION),
+        x,
+        params,
+    )
     return vjp_fn(g)
 
 
@@ -231,7 +247,13 @@ def _transition_bwd(res, g):
     from winograd_tpu.ops import jnp_ops
 
     x, params = res
-    _, vjp_fn = jax.vjp(jnp_ops.downsample_bottleneck_block, x, params)
+    _, vjp_fn = jax.vjp(
+        lambda x_, p_: jnp_ops.downsample_bottleneck_block(
+            x_, p_, precision=BWD_PRECISION
+        ),
+        x,
+        params,
+    )
     return vjp_fn(g)
 
 
@@ -270,7 +292,9 @@ def _projection_bwd(res, g):
 
     x, params = res
     _, vjp_fn = jax.vjp(
-        lambda x_, p_: jnp_ops.downsample_bottleneck_block(x_, p_, stride=1),
+        lambda x_, p_: jnp_ops.downsample_bottleneck_block(
+            x_, p_, stride=1, precision=BWD_PRECISION
+        ),
         x,
         params,
     )

@@ -17,11 +17,13 @@ def bn_act(y: jax.Array, scale: jax.Array, bias: jax.Array, relu: bool) -> jax.A
     return jnp.maximum(out, 0.0) if relu else out
 
 
-def conv3x3_bn_relu(x, w, scale, bias, relu: bool = True) -> jax.Array:
+def conv3x3_bn_relu(x, w, scale, bias, relu: bool = True, precision=None) -> jax.Array:
     """Fused 3x3 conv (pad 1, cross-correlation) + folded BN + ReLU.
 
     x: (N, H, W, Cin) or (H, W, Cin); w: (Cout, Cin, 3, 3) (reference's
-    NCHW-filter convention, data_generator.py:55-61).
+    NCHW-filter convention, data_generator.py:55-61). precision defaults to
+    HIGHEST (the vendor-baseline role); the train-step backwards pass HIGH
+    (kernels/vjp.py::BWD_PRECISION).
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -35,21 +37,24 @@ def conv3x3_bn_relu(x, w, scale, bias, relu: bool = True) -> jax.Array:
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision or jax.lax.Precision.HIGHEST,
     )
     y = bn_act(y, scale, bias, relu)
     return y[0] if squeeze else y
 
 
-def conv1x1_bn(x, w, scale, bias, relu: bool) -> jax.Array:
+def conv1x1_bn(x, w, scale, bias, relu: bool, precision=None) -> jax.Array:
     """Fused pointwise conv + folded BN (+ ReLU). x: (..., Cin); w: (Cin, Cout)."""
     y = jnp.dot(
-        x, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        x,
+        w,
+        preferred_element_type=jnp.float32,
+        precision=precision or jax.lax.Precision.HIGHEST,
     )
     return bn_act(y, scale, bias, relu)
 
 
-def conv3x3_s2_bn_relu(x, w, scale, bias, relu: bool = True) -> jax.Array:
+def conv3x3_s2_bn_relu(x, w, scale, bias, relu: bool = True, precision=None) -> jax.Array:
     """Stride-2 SAME 3x3 conv + BN (+ReLU), differentiable XLA path."""
     squeeze = x.ndim == 3
     if squeeze:
@@ -61,26 +66,40 @@ def conv3x3_s2_bn_relu(x, w, scale, bias, relu: bool = True) -> jax.Array:
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision or jax.lax.Precision.HIGHEST,
     )
     y = bn_act(y, scale, bias, relu)
     return y[0] if squeeze else y
 
 
-def downsample_bottleneck_block(x, params, stride: int = 2) -> jax.Array:
+def downsample_bottleneck_block(x, params, stride: int = 2, precision=None) -> jax.Array:
     """ResNet v1.5 transition block (differentiable XLA path; keys as in
     models/downsample.py with raw w_mid). stride=1 is the PROJECTION block
     (conv2_x's entry: channels change, resolution doesn't)."""
-    h = conv1x1_bn(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
+    p = precision
+    h = conv1x1_bn(
+        x, params["w_reduce"], params["s_reduce"], params["b_reduce"],
+        relu=True, precision=p,
+    )
     if stride == 2:
-        h = conv3x3_s2_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
+        h = conv3x3_s2_bn_relu(
+            h, params["w_mid"], params["s_mid"], params["b_mid"],
+            relu=True, precision=p,
+        )
         x_skip = x[..., ::2, ::2, :]
     else:
-        h = conv3x3_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
+        h = conv3x3_bn_relu(
+            h, params["w_mid"], params["s_mid"], params["b_mid"],
+            relu=True, precision=p,
+        )
         x_skip = x
-    h = conv1x1_bn(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
+    h = conv1x1_bn(
+        h, params["w_expand"], params["s_expand"], params["b_expand"],
+        relu=False, precision=p,
+    )
     skip = conv1x1_bn(
-        x_skip, params["w_proj"], params["s_proj"], params["b_proj"], relu=False
+        x_skip, params["w_proj"], params["s_proj"], params["b_proj"],
+        relu=False, precision=p,
     )
     return jnp.maximum(h + skip, 0.0)
 
@@ -159,13 +178,22 @@ def head(x, params) -> jax.Array:
     )
 
 
-def bottleneck_block(x, params) -> jax.Array:
+def bottleneck_block(x, params, precision=None) -> jax.Array:
     """ResNet bottleneck with identity skip; params is a dict pytree.
 
     Keys: w_reduce (Cio, Cmid), s_reduce, b_reduce, w_mid (Cmid, Cmid, 3, 3)
     [OIHW], s_mid, b_mid, w_expand (Cmid, Cio), s_expand, b_expand.
     """
-    h = conv1x1_bn(x, params["w_reduce"], params["s_reduce"], params["b_reduce"], relu=True)
-    h = conv3x3_bn_relu(h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True)
-    h = conv1x1_bn(h, params["w_expand"], params["s_expand"], params["b_expand"], relu=False)
+    p = precision
+    h = conv1x1_bn(
+        x, params["w_reduce"], params["s_reduce"], params["b_reduce"],
+        relu=True, precision=p,
+    )
+    h = conv3x3_bn_relu(
+        h, params["w_mid"], params["s_mid"], params["b_mid"], relu=True, precision=p
+    )
+    h = conv1x1_bn(
+        h, params["w_expand"], params["s_expand"], params["b_expand"],
+        relu=False, precision=p,
+    )
     return jnp.maximum(h + x, 0.0)
