@@ -149,9 +149,18 @@ def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
     kernels/vjp.py) — trained forward == served forward, end to end.
     Block/transition params carry the raw w_mid (offline layouts derived
     in-trace); BN stays folded (scale, bias), matching the training
-    parameterization of models/resnet.py::bottleneck_block_train."""
+    parameterization of models/resnet.py::bottleneck_block_train.
+
+    Large-map blocks (>28x28, i.e. conv2_x at 56x56) run the PER-LAYER
+    fused train kernels instead of the whole-block megakernel: the block
+    megakernel's VMEM working set at (56, 56, 256) exceeds the 16 MB
+    scoped-vmem limit under autodiff (measured mode-19 compile OOM at
+    17.0 MB) — the same reason serving streams that stage through the
+    stage kernel rather than per-block megakernels."""
     from winograd_tpu.kernels.vjp import (
         bottleneck_block_train_fused,
+        conv1x1_bn_train,
+        conv3x3_bn_winograd_train,
         transition_block_train_fused,
     )
 
@@ -159,7 +168,19 @@ def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
         if stage.get("transition") is not None:
             x = transition_block_train_fused(x, stage["transition"])
         for b in stage["blocks"]:
-            x = bottleneck_block_train_fused(x, b)
+            if x.shape[-2] > 28:
+                h = conv1x1_bn_train(
+                    x, b["w_reduce"], b["s_reduce"], b["b_reduce"], True
+                )
+                h = conv3x3_bn_winograd_train(
+                    h, b["w_mid"], b["s_mid"], b["b_mid"], True, 2
+                )
+                h = conv1x1_bn_train(
+                    h, b["w_expand"], b["s_expand"], b["b_expand"], False
+                )
+                x = jnp.maximum(h + x, 0.0)
+            else:
+                x = bottleneck_block_train_fused(x, b)
     return x
 
 
