@@ -138,15 +138,16 @@ def test_transition_train_forward_is_the_serving_kernel():
 
 
 def test_backbone_train_end_to_end():
-    """resnet50_stages_train: one grad step through a 2-stage backbone
-    (identity blocks + a stride-2 transition), all megakernel forwards;
-    grads finite and matching the all-XLA autodiff."""
+    """resnet50_stages_train: one grad step through a 3-stage backbone
+    (identity blocks + stride-2 transitions); the first stage's 32x32 maps
+    take the per-layer train path (the >28x28 VMEM gate), the rest the
+    megakernel VJPs; grads finite and matching the all-XLA autodiff."""
     from winograd_tpu.config import BackboneConfig
     from winograd_tpu.datagen.generate import backbone_stages, make_backbone_case
     from winograd_tpu.models.downsample import resnet50_stages_train
 
     class _Tiny(BackboneConfig):
-        stages = ((64, 16, 14, 1), (128, 32, 7, 1))
+        stages = ((32, 8, 32, 1), (64, 16, 14, 1), (128, 32, 7, 1))
 
     cfg = _Tiny("tiny")
     case = make_backbone_case(cfg, seed=3)

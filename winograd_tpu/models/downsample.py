@@ -151,12 +151,14 @@ def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
     in-trace); BN stays folded (scale, bias), matching the training
     parameterization of models/resnet.py::bottleneck_block_train.
 
-    Large-map blocks (>28x28, i.e. conv2_x at 56x56) run the PER-LAYER
-    fused train kernels instead of the whole-block megakernel: the block
-    megakernel's VMEM working set at (56, 56, 256) exceeds the 16 MB
-    scoped-vmem limit under autodiff (measured mode-19 compile OOM at
-    17.0 MB) — the same reason serving streams that stage through the
-    stage kernel rather than per-block megakernels."""
+    VMEM-heavy blocks run the PER-LAYER fused train kernels instead of the
+    whole-block megakernel: under autodiff the megakernel's working set
+    exceeds the 16 MB scoped-vmem limit at conv2_x geometry (56x56x256:
+    17.0 MB, measured mode-19 compile OOM) and sits within noise of it at
+    conv5_x (7x7x2048 stages 17.4 MB of whole weight matrices; 16.62 MB
+    accounted — over by 632 KB once the surrounding train step's copies
+    land). Serving streams both geometries through the stage kernel for
+    the same reason."""
     from winograd_tpu.kernels.vjp import (
         bottleneck_block_train_fused,
         conv1x1_bn_train,
@@ -168,7 +170,7 @@ def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
         if stage.get("transition") is not None:
             x = transition_block_train_fused(x, stage["transition"])
         for b in stage["blocks"]:
-            if x.shape[-2] > 28:
+            if x.shape[-2] > 28 or b["w_reduce"].shape[0] >= 2048:
                 h = conv1x1_bn_train(
                     x, b["w_reduce"], b["s_reduce"], b["b_reduce"], True
                 )
