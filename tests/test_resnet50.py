@@ -80,6 +80,41 @@ def test_stem_matches_golden():
         stem_pallas(jnp.asarray(0.5 * x), params, algo="s2d"))).max() < PARITY_ATOL
 
 
+def test_stem_odd_map_matches_golden():
+    """img = 2 mod 4 (odd conv output, odd pool input): ceil-style output
+    sizing on every route, matching the golden — floor-style XLA padding
+    silently dropped the last pooled row/col here (caught in round-3
+    review; all shipped configs happen to be even)."""
+    from winograd_tpu.datagen.generate import _bn_params, _rand
+    from winograd_tpu.models.resnet50 import (
+        stem_filter,
+        stem_filter_s2d,
+        stem_pallas,
+    )
+    from winograd_tpu.ops import jnp_ops, reference
+
+    rng = np.random.default_rng(4)
+    x = _rand(rng, 30, 30, 3)
+    w7 = _rand(rng, 16, 3, 7, 7)
+    bn = _bn_params(rng, 16)
+    gold = np.asarray(reference.stem(x, w7, bn["scale"], bn["bias"]), np.float32)
+    assert gold.shape == (8, 8, 16)
+    params = {
+        "w49_stem": jnp.asarray(stem_filter(w7)),
+        "w7_stem": jnp.asarray(w7),
+        "w192_stem": jnp.asarray(stem_filter_s2d(w7)),
+        "s_stem": jnp.asarray(bn["scale"]),
+        "b_stem": jnp.asarray(bn["bias"]),
+    }
+    for algo in ("s2d", "conv", "im2col"):
+        out = np.asarray(stem_pallas(jnp.asarray(x), params, algo=algo))
+        assert out.shape == gold.shape, (algo, out.shape)
+        assert np.abs(out - gold).max() < PARITY_ATOL, algo
+    out_xla = np.asarray(jnp_ops.stem(jnp.asarray(x), params))
+    assert out_xla.shape == gold.shape
+    assert np.abs(out_xla - gold).max() < PARITY_ATOL
+
+
 def test_head_matches_golden_with_class_padding():
     """num_classes=1000 is not lane-aligned; the head pads to 1024 and
     slices back."""

@@ -101,8 +101,45 @@ def run_case(
     core_wino4 = None
     core_int8 = None
     core_bf16w = None
+    # Train modes: the parity fns run the FORWARD (checked vs the golden);
+    # pallas_fn/baseline_fn and the device cores all time the full train
+    # STEP, so every timing field in the row describes the same thing.
+    parity_pallas_fn = None
+    parity_xla_fn = None
     extras: Dict = {}
     from winograd_tpu.config import FullTrainConfig, ResNet50Config, TrainConfig
+
+    def _train_setup(fwd_fused, fwd_xla, params, x):
+        """Shared train-mode machinery (modes 17/19): jitted forward-parity
+        fns, ONE full train step per implementation (scalar loss, grads wrt
+        every param folded into one scalar so they all stay live under the
+        single-carry scan-timing protocol), and the hard grad-agreement
+        check — the reference's mine-vs-vendor differential pattern applied
+        to autodiff. fwd_*: (x, params) -> output."""
+        fwd_p = jax.jit(lambda x_: fwd_fused(x_, params))
+        fwd_b = jax.jit(lambda x_: fwd_xla(x_, params))
+
+        def _step(fwd):
+            def loss(p, x_):
+                out = fwd(x_, p)
+                return jnp.sum(out * out)
+
+            def step(x_):
+                l, g = jax.value_and_grad(loss)(params, x_)
+                return l + sum(
+                    jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(g)
+                )
+
+            return jax.jit(step)
+
+        step_fused, step_xla = _step(fwd_fused), _step(fwd_xla)
+        gp, gx = float(step_fused(x)), float(step_xla(x))
+        grad_rel = abs(gp - gx) / max(abs(gx), 1.0)
+        print(f"  [{cfg.name}/train_grad] rel_error={grad_rel:.3e}", file=sys.stderr)
+        if strict and not grad_rel < 1e-3:
+            raise ParityError(f"{cfg.name}: train-step grad mismatch: {grad_rel}")
+        extras["train_grad_rel_error"] = grad_rel
+        return (lambda: fwd_p(x)), (lambda: fwd_b(x)), step_fused, step_xla
 
     if isinstance(cfg, FullTrainConfig):
         from winograd_tpu.models.resnet50 import (
@@ -137,35 +174,11 @@ def run_case(
             dev,
         )
         x = jax.device_put(jnp.asarray(case["x"]), dev)
-
-        # Forward parity vs the golden logits: the trained forward IS the
-        # served forward (same fused kernels), so it must hit the 1e-4 bar.
-        fwd_pallas = jax.jit(lambda x_: resnet50_forward_train(x_, params))
-        fwd_xla = jax.jit(lambda x_: resnet50_forward_xla(x_, params))
-        pallas_fn = lambda: fwd_pallas(x)
-        baseline_fn = lambda: fwd_xla(x)
-
-        def _step(fwd):
-            def loss(p, x_):
-                out = fwd(x_, p)
-                return jnp.sum(out * out)
-
-            def step(x_):
-                l, g = jax.value_and_grad(loss)(params, x_)
-                return l + sum(
-                    jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(g)
-                )
-
-            return jax.jit(step)
-
-        core_pallas = _step(resnet50_forward_train)
-        core_xla = _step(resnet50_forward_xla)
-        gp, gx = float(core_pallas(x)), float(core_xla(x))
-        grad_rel = abs(gp - gx) / max(abs(gx), 1.0)
-        print(f"  [{cfg.name}/train_grad] rel_error={grad_rel:.3e}", file=sys.stderr)
-        if strict and not grad_rel < 1e-3:
-            raise ParityError(f"{cfg.name}: train-step grad mismatch: {grad_rel}")
-        extras["train_grad_rel_error"] = grad_rel
+        parity_pallas_fn, parity_xla_fn, core_pallas, core_xla = _train_setup(
+            resnet50_forward_train, resnet50_forward_xla, params, x
+        )
+        pallas_fn = lambda: core_pallas(x)
+        baseline_fn = lambda: core_xla(x)
     elif isinstance(cfg, TrainConfig):
         from winograd_tpu.datagen.generate import backbone_stages
         from winograd_tpu.models.downsample import resnet50_stages_train
@@ -192,7 +205,7 @@ def run_case(
         ]
         x = jax.device_put(jnp.asarray(case["x"]), dev)
 
-        def xla_forward(st, x_):
+        def xla_forward(x_, st):
             for s_ in st:
                 if s_["transition"] is not None:
                     x_ = jnp_ops.downsample_bottleneck_block(x_, s_["transition"])
@@ -200,40 +213,11 @@ def run_case(
                     x_ = jnp_ops.bottleneck_block(x_, b)
             return x_
 
-        # Forward parity vs the golden: the trained forward IS the served
-        # forward (fused megakernels), so it must hit the same 1e-4 bar.
-        fwd_pallas = jax.jit(lambda x_: resnet50_stages_train(x_, stages))
-        fwd_xla = jax.jit(lambda x_: xla_forward(stages, x_))
-        pallas_fn = lambda: fwd_pallas(x)
-        baseline_fn = lambda: fwd_xla(x)
-
-        # Timed cores: ONE full train step — scalar loss, grads wrt every
-        # parameter; the grads are folded into one scalar so they all stay
-        # live under the single-carry scan-timing protocol.
-        def _step(fwd):
-            def loss(st, x_):
-                out = fwd(st, x_)
-                return jnp.sum(out * out)
-
-            def step(x_):
-                l, g = jax.value_and_grad(loss)(stages, x_)
-                return l + sum(
-                    jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(g)
-                )
-
-            return jax.jit(step)
-
-        core_pallas = _step(lambda st, x_: resnet50_stages_train(x_, st))
-        core_xla = _step(xla_forward)
-        # Gradient agreement (differential check, the reference's
-        # mine-vs-vendor pattern): the megakernel step's loss+grad-norm
-        # scalar vs the all-XLA autodiff step's.
-        gp, gx = float(core_pallas(x)), float(core_xla(x))
-        grad_rel = abs(gp - gx) / max(abs(gx), 1.0)
-        print(f"  [{cfg.name}/train_grad] rel_error={grad_rel:.3e}", file=sys.stderr)
-        if strict and not grad_rel < 1e-3:
-            raise ParityError(f"{cfg.name}: train-step grad mismatch: {grad_rel}")
-        extras["train_grad_rel_error"] = grad_rel
+        parity_pallas_fn, parity_xla_fn, core_pallas, core_xla = _train_setup(
+            resnet50_stages_train, xla_forward, stages, x
+        )
+        pallas_fn = lambda: core_pallas(x)
+        baseline_fn = lambda: core_xla(x)
     elif isinstance(cfg, ResNet50Config):
         from winograd_tpu.models.resnet50 import (
             quantize_resnet50,
@@ -429,9 +413,15 @@ def run_case(
             x_, w, s, b, relu=cfg.relu, precision="bf16w"
         )
 
-    # Parity first (all paths vs the independent golden model).
-    check_pallas = _check(f"{cfg.name}/pallas", pallas_fn(), golden, strict)
-    check_baseline = _check(f"{cfg.name}/xla", baseline_fn(), golden, strict)
+    # Parity first (all paths vs the independent golden model). Train modes
+    # check the FORWARD output (parity fns); everything else checks the
+    # timed fn itself.
+    check_pallas = _check(
+        f"{cfg.name}/pallas", (parity_pallas_fn or pallas_fn)(), golden, strict
+    )
+    check_baseline = _check(
+        f"{cfg.name}/xla", (parity_xla_fn or baseline_fn)(), golden, strict
+    )
     check_direct = None
     if core_direct is not None:
         check_direct = _check(f"{cfg.name}/direct", core_direct(x), golden, strict)

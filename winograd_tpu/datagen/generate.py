@@ -421,6 +421,14 @@ def generate_all(outdir: str = "data", seed: int = 0) -> None:
     os.makedirs(outdir, exist_ok=True)
     from winograd_tpu.config import FullTrainConfig, TrainConfig
 
+    # Record the sweep seed so load_case can regenerate the bench-only
+    # cases (batched backbones, train steps) from the SAME seed family as
+    # the on-disk artifacts (seed + mode), not just the default seed 0.
+    import json
+
+    with open(os.path.join(outdir, "meta.json"), "w") as f:
+        json.dump({"seed": seed}, f)
+
     for mode, cfg in CASES.items():
         if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
             # The batched-backbone cases (modes 14/18) are bench-only: the
@@ -454,10 +462,17 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     ):
         # generate_all deliberately skips these cases ("the bench generates
         # it in memory"); honor that promise here so a `bench all
-        # --data-dir` sweep doesn't FileNotFoundError on them. The case is
-        # self-consistent (it carries its own golden), so the default
-        # generate_all seeding (seed + mode) is reproduced.
-        return make_case(mode, seed=mode)
+        # --data-dir` sweep doesn't FileNotFoundError on them. The dir's
+        # meta.json records the sweep seed, so the regenerated case comes
+        # from the SAME (seed + mode) family as its on-disk siblings.
+        base_seed = 0
+        meta_path = os.path.join(data_dir, "meta.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                base_seed = json.load(f).get("seed", 0)
+        return make_case(mode, seed=base_seed + mode)
     if isinstance(cfg, (BlockConfig, TransitionConfig, BackboneConfig)):
         with np.load(os.path.join(data_dir, f"{cfg.name}.npz")) as z:
             return {k: z[k] for k in z.files}

@@ -116,6 +116,19 @@ class BottleneckEngine:
         return _throughput(self, batch, c_io or self.params_list[0]["w_reduce"].shape[0], iters, hw)
 
 
+def _with_fused_transition(tparams):
+    """Precompute the transition kernel's fused expand+projection matrix
+    ONCE at engine init (kernels/transition.py::fuse_transition_weights).
+    Engines pass params as jit ARGUMENTS, so an in-trace fold would re-run
+    on device every call — ~25 MB of extra HBM traffic for conv4->5."""
+    if "wep" in tparams or "w_expand" not in tparams:
+        return tparams
+    from winograd_tpu.kernels.transition import fuse_transition_weights
+
+    wep, bep = fuse_transition_weights(tparams)
+    return {**tparams, "wep": wep, "bep": bep}
+
+
 class BackboneEngine:
     """Serves a full multi-stage backbone (models/downsample.py
     resnet50_stages structure: identity stages + stride-2 transitions)
@@ -141,7 +154,9 @@ class BackboneEngine:
         put = lambda p: {k: jax.device_put(jnp.asarray(v), dest) for k, v in p.items()}
         self.stages = [
             {
-                "transition": None if st.get("transition") is None else put(st["transition"]),
+                "transition": None
+                if st.get("transition") is None
+                else put(_with_fused_transition(st["transition"])),
                 "blocks": [put(b) for b in st["blocks"]],
             }
             for st in stages
@@ -229,6 +244,16 @@ class ResNet50Engine:
                 return resnet50_forward_int8(x, p)
         else:
             precision = "bf16w" if tier == "bf16w" else None
+            params = dict(params)
+            params["stages"] = [
+                {
+                    "transition": None
+                    if st.get("transition") is None
+                    else _with_fused_transition(st["transition"]),
+                    "blocks": st["blocks"],
+                }
+                for st in params["stages"]
+            ]
             self._params = jax.device_put(
                 jax.tree.map(jnp.asarray, params), dest
             )

@@ -215,6 +215,34 @@ def _transition_kernel_resident(
     out_ref[:] = y[:, :hwo, :].reshape(n, ho, wo, tile_co)
 
 
+def fuse_transition_weights(params):
+    """Offline fusion of the transition's wide output layers: fold the
+    per-output-channel BN scales into the expand/projection weights and
+    row-concatenate them so the kernel streams ONE (Cmid+Cin, Cout) matrix
+    and runs ONE MXU GEMM over the combined [h2 | skip] rows — identical
+    math ((h2 @ we)*s3 + (xs @ wp)*sp == [h2|xs] @ [we*s3; wp*sp]), half
+    the double-buffered streams, 2x the contraction depth per GEMM.
+
+    Returns (wep, bep) as f32. Engines/checkpoint export call this ONCE and
+    store the result under params keys "wep"/"bep"; when params arrive as
+    jit arguments (the engine serving path) that keeps the ~25 MB
+    conv4->5 fold off the per-call device timeline."""
+    cout = params["w_expand"].shape[1]
+    wep = jnp.concatenate(
+        [
+            jnp.asarray(params["w_expand"], jnp.float32)
+            * jnp.asarray(params["s_expand"], jnp.float32)[None, :],
+            jnp.asarray(params["w_proj"], jnp.float32)
+            * jnp.asarray(params["s_proj"], jnp.float32)[None, :],
+        ],
+        axis=0,
+    )
+    bep = jnp.asarray(params["b_expand"], jnp.float32) + jnp.asarray(
+        params["b_proj"], jnp.float32
+    )
+    return wep, bep.reshape(1, cout)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_co", "interpret", "precision", "resident")
 )
@@ -273,25 +301,19 @@ def transition_block_fused_pallas(
     wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
     wbytes_per = 2 if precision == "bf16w" else 4
 
-    # Offline fusion of the wide output layers: fold the per-output-channel
-    # BN scales into the expand/projection weights and row-concatenate them
-    # so the kernel streams ONE (Cmid+Cin, TILE_CO) matrix per tile and runs
-    # ONE MXU GEMM over the combined [h2 | skip] rows — identical math
-    # ((h2 @ we)*s3 + (xs @ wp)*sp == [h2|xs] @ [we*s3; wp*sp]), half the
-    # double-buffered streams, 2x the contraction depth per GEMM.
-    wep = jnp.concatenate(
-        [
-            jnp.asarray(params["w_expand"], jnp.float32)
-            * jnp.asarray(params["s_expand"], jnp.float32)[None, :],
-            jnp.asarray(params["w_proj"], jnp.float32)
-            * jnp.asarray(params["s_proj"], jnp.float32)[None, :],
-        ],
-        axis=0,
-    ).astype(wdt)
-    bep = (
-        jnp.asarray(params["b_expand"], jnp.float32)
-        + jnp.asarray(params["b_proj"], jnp.float32)
-    ).reshape(1, cout)
+    # Offline fusion of the wide output layers (see fuse_transition_weights):
+    # prefer the precomputed artifact ("wep"/"bep" — engine init and
+    # checkpoint export add them, keeping the fold out of the serving call
+    # when params are jit ARGUMENTS); fall back to deriving in-trace, which
+    # jit-with-closed-over-params constant-folds to the same thing.
+    if "wep" in params:
+        wep = jnp.asarray(params["wep"]).astype(wdt)
+        bep = jnp.asarray(params["bep"], jnp.float32).reshape(1, cout)
+        assert wep.shape == (cmid + cin, cout), wep.shape
+    else:
+        wep, bep = fuse_transition_weights(params)
+        wep = wep.astype(wdt)
+        bep = bep.reshape(1, cout)
 
     # Output-tile-outer weight-resident layout for batches: each expand/
     # projection tile streams from HBM once for ALL images instead of once

@@ -168,21 +168,30 @@ def stem_pallas(
     return jnp_ops.maxpool3x3_s2(h)
 
 
-def head_pallas(x: jax.Array, params: Dict, precision: str | None = None) -> jax.Array:
-    """Head: global avgpool + FC through the fused pointwise kernel.
-    Classes are padded to a lane-aligned multiple of 128 for the MXU and
-    sliced back. Keys: w_fc (C, num_classes), b_fc (num_classes,)."""
+def _class_pad(nc: int) -> int:
+    """Padding that lane-aligns the FC's class dim to a multiple of 128
+    for the MXU (callers slice the logits back to nc)."""
+    return -(-nc // 128) * 128 - nc
+
+
+def head_pallas(
+    x: jax.Array, params: Dict, precision: str | None = None, gemm=None
+) -> jax.Array:
+    """Head: global avgpool + FC through the fused pointwise kernel
+    (classes lane-padded via _class_pad and sliced back). Keys: w_fc
+    (C, num_classes), b_fc (num_classes,). `gemm` overrides the kernel —
+    resnet50_forward_train passes the differentiable conv1x1_bn_train."""
     kw = {} if precision is None else {"precision": precision}
+    if gemm is None:
+        gemm = lambda p, w, s, b: conv1x1_bn_pallas(p, w, s, b, relu=False, **kw)
     pooled = jnp.mean(x, axis=(-3, -2))
     w_fc, b_fc = params["w_fc"], params["b_fc"]
     nc = w_fc.shape[1]
-    nc_pad = -(-nc // 128) * 128
-    if nc_pad != nc:
-        w_fc = jnp.pad(w_fc, ((0, 0), (0, nc_pad - nc)))
-        b_fc = jnp.pad(b_fc, ((0, nc_pad - nc),))
-    logits = conv1x1_bn_pallas(
-        pooled, w_fc, jnp.ones((nc_pad,), jnp.float32), b_fc, relu=False, **kw
-    )
+    pad = _class_pad(nc)
+    if pad:
+        w_fc = jnp.pad(w_fc, ((0, 0), (0, pad)))
+        b_fc = jnp.pad(b_fc, ((0, pad),))
+    logits = gemm(pooled, w_fc, jnp.ones((nc + pad,), jnp.float32), b_fc)
     return logits[..., :nc]
 
 
@@ -225,18 +234,11 @@ def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     h = jnp_ops.maxpool3x3_s2(h)
     h = projection_block_train_fused(h, params["proj"])
     h = resnet50_stages_train(h, params["stages"])
-    hd = params["head"]
-    pooled = jnp.mean(h, axis=(-3, -2))
-    w_fc, b_fc = hd["w_fc"], hd["b_fc"]
-    nc = w_fc.shape[1]
-    nc_pad = -(-nc // 128) * 128
-    if nc_pad != nc:
-        w_fc = jnp.pad(w_fc, ((0, 0), (0, nc_pad - nc)))
-        b_fc = jnp.pad(b_fc, ((0, nc_pad - nc),))
-    logits = conv1x1_bn_train(
-        pooled, w_fc, jnp.ones((nc_pad,), jnp.float32), b_fc, False
+    return head_pallas(
+        h,
+        params["head"],
+        gemm=lambda p, w, s, b: conv1x1_bn_train(p, w, s, b, False),
     )
-    return logits[..., :nc]
 
 
 def resnet50_forward_xla(x: jax.Array, params: Dict) -> jax.Array:
@@ -303,13 +305,13 @@ def _head_int8(x: jax.Array, q: Dict) -> jax.Array:
     pooled = jnp.mean(x, axis=(-3, -2))
     wq, sw, b_fc = q["w_fc_q"], q["w_fc_s"], q["b_fc"]
     nc = wq.shape[1]
-    nc_pad = -(-nc // 128) * 128
-    if nc_pad != nc:
-        wq = jnp.pad(wq, ((0, 0), (0, nc_pad - nc)))
-        sw = jnp.pad(sw, ((0, nc_pad - nc),), constant_values=1.0)
-        b_fc = jnp.pad(b_fc, ((0, nc_pad - nc),))
+    pad = _class_pad(nc)
+    if pad:
+        wq = jnp.pad(wq, ((0, 0), (0, pad)))
+        sw = jnp.pad(sw, ((0, pad),), constant_values=1.0)
+        b_fc = jnp.pad(b_fc, ((0, pad),))
     logits = conv1x1_bn_int8_pallas(
-        pooled, wq, sw, jnp.ones((nc_pad,), jnp.float32), b_fc, relu=False
+        pooled, wq, sw, jnp.ones((nc + pad,), jnp.float32), b_fc, relu=False
     )
     return logits[..., :nc]
 

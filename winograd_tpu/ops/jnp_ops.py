@@ -128,11 +128,14 @@ def conv7x7_s2_bn_relu(x, w7, scale, bias, precision=None) -> jax.Array:
         "bf16w": jax.lax.Precision.HIGH,
         "int8": jax.lax.Precision.DEFAULT,
     }[precision]
+    # ceil(h/2) output like the golden model (reference.stem): bottom/right
+    # pad grows by 1 on odd extents so the last stride-2 sample exists.
+    h, w = x.shape[1], x.shape[2]
     y = jax.lax.conv_general_dilated(
         x,
         jnp.transpose(w7, (2, 3, 1, 0)),
         window_strides=(2, 2),
-        padding=((3, 2), (3, 2)),
+        padding=((3, 2 + h % 2), (3, 2 + w % 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
         precision=xla_prec,
@@ -142,17 +145,19 @@ def conv7x7_s2_bn_relu(x, w7, scale, bias, precision=None) -> jax.Array:
 
 
 def maxpool3x3_s2(x) -> jax.Array:
-    """3x3/2 max pool, pad 1 (-inf semantics, matching the golden model)."""
+    """3x3/2 max pool, pad 1 top/left (-inf semantics, ceil(h/2) output —
+    both matching the golden model)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
+    h, w = x.shape[1], x.shape[2]
     y = jax.lax.reduce_window(
         x,
         -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (1, 0), (1, 0), (0, 0)),
+        padding=((0, 0), (1, h % 2), (1, w % 2), (0, 0)),
     )
     return y[0] if squeeze else y
 
