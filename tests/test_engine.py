@@ -102,6 +102,58 @@ def test_resnet50_engine_tiers_and_dp():
     np.testing.assert_allclose(sharded, single, atol=1e-4)
 
 
+def test_resnet50_engine_from_checkpoint(tmp_path):
+    """Whole-model train -> deploy pipeline: trained (raw-filter) params
+    through save_model / load_model / prepare_resnet50_serving into
+    ResNet50Engine match the served forward built from full artifacts."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.engine import ResNet50Engine
+    from winograd_tpu.models.checkpoint import save_model
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+
+    @dataclasses.dataclass(frozen=True)
+    class _Tiny(ResNet50Config):
+        stages = ((16, 8, 8, 1), (32, 8, 4, 1))
+        img: int = 32
+        stem_c: int = 8
+        num_classes: int = 16
+
+    full = init_resnet50_params(_Tiny("ckpt_r50"), seed=11)
+    drop = ("u_mid", "u2_mid", "w9_mid", "w49_stem", "w192_stem", "wep", "bep")
+    trained = {
+        "stem": {k: np.asarray(v) for k, v in full["stem"].items() if k not in drop},
+        "proj": {k: np.asarray(v) for k, v in full["proj"].items() if k not in drop},
+        "stages": [
+            {
+                "transition": None
+                if st["transition"] is None
+                else {
+                    k: np.asarray(v)
+                    for k, v in st["transition"].items()
+                    if k not in drop
+                },
+                "blocks": [
+                    {k: np.asarray(v) for k, v in b.items() if k not in drop}
+                    for b in st["blocks"]
+                ],
+            }
+            for st in full["stages"]
+        ],
+        "head": {k: np.asarray(v) for k, v in full["head"].items()},
+    }
+    path = str(tmp_path / "r50.npz")
+    save_model(path, trained, extra={"step": np.asarray(7)})
+    engine = ResNet50Engine.from_checkpoint(path)
+    x = jax.random.normal(jax.random.PRNGKey(3), (32, 32, 3), jnp.float32)
+    want = resnet50_forward_pallas(x, full)
+    np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(want), atol=1e-4)
+
+
 def test_engine_from_checkpoint(tmp_path):
     from winograd_tpu.models import init_bottleneck_params, save_params
     from winograd_tpu.models.resnet import bottleneck_block_pallas

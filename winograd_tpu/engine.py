@@ -288,6 +288,20 @@ class ResNet50Engine:
 
         return cls(resnet50_params(case, cfg), **kw)
 
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "ResNet50Engine":
+        """The deployment end of the training pipeline: load a save_model
+        checkpoint of TRAINED params (mode-19 parameterization), run the
+        offline preprocessing (models/checkpoint.py::
+        prepare_resnet50_serving — filter layouts, fused streams), serve."""
+        from winograd_tpu.models.checkpoint import (
+            load_model,
+            prepare_resnet50_serving,
+        )
+
+        params, _ = load_model(path)
+        return cls(prepare_resnet50_serving(params), **kw)
+
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (224, 224, 3) or (N, 224, 224, 3) image(s); returns
         (num_classes,) / (N, num_classes) logits. Single images are run

@@ -45,6 +45,99 @@ def load_params(path: str) -> Tuple[Dict, Dict]:
     return params, extra
 
 
+def save_model(path: str, tree, extra: Optional[Dict] = None) -> None:
+    """Atomically save a NESTED param pytree (dicts / lists / None leaves —
+    the full-classifier structure of models/resnet50.py). The structure is
+    stored as JSON with leaf placeholders; arrays go in the same npz."""
+    import json
+
+    arrays = {}
+
+    def enc(node, pfx):
+        if node is None:
+            return None
+        if isinstance(node, dict):
+            return {k: enc(v, f"{pfx}/{k}") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [enc(v, f"{pfx}/{i}") for i, v in enumerate(node)]
+        arrays[pfx] = np.asarray(node)
+        return {"__leaf__": pfx}
+
+    structure = {"tree": enc(tree, "p"), "extra": enc(extra or {}, "e")}
+    arrays["__structure__"] = np.frombuffer(
+        json.dumps(structure).encode(), np.uint8
+    ).copy()
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> Tuple[object, Dict]:
+    """Load (tree, extra) saved by save_model."""
+    import json
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    structure = json.loads(bytes(arrays.pop("__structure__")).decode())
+
+    def dec(node):
+        if node is None:
+            return None
+        if isinstance(node, dict):
+            if "__leaf__" in node:
+                return arrays[node["__leaf__"]]
+            return {k: dec(v) for k, v in node.items()}
+        return [dec(v) for v in node]
+
+    return dec(structure["tree"]), dec(structure["extra"])
+
+
+def prepare_resnet50_serving(train_params: Dict) -> Dict:
+    """The offline-preprocessing step of the training -> deployment
+    pipeline for the COMPLETE classifier: take TRAINED params (raw
+    filters, folded BN — the mode-19 parameterization) and derive every
+    serving artifact the fused kernels consume: the stem's s2d GEMM layout
+    (w192_stem), each block's direct + F(2,3) Winograd filter layouts
+    (w9_mid / u2_mid), and each transition's fused expand+projection
+    stream (wep / bep). Mirrors what datagen ships for random cases."""
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.kernels.transition import fuse_transition_weights
+    from winograd_tpu.models.resnet50 import stem_filter, stem_filter_s2d
+
+    def with_mid(d):
+        out = dict(d)
+        w_mid = np.asarray(d["w_mid"])
+        out["w9_mid"] = np.asarray(direct_filter(w_mid))
+        out["u2_mid"] = transforms.transform_filter(w_mid, m=2)
+        return out
+
+    def with_fused(d):
+        out = with_mid(d)
+        wep, bep = fuse_transition_weights(d)
+        out["wep"], out["bep"] = np.asarray(wep), np.asarray(bep)
+        return out
+
+    stem = dict(train_params["stem"])
+    w7 = np.asarray(stem["w7_stem"])
+    stem["w49_stem"] = stem_filter(w7)
+    stem["w192_stem"] = stem_filter_s2d(w7)
+    return {
+        "stem": stem,
+        "proj": with_mid(train_params["proj"]),
+        "stages": [
+            {
+                "transition": None
+                if st.get("transition") is None
+                else with_fused(st["transition"]),
+                "blocks": [with_mid(b) for b in st["blocks"]],
+            }
+            for st in train_params["stages"]
+        ],
+        "head": dict(train_params["head"]),
+    }
+
+
 def export_artifacts(params: Dict, outdir: str, m: int = 4) -> None:
     """Write a trained bottleneck block as reference-format blobs.
 
