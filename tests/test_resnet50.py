@@ -255,6 +255,41 @@ def test_tiny_resnet50_train_step():
     assert abs(gp - gx) / max(abs(gx), 1.0) < 1e-3
 
 
+def test_tiny_resnet50_training_converges():
+    """Real training loop on the tiny classifier: softmax cross-entropy,
+    SGD+momentum (models/train.py), loss decreases — then the trained
+    params deploy through the checkpoint pipeline and still classify."""
+    import jax
+
+    from winograd_tpu.models.checkpoint import prepare_resnet50_serving
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+    from winograd_tpu.models.train import (
+        make_resnet50_train_step,
+        trainable_resnet50_params,
+    )
+
+    cfg = _TinyR50("tiny_resnet50_sgd")
+    params = trainable_resnet50_params(init_resnet50_params(cfg, seed=5))
+    momentum = jax.tree.map(jnp.zeros_like, params)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray([3, 17])
+    step = make_resnet50_train_step(lr=5e-3)
+    losses = []
+    for _ in range(6):
+        params, momentum, loss = step(params, momentum, x, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    # Deploy the trained params and check they serve (same logits as the
+    # serving forward given the derived artifacts).
+    serving = prepare_resnet50_serving(jax.tree.map(np.asarray, params))
+    logits = np.asarray(resnet50_forward_pallas(x[0], serving))
+    assert logits.shape == (cfg.num_classes,) and np.isfinite(logits).all()
+
+
 def test_full_resnet50_mode16():
     """Bench mode 16 at real shape: 224x224x3 -> 1000 logits through the
     serving kernels, trunk AND logits against the float64 golden chain."""

@@ -148,30 +148,12 @@ def run_case(
             resnet50_params,
         )
 
+        from winograd_tpu.models.train import trainable_resnet50_params
+
         # Trainable params only: raw filters, folded BN; the offline GEMM /
         # Winograd layouts are fixed linear maps derived in-trace.
-        full = resnet50_params(case, cfg)
-        drop = ("u_mid", "u2_mid", "w9_mid", "w49_stem", "w192_stem")
-
-        def _trainable(d):
-            return {k: jnp.asarray(v) for k, v in d.items() if k not in drop}
-
         params = jax.device_put(
-            {
-                "stem": _trainable(full["stem"]),
-                "proj": _trainable(full["proj"]),
-                "stages": [
-                    {
-                        "transition": None
-                        if st["transition"] is None
-                        else _trainable(st["transition"]),
-                        "blocks": [_trainable(b) for b in st["blocks"]],
-                    }
-                    for st in full["stages"]
-                ],
-                "head": _trainable(full["head"]),
-            },
-            dev,
+            trainable_resnet50_params(resnet50_params(case, cfg)), dev
         )
         x = jax.device_put(jnp.asarray(case["x"]), dev)
         parity_pallas_fn, parity_xla_fn, core_pallas, core_xla = _train_setup(

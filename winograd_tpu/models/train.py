@@ -1,0 +1,75 @@
+"""Whole-classifier training loop utilities.
+
+The reference is inference-only (report.pdf §1); the framework's training
+story runs the SAME fused serving kernels forward (custom VJPs,
+kernels/vjp.py; benchmarked as modes 17/19). This module supplies the
+model-level pieces around that forward: a classification loss, an
+SGD-with-momentum step over the full nested param pytree, and checkpoint
+integration — so train -> checkpoint -> offline-prep -> serve is one
+unbroken pipeline (models/checkpoint.py, ResNet50Engine.from_checkpoint).
+
+Params are the mode-19 TRAINABLE parameterization: raw filters + folded BN
+(stem {w7_stem, s_stem, b_stem}; proj/stages with raw w_mid; head
+{w_fc, b_fc}); offline GEMM/Winograd layouts are derived in-trace by the
+train forwards and regenerated for deployment by prepare_resnet50_serving.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def resnet50_loss(params: Dict, x: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy of the fused-kernel forward.
+    x: (N, H, W, 3) or (H, W, 3); labels: int class ids, shape (N,) or ()."""
+    from winograd_tpu.models.resnet50 import resnet50_forward_train
+
+    logits = resnet50_forward_train(x, params)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(
+        jnp.atleast_2d(logp), jnp.atleast_1d(labels)[:, None], axis=-1
+    )
+    return -jnp.mean(picked)
+
+
+def make_resnet50_train_step(lr: float = 1e-2, beta: float = 0.9):
+    """Jitted SGD-with-momentum step over the full classifier:
+    (params, momentum, x, labels) -> (params, momentum, loss).
+    Initialize momentum with jax.tree.map(jnp.zeros_like, params)."""
+
+    @jax.jit
+    def step(params, momentum, x, labels) -> Tuple:
+        loss, grads = jax.value_and_grad(resnet50_loss)(params, x, labels)
+        momentum = jax.tree.map(lambda m, g: beta * m + g, momentum, grads)
+        params = jax.tree.map(lambda p, m: p - lr * m, params, momentum)
+        return params, momentum, loss
+
+    return step
+
+
+def trainable_resnet50_params(full: Dict) -> Dict:
+    """Strip the serving-only offline artifacts from a full param structure
+    (resnet50_params / init_resnet50_params), leaving the trainable set
+    that resnet50_forward_train and prepare_resnet50_serving expect."""
+    drop = ("u_mid", "u2_mid", "w9_mid", "w49_stem", "w192_stem", "wep", "bep")
+
+    def keep(d):
+        return {k: jnp.asarray(v) for k, v in d.items() if k not in drop}
+
+    return {
+        "stem": keep(full["stem"]),
+        "proj": keep(full["proj"]),
+        "stages": [
+            {
+                "transition": None
+                if st.get("transition") is None
+                else keep(st["transition"]),
+                "blocks": [keep(b) for b in st["blocks"]],
+            }
+            for st in full["stages"]
+        ],
+        "head": keep(full["head"]),
+    }
