@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Dict
 
@@ -706,6 +707,11 @@ def main(argv=None) -> int:
                     help="compile-smoke every kernel family once (no "
                          "timing); catches Mosaic lowering regressions in "
                          "minutes instead of at sweep hour three")
+    ap.add_argument("--resume", default=None, metavar="FILE",
+                    help="checkpoint the sweep to FILE after every mode "
+                         "and, on restart, skip modes already recorded "
+                         "there — an hours-long 'all' sweep survives a "
+                         "tunnel reset instead of starting over")
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -722,6 +728,16 @@ def main(argv=None) -> int:
         if modes[0] not in CASES:
             ap.error(f"unknown mode {modes[0]}; valid modes: {sorted(CASES)}")
     results = []
+    if args.resume and os.path.exists(args.resume):
+        with open(args.resume) as f:
+            prior = json.load(f)
+        done = {r["mode"] for r in prior}
+        results = [r for r in prior if r["mode"] in set(modes)]
+        skipped = [m for m in modes if m in done]
+        modes = [m for m in modes if m not in done]
+        if skipped:
+            print(f"resume: skipping recorded modes {skipped}", file=sys.stderr)
+    requested = sorted(set(modes) | {r["mode"] for r in results})
     failed = False
     for m in modes:
         print(f"=== mode {m}: {CASES[m].name} ===", file=sys.stderr)
@@ -739,6 +755,12 @@ def main(argv=None) -> int:
                             profile_dir=args.profile,
                         )
                     )
+                    if args.resume:
+                        results.sort(key=lambda r: r["mode"])
+                        tmp = f"{args.resume}.tmp"
+                        with open(tmp, "w") as f:
+                            json.dump(results, f)
+                        os.replace(tmp, args.resume)
                     break
                 except jax.errors.JaxRuntimeError as e:
                     # Transient remote-compile/dispatch infrastructure
@@ -776,7 +798,7 @@ def main(argv=None) -> int:
     # round 2 shipped a "full" artifact missing its newest mode; this makes
     # that a hard failure rather than a silent gap.
     got = {r["mode"] for r in results}
-    missing = [m for m in modes if m not in got]
+    missing = [m for m in requested if m not in got]
     if missing:
         print(f"SWEEP INCOMPLETE: missing modes {missing}", file=sys.stderr)
         failed = True
