@@ -23,11 +23,16 @@ operators for the 14x14 stage of a ResNet bottleneck block —
 * A benchmark CLI reproducing the reference protocol: modes 0..5 (+ block
   modes), 100 iterations, 2 warmups, elementwise parity with HARD failure
   on tolerance breach (the reference's checker never fails: util.c:46-63).
-* A ResNet model family — block/stage/stride-2-transition megakernels and
-  the 13-block backbone — and a multi-chip parallel layer
-  (jax.sharding.Mesh + pjit/shard_map: DP, Megatron-style block TP, GPipe
-  pipeline) for batched deployment; int8 serving tier with weight
-  streaming.
+* A ResNet model family — block/stage/stride-2-transition megakernels,
+  the 13-block backbone, and the COMPLETE ResNet-50 classifier (stem as a
+  space-to-depth patch GEMM + 16-block trunk + head; ResNet50Engine) —
+  and a multi-chip parallel layer (jax.sharding.Mesh + pjit/shard_map:
+  DP, Megatron-style block TP, GPipe pipeline) for batched deployment;
+  bf16-weight-storage and int8 serving tiers with weight streaming.
+* Training through the SAME fused serving kernels (custom VJPs, HIGH-
+  precision backwards), a model-level SGD API (models/train.py), and the
+  checkpoint -> offline-preprocessing -> serve deployment pipeline
+  (models/checkpoint.py).
 * A native C++ host-runtime library (binary blob IO, timing, differential
   checking) mirroring the reference's C host layer (util.c), bound via
   ctypes with a pure-Python fallback.
@@ -38,6 +43,7 @@ from winograd_tpu.config import (
     BackboneConfig,
     BlockConfig,
     LayerConfig,
+    ResNet50Config,
     TransitionConfig,
     case_config,
 )
@@ -49,9 +55,9 @@ from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
 from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
 from winograd_tpu.kernels.transition import transition_block_fused_pallas
 from winograd_tpu.kernels.stage import resnet_stage_fused_pallas
-from winograd_tpu.engine import BackboneEngine, BottleneckEngine
+from winograd_tpu.engine import BackboneEngine, BottleneckEngine, ResNet50Engine
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "CASES",
@@ -59,6 +65,7 @@ __all__ = [
     "BlockConfig",
     "TransitionConfig",
     "BackboneConfig",
+    "ResNet50Config",
     "case_config",
     "jnp_ops",
     "reference",
@@ -71,5 +78,6 @@ __all__ = [
     "resnet_stage_fused_pallas",
     "BottleneckEngine",
     "BackboneEngine",
+    "ResNet50Engine",
     "__version__",
 ]

@@ -8,10 +8,26 @@ from winograd_tpu.models.resnet import (
     bottleneck_block_train,
     resnet_stage_pallas,
 )
-from winograd_tpu.models.checkpoint import save_params, load_params, export_artifacts
+from winograd_tpu.models.checkpoint import (
+    export_artifacts,
+    load_model,
+    load_params,
+    prepare_resnet50_serving,
+    save_model,
+    save_params,
+)
 from winograd_tpu.models.downsample import (
     downsample_bottleneck_block_pallas,
     resnet50_stages,
+)
+from winograd_tpu.models.resnet50 import (
+    resnet50_forward_pallas,
+    resnet50_forward_train,
+)
+from winograd_tpu.models.train import (
+    make_resnet50_train_step,
+    resnet50_loss,
+    trainable_resnet50_params,
 )
 
 __all__ = [
@@ -23,7 +39,15 @@ __all__ = [
     "resnet_stage_pallas",
     "save_params",
     "load_params",
+    "save_model",
+    "load_model",
+    "prepare_resnet50_serving",
     "export_artifacts",
     "downsample_bottleneck_block_pallas",
     "resnet50_stages",
+    "resnet50_forward_pallas",
+    "resnet50_forward_train",
+    "resnet50_loss",
+    "make_resnet50_train_step",
+    "trainable_resnet50_params",
 ]
