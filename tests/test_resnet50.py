@@ -290,6 +290,34 @@ def test_tiny_resnet50_training_converges():
     assert logits.shape == (cfg.num_classes,) and np.isfinite(logits).all()
 
 
+def test_tiny_resnet50_train_step_dp_mesh_matches_single():
+    """The DP-sharded full-classifier train step (8-device mesh, batch
+    sharded, grads pmean'd) reproduces the single-device step exactly."""
+    import jax
+
+    from winograd_tpu.models.resnet50 import init_resnet50_params
+    from winograd_tpu.models.train import (
+        make_resnet50_train_step,
+        trainable_resnet50_params,
+    )
+    from winograd_tpu.parallel import make_mesh
+
+    cfg = _TinyR50("tiny_resnet50_dp")
+    params = trainable_resnet50_params(init_resnet50_params(cfg, seed=6))
+    momentum = jax.tree.map(jnp.zeros_like, params)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3), jnp.float32)
+    labels = jnp.arange(8) % cfg.num_classes
+
+    p1, m1, l1 = make_resnet50_train_step(lr=1e-2)(params, momentum, x, labels)
+    mesh = make_mesh(8, model_axis=1)
+    p8, m8, l8 = make_resnet50_train_step(lr=1e-2, mesh=mesh)(
+        params, momentum, x, labels
+    )
+    assert abs(float(l1) - float(l8)) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_full_resnet50_mode16():
     """Bench mode 16 at real shape: 224x224x3 -> 1000 logits through the
     serving kernels, trunk AND logits against the float64 golden chain."""

@@ -35,19 +35,65 @@ def resnet50_loss(params: Dict, x: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.mean(picked)
 
 
-def make_resnet50_train_step(lr: float = 1e-2, beta: float = 0.9):
+def make_resnet50_train_step(lr: float = 1e-2, beta: float = 0.9, mesh=None):
     """Jitted SGD-with-momentum step over the full classifier:
     (params, momentum, x, labels) -> (params, momentum, loss).
-    Initialize momentum with jax.tree.map(jnp.zeros_like, params)."""
+    Initialize momentum with jax.tree.map(jnp.zeros_like, params).
 
-    @jax.jit
-    def step(params, momentum, x, labels) -> Tuple:
-        loss, grads = jax.value_and_grad(resnet50_loss)(params, x, labels)
-        momentum = jax.tree.map(lambda m, g: beta * m + g, momentum, grads)
-        params = jax.tree.map(lambda p, m: p - lr * m, params, momentum)
-        return params, momentum, loss
+    With a mesh, the step is DATA-parallel: the batch shards over the
+    "data" axis, every chip runs the fused-kernel fwd+bwd on its shard
+    inside shard_map (Pallas custom calls cannot be auto-partitioned by
+    jit), and gradients/loss are pmean'd over the axis — identical math to
+    the single-chip step because the loss is a mean over the batch."""
+    if mesh is None:
 
-    return step
+        @jax.jit
+        def step(params, momentum, x, labels) -> Tuple:
+            loss, grads = jax.value_and_grad(resnet50_loss)(params, x, labels)
+            momentum = jax.tree.map(lambda m, g: beta * m + g, momentum, grads)
+            params = jax.tree.map(lambda p, m: p - lr * m, params, momentum)
+            return params, momentum, loss
+
+        return step
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # shard_map's in_specs must match the param pytree, which is only
+    # known at call time — build and memoize per tree structure.
+    _cache = {}
+
+    def jitted(params, momentum, x, labels):
+        key = jax.tree_util.tree_structure((params, momentum))
+        fn = _cache.get(key)
+        if fn is None:
+            p_spec = jax.tree.map(lambda _: P(), params)
+
+            def local(params_, momentum_, x_, labels_):
+                loss, grads = jax.value_and_grad(resnet50_loss)(
+                    params_, x_, labels_
+                )
+                grads = jax.lax.pmean(grads, "data")
+                loss = jax.lax.pmean(loss, "data")
+                momentum_ = jax.tree.map(
+                    lambda m, g: beta * m + g, momentum_, grads
+                )
+                params_ = jax.tree.map(
+                    lambda p, m: p - lr * m, params_, momentum_
+                )
+                return params_, momentum_, loss
+
+            inner = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(p_spec, p_spec, P("data", None, None, None), P("data")),
+                out_specs=(p_spec, p_spec, P()),
+                check_vma=False,
+            )
+            fn = _cache[key] = jax.jit(inner)
+        return fn(params, momentum, x, labels)
+
+    return jitted
 
 
 def trainable_resnet50_params(full: Dict) -> Dict:
