@@ -8,12 +8,24 @@ reference's hand-tuned CUDA kernel on its own hardware).
 """
 
 import json
+import signal
 import sys
 
 REFERENCE_US = 59.0  # custom CUDA kernel, mode 0 (/root/reference/README.md:27)
 
 
+def _watchdog(sig, frame):
+    # A down axon tunnel makes device ops HANG rather than fail (see
+    # .claude/skills/verify/SKILL.md); a warm mode-0 run takes ~80 s and a
+    # cold-cache one minutes, so 20 min without finishing means the TPU is
+    # unreachable — exit with a diagnosis instead of hanging the driver.
+    print("bench.py: no result after 20 min — axon tunnel down?", file=sys.stderr)
+    sys.exit(3)
+
+
 def main() -> int:
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(20 * 60)
     from winograd_tpu.bench.cli import run_case
 
     # scan_len=None sizes the timing legs adaptively to ~0.5 s of device
