@@ -61,3 +61,33 @@ def test_pipeline_rejects_indivisible():
     x = jnp.zeros((4, 14, 14, cfg.c_io))
     with pytest.raises(AssertionError):
         pipelined_stage_inference(mesh, params_list, x, microbatch=2)
+
+
+def test_pipelined_resnet50_matches_single_device():
+    """The heterogeneous 4-stage classifier pipeline (flat padded
+    inter-stage buffers, lax.switch stage dispatch) reproduces the
+    single-device full-model forward."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+    from winograd_tpu.parallel import make_pipe_mesh, pipelined_resnet50_inference
+
+    @dataclasses.dataclass(frozen=True)
+    class _Tiny4(ResNet50Config):
+        # Four trunk stages (the pipeline's stage count), toy sizes.
+        stages = ((16, 8, 16, 1), (32, 8, 8, 1), (64, 16, 4, 1), (128, 16, 2, 1))
+        img: int = 64
+        stem_c: int = 8
+        num_classes: int = 24
+
+    params = init_resnet50_params(_Tiny4("pipe_r50"), seed=8)
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 64, 64, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_pallas(x, params))
+    mesh = make_pipe_mesh(4)
+    got = np.asarray(pipelined_resnet50_inference(mesh, params, x, microbatch=2))
+    assert got.shape == (4, 24), got.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -13,7 +13,11 @@ from winograd_tpu.parallel.data_parallel import (
     make_train_step,
     init_train_state,
 )
-from winograd_tpu.parallel.pipeline import make_pipe_mesh, pipelined_stage_inference
+from winograd_tpu.parallel.pipeline import (
+    make_pipe_mesh,
+    pipelined_resnet50_inference,
+    pipelined_stage_inference,
+)
 
 __all__ = [
     "make_mesh",
@@ -28,4 +32,5 @@ __all__ = [
     "bottleneck_block_tp",
     "make_pipe_mesh",
     "pipelined_stage_inference",
+    "pipelined_resnet50_inference",
 ]

@@ -134,3 +134,116 @@ def pipelined_stage_inference(
     )
     out = jax.jit(fn)(xm, stacked)
     return out.reshape(n, h, w, c)
+
+
+def pipelined_resnet50_inference(
+    mesh: Mesh,
+    params: dict,
+    x: jax.Array,
+    microbatch: int,
+    num_classes: Optional[int] = None,
+) -> jax.Array:
+    """The COMPLETE classifier as a 4-stage HETEROGENEOUS GPipe pipeline:
+    [stem + conv2_x] -> [conv3_x] -> [conv4_x] -> [conv5_x + head].
+
+    Unlike pipelined_stage_inference (uniform block stages), the
+    classifier's stages change resolution and width, so inter-stage
+    activations travel as FLAT buffers padded to the largest boundary
+    (conv2_x out) and each stage reshapes statically; stage dispatch is a
+    lax.switch on the pipe index. Parameters are replicated (heterogeneous
+    pytrees cannot stack over the pipe axis) — this pipeline is the
+    activation-streaming / throughput-scaling schedule, not a weight-
+    memory partitioning (that's tensor_parallel.py's job).
+
+    params: the models/resnet50.py forward structure (4 trunk stages).
+    x: (N, H, W, 3) with N % microbatch == 0."""
+    from winograd_tpu.models.downsample import (
+        projection_bottleneck_block_pallas,
+        resnet50_stages,
+    )
+    from winograd_tpu.models.resnet50 import head_pallas, stem_pallas
+
+    n_stages = mesh.shape["pipe"]
+    assert n_stages == 4, f"classifier pipeline is 4-stage, mesh has {n_stages}"
+    stages = params["stages"]
+    assert len(stages) == 4, len(stages)
+    n, h, w, c = x.shape
+    assert n % microbatch == 0, (n, microbatch)
+    m = n // microbatch
+    mb = microbatch
+
+    def s0(img):
+        hdd = stem_pallas(img, params["stem"])
+        hdd = projection_bottleneck_block_pallas(hdd, params["proj"])
+        return resnet50_stages(hdd, [stages[0]])
+
+    fns = [
+        s0,
+        lambda a: resnet50_stages(a, [stages[1]]),
+        lambda a: resnet50_stages(a, [stages[2]]),
+        lambda a: head_pallas(resnet50_stages(a, [stages[3]]), params["head"]),
+    ]
+    # Static boundary shapes: probe with ShapeDtypeStruct (no FLOPs).
+    in_shapes = [(mb, h, w, c)]
+    for f in fns[:-1]:
+        out = jax.eval_shape(f, jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32))
+        in_shapes.append(out.shape)
+    nc = num_classes or jax.eval_shape(
+        fns[-1], jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32)
+    ).shape[-1]
+    flat = [int(np.prod(s[1:])) for s in in_shapes]
+    maxf = max(max(flat), nc)
+
+    def make_branch(i):
+        def branch(buf):
+            a = buf[:, : flat[i]].reshape(in_shapes[i])
+            y = fns[i](a).reshape(mb, -1)
+            return jnp.pad(y, ((0, 0), (0, maxf - y.shape[1])))
+
+        return branch
+
+    branches = [make_branch(i) for i in range(4)]
+
+    def local_fn(xm_l):
+        stage = jax.lax.axis_index("pipe")
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def step(carry, t):
+            buf, outs = carry
+            x_in = xm_l[jnp.minimum(t, m - 1)].reshape(mb, -1)
+            x_in = jnp.pad(x_in, ((0, 0), (0, maxf - x_in.shape[1])))
+            cur = jnp.where(stage == 0, x_in, buf)
+            active = jnp.logical_and(t >= stage, t - stage < m)
+            y = jax.lax.cond(
+                active,
+                lambda b: jax.lax.switch(stage, branches, b),
+                lambda b: b,
+                cur,
+            )
+            out_idx = t - (n_stages - 1)
+            valid = jnp.logical_and(stage == n_stages - 1, out_idx >= 0)
+            outs = jax.lax.cond(
+                valid,
+                lambda o: jax.lax.dynamic_update_slice(
+                    o, y[None, :, :nc], (jnp.maximum(out_idx, 0), 0, 0)
+                ),
+                lambda o: o,
+                outs,
+            )
+            buf = jax.lax.ppermute(y, "pipe", perm)
+            return (buf, outs), None
+
+        buf0 = jnp.zeros((mb, maxf), jnp.float32)
+        outs0 = jnp.zeros((m, mb, nc), jnp.float32)
+        (_, outs), _ = jax.lax.scan(
+            step, (buf0, outs0), jnp.arange(m + n_stages - 1)
+        )
+        return jax.lax.psum(
+            jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), "pipe"
+        )
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False
+    )
+    out = jax.jit(fn)(x.reshape(m, mb, h, w, c))
+    return out.reshape(n, nc)
