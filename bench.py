@@ -8,24 +8,30 @@ reference's hand-tuned CUDA kernel on its own hardware).
 """
 
 import json
-import signal
+import os
 import sys
+import threading
 
 REFERENCE_US = 59.0  # custom CUDA kernel, mode 0 (/root/reference/README.md:27)
 
+_done = threading.Event()
 
-def _watchdog(sig, frame):
-    # A down axon tunnel makes device ops HANG rather than fail (see
-    # .claude/skills/verify/SKILL.md); a warm mode-0 run takes ~80 s and a
-    # cold-cache one minutes, so 20 min without finishing means the TPU is
-    # unreachable — exit with a diagnosis instead of hanging the driver.
-    print("bench.py: no result after 20 min — axon tunnel down?", file=sys.stderr)
-    sys.exit(3)
+
+def _watchdog():
+    # A down axon tunnel makes device ops HANG inside a C++ PJRT wait
+    # rather than fail (see .claude/skills/verify/SKILL.md) — a blocked
+    # main thread never reaches a bytecode boundary, so a SIGALRM handler
+    # would not run. A daemon thread + os._exit does: a warm mode-0 run
+    # takes ~80 s and a cold-cache one minutes, so 20 min without a result
+    # means the TPU is unreachable — exit with a diagnosis, not a hang.
+    if not _done.wait(20 * 60):
+        print("bench.py: no result after 20 min — axon tunnel down?", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
 
 
 def main() -> int:
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(20 * 60)
+    threading.Thread(target=_watchdog, daemon=True).start()
     from winograd_tpu.bench.cli import run_case
 
     # scan_len=None sizes the timing legs adaptively to ~0.5 s of device
@@ -39,6 +45,7 @@ def main() -> int:
     # flagship "pallas" path and fastest measured — plus F(4,3) and direct
     # im2col GEMM, selected like cuDNN's algo enum); the headline is the
     # best one, all parity-checked against the float64 golden model.
+    _done.set()
     candidates = [r["pallas_device_us"]]
     for key in ("direct_device_us", "winograd_f43_device_us"):
         if r.get(key) is not None:

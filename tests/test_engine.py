@@ -123,29 +123,11 @@ def test_resnet50_engine_from_checkpoint(tmp_path):
         stem_c: int = 8
         num_classes: int = 16
 
+    from winograd_tpu.models.train import trainable_resnet50_params
+
     full = init_resnet50_params(_Tiny("ckpt_r50"), seed=11)
-    drop = ("u_mid", "u2_mid", "w9_mid", "w49_stem", "w192_stem", "wep", "bep")
-    trained = {
-        "stem": {k: np.asarray(v) for k, v in full["stem"].items() if k not in drop},
-        "proj": {k: np.asarray(v) for k, v in full["proj"].items() if k not in drop},
-        "stages": [
-            {
-                "transition": None
-                if st["transition"] is None
-                else {
-                    k: np.asarray(v)
-                    for k, v in st["transition"].items()
-                    if k not in drop
-                },
-                "blocks": [
-                    {k: np.asarray(v) for k, v in b.items() if k not in drop}
-                    for b in st["blocks"]
-                ],
-            }
-            for st in full["stages"]
-        ],
-        "head": {k: np.asarray(v) for k, v in full["head"].items()},
-    }
+    # The library's own definition of a trained checkpoint's param set.
+    trained = jax.tree.map(np.asarray, trainable_resnet50_params(full))
     path = str(tmp_path / "r50.npz")
     save_model(path, trained, extra={"step": np.asarray(7)})
     engine = ResNet50Engine.from_checkpoint(path)

@@ -727,40 +727,55 @@ def main(argv=None) -> int:
             ap.error(f"mode must be an integer 0-{max(CASES)} or 'all', got {args.mode!r}")
         if modes[0] not in CASES:
             ap.error(f"unknown mode {modes[0]}; valid modes: {sorted(CASES)}")
-    results = []
+    requested = list(modes)
+    # Resume bookkeeping: by_mode holds EVERY row ever checkpointed to the
+    # file (a narrower later invocation must not clobber other modes'
+    # records); a prior row only satisfies the current request when it was
+    # produced under the same settings and actually passed parity —
+    # otherwise the mode is re-run and its row replaced.
+    by_mode = {}
     if args.resume and os.path.exists(args.resume):
         with open(args.resume) as f:
-            prior = json.load(f)
-        done = {r["mode"] for r in prior}
-        results = [r for r in prior if r["mode"] in set(modes)]
-        skipped = [m for m in modes if m in done]
-        modes = [m for m in modes if m not in done]
+            by_mode = {r["mode"]: r for r in json.load(f)}
+        usable = {
+            m: r
+            for m, r in by_mode.items()
+            if r.get("parity_ok")
+            and r.get("bench_iterations") == args.iterations
+            and r.get("bench_seed") == args.seed
+        }
+        skipped = [m for m in modes if m in usable]
+        modes = [m for m in modes if m not in usable]
         if skipped:
             print(f"resume: skipping recorded modes {skipped}", file=sys.stderr)
-    requested = sorted(set(modes) | {r["mode"] for r in results})
+
+    def _checkpoint():
+        rows = sorted(by_mode.values(), key=lambda r: r["mode"])
+        tmp = f"{args.resume}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(rows, f)
+        os.replace(tmp, args.resume)
+
     failed = False
     for m in modes:
         print(f"=== mode {m}: {CASES[m].name} ===", file=sys.stderr)
         try:
             for attempt in (1, 2):
                 try:
-                    results.append(
-                        run_case(
-                            m,
-                            args.iterations,
-                            args.warmup,
-                            args.seed,
-                            strict=not args.no_strict,
-                            data_dir=args.data_dir,
-                            profile_dir=args.profile,
-                        )
+                    row = run_case(
+                        m,
+                        args.iterations,
+                        args.warmup,
+                        args.seed,
+                        strict=not args.no_strict,
+                        data_dir=args.data_dir,
+                        profile_dir=args.profile,
                     )
+                    row["bench_seed"] = args.seed
+                    row["bench_iterations"] = args.iterations
+                    by_mode[m] = row
                     if args.resume:
-                        results.sort(key=lambda r: r["mode"])
-                        tmp = f"{args.resume}.tmp"
-                        with open(tmp, "w") as f:
-                            json.dump(results, f)
-                        os.replace(tmp, args.resume)
+                        _checkpoint()
                     break
                 except jax.errors.JaxRuntimeError as e:
                     # Transient remote-compile/dispatch infrastructure
@@ -797,6 +812,7 @@ def main(argv=None) -> int:
     # A full sweep must actually contain every mode it claims to cover —
     # round 2 shipped a "full" artifact missing its newest mode; this makes
     # that a hard failure rather than a silent gap.
+    results = [by_mode[m] for m in requested if m in by_mode]
     got = {r["mode"] for r in results}
     missing = [m for m in requested if m not in got]
     if missing:

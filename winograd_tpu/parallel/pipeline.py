@@ -26,6 +26,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from winograd_tpu.ops import jnp_ops
 
 
+# Jitted classifier-pipeline programs, keyed by (mesh, geometry, param
+# structure) — see pipelined_resnet50_inference.
+_R50_PIPE_CACHE: dict = {}
+
+
 def make_pipe_mesh(n_stages: int) -> Mesh:
     devices = jax.devices()
     assert len(devices) >= n_stages, (len(devices), n_stages)
@@ -165,46 +170,53 @@ def pipelined_resnet50_inference(
 
     n_stages = mesh.shape["pipe"]
     assert n_stages == 4, f"classifier pipeline is 4-stage, mesh has {n_stages}"
-    stages = params["stages"]
-    assert len(stages) == 4, len(stages)
+    assert len(params["stages"]) == 4, len(params["stages"])
     n, h, w, c = x.shape
     assert n % microbatch == 0, (n, microbatch)
     m = n // microbatch
     mb = microbatch
 
-    def s0(img):
-        hdd = stem_pallas(img, params["stem"])
-        hdd = projection_bottleneck_block_pallas(hdd, params["proj"])
-        return resnet50_stages(hdd, [stages[0]])
+    def s0(img, prm):
+        hdd = stem_pallas(img, prm["stem"])
+        hdd = projection_bottleneck_block_pallas(hdd, prm["proj"])
+        return resnet50_stages(hdd, [prm["stages"][0]])
 
     fns = [
         s0,
-        lambda a: resnet50_stages(a, [stages[1]]),
-        lambda a: resnet50_stages(a, [stages[2]]),
-        lambda a: head_pallas(resnet50_stages(a, [stages[3]]), params["head"]),
+        lambda a, prm: resnet50_stages(a, [prm["stages"][1]]),
+        lambda a, prm: resnet50_stages(a, [prm["stages"][2]]),
+        lambda a, prm: head_pallas(
+            resnet50_stages(a, [prm["stages"][3]]), prm["head"]
+        ),
     ]
-    # Static boundary shapes: probe with ShapeDtypeStruct (no FLOPs).
+    # Static boundary shapes: probe with eval_shape (no FLOPs).
     in_shapes = [(mb, h, w, c)]
     for f in fns[:-1]:
-        out = jax.eval_shape(f, jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32))
+        out = jax.eval_shape(
+            f, jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32), params
+        )
         in_shapes.append(out.shape)
     nc = num_classes or jax.eval_shape(
-        fns[-1], jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32)
+        fns[-1], jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32), params
     ).shape[-1]
     flat = [int(np.prod(s[1:])) for s in in_shapes]
     maxf = max(max(flat), nc)
 
     def make_branch(i):
-        def branch(buf):
+        def branch(buf, prm):
             a = buf[:, : flat[i]].reshape(in_shapes[i])
-            y = fns[i](a).reshape(mb, -1)
+            y = fns[i](a, prm).reshape(mb, -1)
             return jnp.pad(y, ((0, 0), (0, maxf - y.shape[1])))
 
         return branch
 
     branches = [make_branch(i) for i in range(4)]
 
-    def local_fn(xm_l):
+    # Params travel as a TRACED, replicated operand — closing over the
+    # full classifier's ~100 MB of weights would bake them into the HLO as
+    # constants. The jitted program is memoized per (mesh, geometry, param
+    # structure) so steady-state calls skip retracing.
+    def local_fn(xm_l, prm):
         stage = jax.lax.axis_index("pipe")
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
@@ -216,7 +228,7 @@ def pipelined_resnet50_inference(
             active = jnp.logical_and(t >= stage, t - stage < m)
             y = jax.lax.cond(
                 active,
-                lambda b: jax.lax.switch(stage, branches, b),
+                lambda b: jax.lax.switch(stage, branches, b, prm),
                 lambda b: b,
                 cur,
             )
@@ -242,8 +254,24 @@ def pipelined_resnet50_inference(
             jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), "pipe"
         )
 
-    fn = shard_map(
-        local_fn, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False
+    key = (
+        mesh,
+        (n, h, w, c),
+        mb,
+        nc,
+        jax.tree_util.tree_structure(params),
     )
-    out = jax.jit(fn)(x.reshape(m, mb, h, w, c))
+    fn = _R50_PIPE_CACHE.get(key)
+    if fn is None:
+        p_spec = jax.tree.map(lambda _: P(), params)
+        fn = _R50_PIPE_CACHE[key] = jax.jit(
+            shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(P(), p_spec),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+    out = fn(x.reshape(m, mb, h, w, c), params)
     return out.reshape(n, nc)
