@@ -214,6 +214,48 @@ class FullTrainConfig(ResNet50Config):
 CASES[19] = FullTrainConfig("resnet50_full_trainstep")
 
 
+@dataclasses.dataclass(frozen=True)
+class ResNet101Config(ResNet50Config):
+    """The COMPLETE ResNet-101 classifier. Same four stage geometries as
+    ResNet-50 — only the depths change (conv3_x 4 blocks, conv4_x 23) — so
+    the whole serving stack (stem s2d GEMM, projection block, the uniform
+    weight-streaming stage megakernels, transitions, head) composes it with
+    NO new kernels: a deeper stage just streams more weight blocks through
+    the same compiled kernel. The reference scopes to single ResNet-50-
+    geometry layers (report.pdf section 1); the deeper family is free
+    generality of the stage-parameterized design."""
+
+    # (c_io, c_mid, hw, identity blocks after the stage entry): conv2_x
+    # 1 proj + 2, conv3_x 1 transition + 3, conv4_x 1 + 22, conv5_x 1 + 2.
+    stages = (
+        (256, 64, 56, 2),
+        (512, 128, 28, 3),
+        (1024, 256, 14, 22),
+        (2048, 512, 7, 2),
+    )
+    # Bench-only: the whole-model float64 golden chain + params would be a
+    # several-hundred-MB npz; load_case regenerates it in memory instead
+    # (same seeded path generate_all records in meta.json).
+    on_disk = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNet152Config(ResNet101Config):
+    """The COMPLETE ResNet-152 classifier (conv3_x 8 blocks, conv4_x 36):
+    the deepest standard bottleneck ResNet, same stage geometries again."""
+
+    stages = (
+        (256, 64, 56, 2),
+        (512, 128, 28, 7),
+        (1024, 256, 14, 35),
+        (2048, 512, 7, 2),
+    )
+
+
+CASES[20] = ResNet101Config("resnet101_full")
+CASES[21] = ResNet152Config("resnet152_full")
+
+
 def case_flops(cfg) -> int:
     """Nominal conv FLOPs of a case (the conventional 2*MACs count of the
     mathematical convolution — algorithm-independent, so Winograd's FLOP

@@ -430,10 +430,13 @@ def generate_all(outdir: str = "data", seed: int = 0) -> None:
         json.dump({"seed": seed}, f)
 
     for mode, cfg in CASES.items():
-        if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
-            # The batched-backbone cases (modes 14/18) are bench-only: the
-            # float64 golden chains cost minutes and ~100 MB on disk; the
-            # bench generates them in memory (same seeded path).
+        if (isinstance(cfg, BackboneConfig) and cfg.batch > 1) or not getattr(
+            cfg, "on_disk", True
+        ):
+            # The batched-backbone cases (modes 14/18) and the deep-variant
+            # whole models (modes 20/21, on_disk=False) are bench-only: the
+            # float64 golden chains cost minutes and 100s of MB on disk;
+            # the bench generates them in memory (same seeded path).
             continue
         if isinstance(cfg, (TrainConfig, FullTrainConfig)):
             # The train-step cases are modes 13/16's data under a different
@@ -457,8 +460,10 @@ def load_case(mode: int, data_dir: str) -> Dict[str, np.ndarray]:
     from winograd_tpu.config import FullTrainConfig, TrainConfig
 
     cfg = CASES[mode]
-    if (isinstance(cfg, BackboneConfig) and cfg.batch > 1) or isinstance(
-        cfg, (TrainConfig, FullTrainConfig)
+    if (
+        (isinstance(cfg, BackboneConfig) and cfg.batch > 1)
+        or isinstance(cfg, (TrainConfig, FullTrainConfig))
+        or not getattr(cfg, "on_disk", True)
     ):
         # generate_all deliberately skips these cases ("the bench generates
         # it in memory"); honor that promise here so a `bench all
