@@ -44,6 +44,8 @@ from winograd_tpu.config import (
     BlockConfig,
     LayerConfig,
     ResNet50Config,
+    ResNet101Config,
+    ResNet152Config,
     TransitionConfig,
     case_config,
 )
@@ -56,6 +58,10 @@ from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
 from winograd_tpu.kernels.transition import transition_block_fused_pallas
 from winograd_tpu.kernels.stage import resnet_stage_fused_pallas
 from winograd_tpu.engine import BackboneEngine, BottleneckEngine, ResNet50Engine
+from winograd_tpu.models.import_torch import (
+    resnet_serving_params_from_torch,
+    resnet_train_params_from_torch,
+)
 
 __version__ = "0.3.0"
 
@@ -66,6 +72,10 @@ __all__ = [
     "TransitionConfig",
     "BackboneConfig",
     "ResNet50Config",
+    "ResNet101Config",
+    "ResNet152Config",
+    "resnet_serving_params_from_torch",
+    "resnet_train_params_from_torch",
     "case_config",
     "jnp_ops",
     "reference",

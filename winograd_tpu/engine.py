@@ -302,6 +302,24 @@ class ResNet50Engine:
         params, _ = load_model(path)
         return cls(prepare_resnet50_serving(params), **kw)
 
+    @classmethod
+    def from_torch(cls, sd_or_path, **kw) -> "ResNet50Engine":
+        """Serve a torchvision-format ResNet-50/101/152 checkpoint: a
+        state_dict (dict of tensors/arrays) or a .pt/.pth path. BN folding
+        and every fused-kernel layout happen offline here
+        (models/import_torch.py); depth is inferred from the state_dict."""
+        from winograd_tpu.models.import_torch import (
+            load_torch_checkpoint,
+            resnet_serving_params_from_torch,
+        )
+
+        sd = (
+            load_torch_checkpoint(sd_or_path)
+            if isinstance(sd_or_path, str)
+            else sd_or_path
+        )
+        return cls(resnet_serving_params_from_torch(sd), **kw)
+
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (224, 224, 3) or (N, 224, 224, 3) image(s); returns
         (num_classes,) / (N, num_classes) logits. Single images are run

@@ -1,0 +1,139 @@
+"""Import torchvision-format ResNet checkpoints into the serving stack.
+
+The reference lives in the CUDA/torch world; a user switching to this
+framework brings weights as a torchvision ``resnet50/101/152`` state_dict
+(the de-facto interchange format for bottleneck ResNets). This module maps
+that state_dict onto the mode-19 trainable parameterization — raw OIHW
+filters + BN folded offline into per-channel (scale, bias), the offline-
+transform contract (reference data_generator.py does the same fold at
+generation time) — from which ``prepare_resnet50_serving`` derives every
+fused-kernel layout (s2d stem GEMM, w9/u2 filter layouts, fused transition
+streams).
+
+Architecture match: torchvision's ResNet is v1.5 (stride 2 on each stage
+entry's 3x3, stride-2 1x1 projection shortcut with BN and no ReLU) — the
+exact structure of ops/reference.py::downsample_bottleneck_block and the
+fused transition megakernel. torch itself is NOT required unless you load
+a .pt/.pth file: state_dicts of numpy arrays convert as-is.
+
+Naming contract (torchvision ``ResNet``): ``conv1/bn1`` stem;
+``layer{1..4}.{i}.conv{1,2,3}/bn{1,2,3}`` bottlenecks with
+``layer{L}.0.downsample.{0,1}`` projection entries; ``fc`` head.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+BN_EPS = 1e-5  # torch.nn.BatchNorm2d default
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):  # torch.Tensor without importing torch
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _fold_bn(sd: Dict, prefix: str, eps: float = BN_EPS):
+    """Fold an eval-mode BatchNorm into post-conv (scale, bias):
+    y = gamma * (x - mean) / sqrt(var + eps) + beta = scale * x + bias."""
+    gamma, beta = _np(sd[f"{prefix}.weight"]), _np(sd[f"{prefix}.bias"])
+    mean = _np(sd[f"{prefix}.running_mean"])
+    var = _np(sd[f"{prefix}.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return scale.astype(np.float32), (beta - mean * scale).astype(np.float32)
+
+
+def _conv1x1(sd: Dict, key: str) -> np.ndarray:
+    """torch 1x1 conv weight (out, in, 1, 1) -> our (in, out) GEMM matrix."""
+    w = _np(sd[key])
+    assert w.ndim == 4 and w.shape[2:] == (1, 1), (key, w.shape)
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
+def _bottleneck(sd: Dict, prefix: str, eps: float) -> Dict[str, np.ndarray]:
+    s1, b1 = _fold_bn(sd, f"{prefix}.bn1", eps)
+    s2, b2 = _fold_bn(sd, f"{prefix}.bn2", eps)
+    s3, b3 = _fold_bn(sd, f"{prefix}.bn3", eps)
+    out = dict(
+        w_reduce=_conv1x1(sd, f"{prefix}.conv1.weight"),
+        s_reduce=s1, b_reduce=b1,
+        w_mid=_np(sd[f"{prefix}.conv2.weight"]),  # OIHW, both layouts agree
+        s_mid=s2, b_mid=b2,
+        w_expand=_conv1x1(sd, f"{prefix}.conv3.weight"),
+        s_expand=s3, b_expand=b3,
+    )
+    if f"{prefix}.downsample.0.weight" in sd:
+        sp, bp = _fold_bn(sd, f"{prefix}.downsample.1", eps)
+        out.update(
+            w_proj=_conv1x1(sd, f"{prefix}.downsample.0.weight"),
+            s_proj=sp, b_proj=bp,
+        )
+    return out
+
+
+def resnet_train_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
+    """torchvision ResNet state_dict -> the mode-19 TRAINABLE params
+    structure ({"stem", "proj", "stages", "head"}; raw filters, folded BN).
+    Depth is inferred from the state_dict (any of resnet50/101/152 — or any
+    bottleneck ResNet with the torchvision naming). Feed the result to
+    models/checkpoint.py::prepare_resnet50_serving for the fused-kernel
+    serving layouts, or serve directly via ResNet50Engine.from_torch."""
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    s_stem, b_stem = _fold_bn(sd, "bn1", eps)
+    stem = {"w7_stem": _np(sd["conv1.weight"]), "s_stem": s_stem, "b_stem": b_stem}
+
+    stages = []
+    proj = None
+    for layer in range(1, 5):
+        if f"layer{layer}.0.conv1.weight" not in sd:
+            break
+        blocks = []
+        i = 0
+        while f"layer{layer}.{i}.conv1.weight" in sd:
+            blocks.append(_bottleneck(sd, f"layer{layer}.{i}", eps))
+            i += 1
+        entry = blocks.pop(0)
+        assert "w_proj" in entry, (
+            f"layer{layer}.0 has no downsample projection — not a "
+            "torchvision bottleneck ResNet state_dict"
+        )
+        if layer == 1:
+            # conv2_x's entry projects at stride 1; it is the model-level
+            # "proj" param, not part of the stage list.
+            proj = entry
+            stages.append({"transition": None, "blocks": blocks})
+        else:
+            stages.append({"transition": entry, "blocks": blocks})
+    assert proj is not None, "state_dict has no layer1 — not a ResNet"
+
+    return {
+        "stem": stem,
+        "proj": proj,
+        "stages": stages,
+        "head": {
+            "w_fc": np.ascontiguousarray(_np(sd["fc.weight"]).T),
+            "b_fc": _np(sd["fc.bias"]),
+        },
+    }
+
+
+def resnet_serving_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
+    """torchvision state_dict -> ready-to-serve params (all fused-kernel
+    layouts derived offline). ResNet50Engine(params, tier=...) serves it."""
+    from winograd_tpu.models.checkpoint import prepare_resnet50_serving
+
+    return prepare_resnet50_serving(resnet_train_params_from_torch(sd, eps))
+
+
+def load_torch_checkpoint(path: str) -> Dict:
+    """Load a .pt/.pth checkpoint file (requires torch). Accepts either a
+    bare state_dict or the common {"state_dict": ...} wrapping; strips
+    DataParallel's "module." prefix."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k.removeprefix("module."): v for k, v in sd.items()}
