@@ -109,3 +109,50 @@ def test_tiny_deep_variant_all_tiers():
     assert np.abs(out_xla - gold).max() < 10 * PARITY_ATOL
     assert rel(resnet50_forward_pallas(x, params, precision="bf16w")) < BF16W_RTOL_BACKBONE
     assert rel(resnet50_forward_int8(x, quantize_resnet50(params))) < INT8_RTOL_BACKBONE
+
+
+def test_tiny_deep_variant_train_step():
+    """The training path composes the deeper family too: fused-kernel
+    forward matches the golden and a train step's loss+grad-norm scalar
+    agrees with the all-XLA autodiff step on a multi-block-deep variant."""
+    import jax
+
+    from winograd_tpu.datagen.generate import make_resnet50_case
+    from winograd_tpu.models import trainable_resnet50_params
+    from winograd_tpu.models.resnet50 import (
+        resnet50_forward_train,
+        resnet50_forward_xla,
+        resnet50_params,
+    )
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyDeep(ResNet50Config):
+        stages = ((64, 16, 8, 2), (128, 32, 4, 3), (128, 32, 2, 2))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    cfg = _TinyDeep("tiny_deep_train")
+    case = make_resnet50_case(cfg, seed=17)
+    full = resnet50_params(case, cfg)
+    params = trainable_resnet50_params(full)
+    x = jnp.asarray(case["x"])
+    out = np.asarray(resnet50_forward_train(x, params))
+    assert np.abs(out - case["golden"]).max() < 10 * PARITY_ATOL
+
+    def _step(fwd):
+        def loss(p, x_):
+            o = fwd(x_, p)
+            return jnp.sum(o * o)
+
+        def step(x_):
+            l, g = jax.value_and_grad(loss)(params, x_)
+            return l + sum(
+                jnp.vdot(leaf, leaf) for leaf in jax.tree_util.tree_leaves(g)
+            )
+
+        return jax.jit(step)
+
+    gp = float(_step(resnet50_forward_train)(x))
+    gx = float(_step(resnet50_forward_xla)(x))
+    assert abs(gp - gx) / max(abs(gx), 1.0) < 1e-3
