@@ -25,6 +25,22 @@ import sys
 # (BASELINE.md; /root/reference/README.md:27,34,36).
 REF_CUDA_US = {0: 59, 1: 117, 2: 58, 3: 55, 4: 186, 5: 181}
 
+# Case-column annotations for the composed modes.
+CASE_NOTES = {
+    7: "(N=8)",
+    14: "(N=8)",
+    15: "(full ResNet-50 trunk)",
+    16: "(COMPLETE classifier, image → logits)",
+    17: "(fwd+bwd)",
+    18: "(classifier, N=8)",
+    19: "(image → logits fwd+bwd)",
+    20: "(ResNet-101, image → logits)",
+    21: "(ResNet-152, image → logits)",
+}
+
+TABLE_START = "<!-- BENCH_TABLE_START -->"
+TABLE_END = "<!-- BENCH_TABLE_END -->"
+
 HEADER = (
     "| Mode | Case | Pallas f32 (µs) | bf16w (µs) | int8 (µs) | MFU "
     "| XLA f32 (µs) | ref CUDA (µs) | max err |\n"
@@ -52,9 +68,12 @@ def render_row(r: dict) -> str:
     if alts:
         f32 += f" ({'; '.join(alts)})"
     mfu = r.get("mfu_pallas")
+    name = r["name"]
+    if mode in CASE_NOTES:
+        name += f" {CASE_NOTES[mode]}"
     cells = [
         str(mode),
-        r["name"],
+        name,
         f32,
         _us(r.get("bf16w_device_us"), 1),
         _us(r.get("int8_device_us"), 1),
@@ -73,15 +92,36 @@ def render(rows: list[dict]) -> str:
     return "\n".join(lines)
 
 
+def update_readme(readme_path: str, rows: list[dict]) -> None:
+    """Replace the table between the BENCH_TABLE markers in README.md."""
+    with open(readme_path) as f:
+        text = f.read()
+    start = text.index(TABLE_START) + len(TABLE_START)
+    end = text.index(TABLE_END)
+    with open(readme_path, "w") as f:
+        f.write(text[:start] + "\n" + render(rows) + "\n" + text[end:])
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    update = None
+    if argv and argv[0] == "--update":
+        update = argv[1]
+        argv = argv[2:]
     if len(argv) != 1:
-        print("usage: python -m winograd_tpu.bench.render SWEEP.json",
-              file=sys.stderr)
+        print(
+            "usage: python -m winograd_tpu.bench.render "
+            "[--update README.md] SWEEP.json",
+            file=sys.stderr,
+        )
         return 2
     with open(argv[0]) as f:
         rows = json.load(f)
-    print(render(rows))
+    if update:
+        update_readme(update, rows)
+        print(f"updated table in {update} ({len(rows)} rows)", file=sys.stderr)
+    else:
+        print(render(rows))
     return 0
 
 
