@@ -91,3 +91,52 @@ def test_pipelined_resnet50_matches_single_device():
     got = np.asarray(pipelined_resnet50_inference(mesh, params, x, microbatch=2))
     assert got.shape == (4, 24), got.shape
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_balanced_partition_minimizes_bottleneck():
+    from winograd_tpu.parallel.pipeline import _balanced_partition
+
+    # ResNet-152-shaped cost profile: conv4_x dominates. A named-stage
+    # split puts all 35 mid blocks on one rank; the balanced split must
+    # spread them.
+    costs = [10] + [3] * 7 + [8] * 35 + [5] * 2
+    b = _balanced_partition(costs, 4)
+    assert b[0] == 0 and b[-1] == len(costs)
+    groups = [sum(costs[b[i]:b[i + 1]]) for i in range(4)]
+    assert max(groups) < sum(costs[8:43])       # beats stage-split bottleneck
+    assert max(groups) <= sum(costs) / 4 + max(costs)
+
+    # Degenerate: k == n -> every group has exactly one item.
+    assert _balanced_partition([1, 2, 3], 3) == [0, 1, 2, 3]
+
+
+def test_pipelined_classifier_arbitrary_ranks():
+    """The block-granular partition frees the pipeline from the named
+    4-stage split: 2-, 3- and 6-rank pipes must all match the
+    single-device forward on a DEEP (multi-block-per-stage) model."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+    from winograd_tpu.parallel import make_pipe_mesh, pipelined_resnet50_inference
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyDeep(ResNet50Config):
+        stages = ((16, 8, 8, 2), (32, 8, 4, 3), (64, 16, 2, 2))
+        img: int = 32
+        stem_c: int = 8
+        num_classes: int = 24
+
+    params = init_resnet50_params(_TinyDeep("pipe_deep"), seed=21)
+    x = jax.random.normal(jax.random.PRNGKey(6), (6, 32, 32, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_pallas(x, params))
+    for ranks, mb in ((2, 3), (3, 2), (6, 1)):
+        got = np.asarray(
+            pipelined_resnet50_inference(
+                make_pipe_mesh(ranks), params, x, microbatch=mb
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"ranks={ranks}")

@@ -141,6 +141,100 @@ def pipelined_stage_inference(
     return out.reshape(n, h, w, c)
 
 
+def _classifier_segments(params, img_hw: int):
+    """Decompose the classifier into pipeline segments at BLOCK
+    granularity: [stem+projection entry], each stride-2 transition, each
+    residual block, [head] (attached to the last segment). Returns
+    (apply_fn(a, prm), nominal_flops) pairs; costs come from the weight
+    shapes in params and the tracked feature-map side, so any depth
+    (ResNet-50/101/152) partitions correctly."""
+    from winograd_tpu.models.downsample import (
+        projection_bottleneck_block_pallas,
+        resnet50_stages,
+    )
+    from winograd_tpu.models.resnet50 import head_pallas, stem_pallas
+
+    hw = img_hw // 4  # 7x7/2 conv + 3x3/2 maxpool
+    stem_c, c_mid0 = params["proj"]["w_reduce"].shape
+    c_io0 = params["proj"]["w_expand"].shape[1]
+
+    def stem_proj(a, prm):
+        return projection_bottleneck_block_pallas(
+            stem_pallas(a, prm["stem"]), prm["proj"]
+        )
+
+    segs = [(
+        stem_proj,
+        2 * (img_hw // 2) ** 2 * 49 * 3 * stem_c
+        + 2 * hw * hw * (stem_c * c_mid0 + 9 * c_mid0 * c_mid0
+                         + c_mid0 * c_io0 + stem_c * c_io0),
+    )]
+    for si, st in enumerate(params["stages"]):
+        if st.get("transition") is not None:
+            c_in, c_mid = st["transition"]["w_reduce"].shape
+            c_out = st["transition"]["w_expand"].shape[1]
+            ho = hw // 2
+
+            def tr(a, prm, si=si):
+                return resnet50_stages(
+                    a,
+                    [{"transition": prm["stages"][si]["transition"],
+                      "blocks": []}],
+                )
+
+            segs.append((
+                tr,
+                2 * (hw * hw * c_in * c_mid
+                     + ho * ho * (9 * c_mid * c_mid + c_mid * c_out
+                                  + c_in * c_out)),
+            ))
+            hw = ho
+        for bi, b in enumerate(st["blocks"]):
+            c_io, c_mid = b["w_reduce"].shape
+
+            def blk(a, prm, si=si, bi=bi):
+                return resnet50_stages(
+                    a,
+                    [{"transition": None,
+                      "blocks": prm["stages"][si]["blocks"][bi:bi + 1]}],
+                )
+
+            segs.append(
+                (blk, 2 * hw * hw * (2 * c_io * c_mid + 9 * c_mid * c_mid))
+            )
+
+    def last_plus_head(a, prm, inner=segs[-1][0]):
+        return head_pallas(inner(a, prm), prm["head"])
+
+    segs[-1] = (last_plus_head, segs[-1][1])
+    return segs
+
+
+def _balanced_partition(costs, k: int):
+    """Split costs into k contiguous groups minimizing the max group sum
+    (the pipeline's steady-state bottleneck). O(n^2 k) DP — n is tens of
+    blocks. Returns group boundary indices: groups[i] = [b[i], b[i+1])."""
+    n = len(costs)
+    prefix = [0]
+    for c in costs:
+        prefix.append(prefix[-1] + c)
+    INF = float("inf")
+    # best[j][i]: minimal max-group-sum splitting the first i items into j.
+    best = [[INF] * (n + 1) for _ in range(k + 1)]
+    cut = [[0] * (n + 1) for _ in range(k + 1)]
+    best[0][0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(n + 1):
+            for p in range(i + 1):
+                v = max(best[j - 1][p], prefix[i] - prefix[p])
+                if v < best[j][i]:
+                    best[j][i], cut[j][i] = v, p
+    bounds = [n]
+    for j in range(k, 0, -1):
+        bounds.append(cut[j][bounds[-1]])
+    return bounds[::-1]
+
+
 def pipelined_resnet50_inference(
     mesh: Mesh,
     params: dict,
@@ -148,47 +242,46 @@ def pipelined_resnet50_inference(
     microbatch: int,
     num_classes: Optional[int] = None,
 ) -> jax.Array:
-    """The COMPLETE classifier as a 4-stage HETEROGENEOUS GPipe pipeline:
-    [stem + conv2_x] -> [conv3_x] -> [conv4_x] -> [conv5_x + head].
+    """The COMPLETE classifier as a HETEROGENEOUS GPipe pipeline over any
+    pipe-mesh size: segments (stem+entry, transitions, residual blocks,
+    head) are partitioned at block granularity into contiguous rank groups
+    balanced by nominal FLOPs — a named-stage split would bottleneck on
+    conv4_x for the deeper family (ResNet-152's conv4_x is ~60% of the
+    model), while the balanced split keeps every rank busy.
 
     Unlike pipelined_stage_inference (uniform block stages), the
-    classifier's stages change resolution and width, so inter-stage
+    classifier's segments change resolution and width, so inter-rank
     activations travel as FLAT buffers padded to the largest boundary
-    (conv2_x out) and each stage reshapes statically; stage dispatch is a
-    lax.switch on the pipe index. Parameters are replicated (heterogeneous
-    pytrees cannot stack over the pipe axis) — this pipeline is the
+    and each rank reshapes statically; rank dispatch is a lax.switch on
+    the pipe index. Parameters are replicated (heterogeneous pytrees
+    cannot stack over the pipe axis) — this pipeline is the
     activation-streaming / throughput-scaling schedule, not a weight-
     memory partitioning (that's tensor_parallel.py's job).
 
-    params: the models/resnet50.py forward structure (4 trunk stages).
+    params: the models/resnet50.py forward structure (any trunk depth).
     x: (N, H, W, 3) with N % microbatch == 0."""
-    from winograd_tpu.models.downsample import (
-        projection_bottleneck_block_pallas,
-        resnet50_stages,
-    )
-    from winograd_tpu.models.resnet50 import head_pallas, stem_pallas
-
     n_stages = mesh.shape["pipe"]
-    assert n_stages == 4, f"classifier pipeline is 4-stage, mesh has {n_stages}"
-    assert len(params["stages"]) == 4, len(params["stages"])
     n, h, w, c = x.shape
     assert n % microbatch == 0, (n, microbatch)
     m = n // microbatch
     mb = microbatch
 
-    def s0(img, prm):
-        hdd = stem_pallas(img, prm["stem"])
-        hdd = projection_bottleneck_block_pallas(hdd, prm["proj"])
-        return resnet50_stages(hdd, [prm["stages"][0]])
+    segs = _classifier_segments(params, h)
+    assert n_stages <= len(segs), (
+        f"{n_stages}-rank pipe needs >= {n_stages} segments, model has "
+        f"{len(segs)}"
+    )
+    bounds = _balanced_partition([fl for _, fl in segs], n_stages)
 
-    fns = [
-        s0,
-        lambda a, prm: resnet50_stages(a, [prm["stages"][1]]),
-        lambda a, prm: resnet50_stages(a, [prm["stages"][2]]),
-        lambda a, prm: head_pallas(
-            resnet50_stages(a, [prm["stages"][3]]), prm["head"]
-        ),
-    ]
+    def make_group(i0, i1):
+        def group(a, prm):
+            for f, _ in segs[i0:i1]:
+                a = f(a, prm)
+            return a
+
+        return group
+
+    fns = [make_group(bounds[i], bounds[i + 1]) for i in range(n_stages)]
     # Static boundary shapes: probe with eval_shape (no FLOPs).
     in_shapes = [(mb, h, w, c)]
     for f in fns[:-1]:
@@ -210,7 +303,7 @@ def pipelined_resnet50_inference(
 
         return branch
 
-    branches = [make_branch(i) for i in range(4)]
+    branches = [make_branch(i) for i in range(n_stages)]
 
     # Params travel as a TRACED, replicated operand — closing over the
     # full classifier's ~100 MB of weights would bake them into the HLO as
@@ -259,6 +352,8 @@ def pipelined_resnet50_inference(
         (n, h, w, c),
         mb,
         nc,
+        tuple(bounds),
+        tuple(flat),
         jax.tree_util.tree_structure(params),
     )
     fn = _R50_PIPE_CACHE.get(key)
