@@ -140,3 +140,33 @@ def test_pipelined_classifier_arbitrary_ranks():
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"ranks={ranks}")
+
+
+def test_pipelined_classifier_bf16w_tier():
+    """The bf16 weight-storage tier pipelines too: per-rank segments run
+    the same bf16w kernels as the single-device forward."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+    from winograd_tpu.parallel import make_pipe_mesh, pipelined_resnet50_inference
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyB(ResNet50Config):
+        stages = ((16, 8, 8, 2), (32, 8, 4, 2))
+        img: int = 32
+        stem_c: int = 8
+        num_classes: int = 24
+
+    params = init_resnet50_params(_TinyB("pipe_bf16w"), seed=23)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 32, 32, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_pallas(x, params, precision="bf16w"))
+    got = np.asarray(
+        pipelined_resnet50_inference(
+            make_pipe_mesh(4), params, x, microbatch=2, precision="bf16w"
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)

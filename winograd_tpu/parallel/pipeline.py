@@ -141,14 +141,16 @@ def pipelined_stage_inference(
     return out.reshape(n, h, w, c)
 
 
-def _classifier_segments(params, img_hw: int):
+def _classifier_segments(params, img_hw: int, precision=None):
     """Decompose the classifier into pipeline segments at BLOCK
     granularity: [stem+projection entry], each stride-2 transition, each
     residual block, [head] (attached to the last segment). Returns
     (apply_fn(a, prm), nominal_flops) pairs; costs come from the weight
     shapes in params and the tracked feature-map side, so any depth
-    (ResNet-50/101/152) partitions correctly."""
+    (ResNet-50/101/152) partitions correctly. precision="bf16w" serves
+    every segment at the bf16 weight-storage tier."""
     from winograd_tpu.models.downsample import (
+        downsample_bottleneck_block_pallas,
         projection_bottleneck_block_pallas,
         resnet50_stages,
     )
@@ -160,7 +162,7 @@ def _classifier_segments(params, img_hw: int):
 
     def stem_proj(a, prm):
         return projection_bottleneck_block_pallas(
-            stem_pallas(a, prm["stem"]), prm["proj"]
+            stem_pallas(a, prm["stem"], precision), prm["proj"], precision
         )
 
     segs = [(
@@ -176,10 +178,8 @@ def _classifier_segments(params, img_hw: int):
             ho = hw // 2
 
             def tr(a, prm, si=si):
-                return resnet50_stages(
-                    a,
-                    [{"transition": prm["stages"][si]["transition"],
-                      "blocks": []}],
+                return downsample_bottleneck_block_pallas(
+                    a, prm["stages"][si]["transition"], precision=precision
                 )
 
             segs.append((
@@ -197,6 +197,7 @@ def _classifier_segments(params, img_hw: int):
                     a,
                     [{"transition": None,
                       "blocks": prm["stages"][si]["blocks"][bi:bi + 1]}],
+                    precision=precision,
                 )
 
             segs.append(
@@ -204,7 +205,7 @@ def _classifier_segments(params, img_hw: int):
             )
 
     def last_plus_head(a, prm, inner=segs[-1][0]):
-        return head_pallas(inner(a, prm), prm["head"])
+        return head_pallas(inner(a, prm), prm["head"], precision)
 
     segs[-1] = (last_plus_head, segs[-1][1])
     return segs
@@ -241,6 +242,7 @@ def pipelined_resnet50_inference(
     x: jax.Array,
     microbatch: int,
     num_classes: Optional[int] = None,
+    precision: Optional[str] = None,
 ) -> jax.Array:
     """The COMPLETE classifier as a HETEROGENEOUS GPipe pipeline over any
     pipe-mesh size: segments (stem+entry, transitions, residual blocks,
@@ -266,7 +268,7 @@ def pipelined_resnet50_inference(
     m = n // microbatch
     mb = microbatch
 
-    segs = _classifier_segments(params, h)
+    segs = _classifier_segments(params, h, precision)
     assert n_stages <= len(segs), (
         f"{n_stages}-rank pipe needs >= {n_stages} segments, model has "
         f"{len(segs)}"
@@ -352,6 +354,7 @@ def pipelined_resnet50_inference(
         (n, h, w, c),
         mb,
         nc,
+        precision,
         tuple(bounds),
         tuple(flat),
         jax.tree_util.tree_structure(params),
