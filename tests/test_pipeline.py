@@ -108,6 +108,9 @@ def test_balanced_partition_minimizes_bottleneck():
 
     # Degenerate: k == n -> every group has exactly one item.
     assert _balanced_partition([1, 2, 3], 3) == [0, 1, 2, 3]
+    # No group may be empty even when one cost dominates (an empty group
+    # would idle a whole pipeline rank on a tie).
+    assert _balanced_partition([4, 1, 1], 3) == [0, 1, 2, 3]
 
 
 def test_pipelined_classifier_arbitrary_ranks():

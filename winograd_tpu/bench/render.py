@@ -19,6 +19,7 @@ kernel-vs-kernel claim.
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 # The reference's custom-kernel TITAN X latencies for its six cases
@@ -93,11 +94,25 @@ def render(rows: list[dict]) -> str:
 
 
 def update_readme(readme_path: str, rows: list[dict]) -> None:
-    """Replace the table between the BENCH_TABLE markers in README.md."""
+    """Replace the table between the BENCH_TABLE markers in README.md.
+    Refuses to DROP modes: every mode currently in the README's table must
+    be present in the artifact (a narrower artifact must not silently
+    erase published rows — the failure shape VERDICT r2 flagged)."""
     with open(readme_path) as f:
         text = f.read()
+    if TABLE_START not in text or TABLE_END not in text:
+        raise SystemExit(
+            f"{readme_path} has no {TABLE_START}/{TABLE_END} markers"
+        )
     start = text.index(TABLE_START) + len(TABLE_START)
     end = text.index(TABLE_END)
+    have = {int(m) for m in re.findall(r"^\| (\d+) \|", text[start:end], re.M)}
+    got = {r["mode"] for r in rows}
+    if have - got:
+        raise SystemExit(
+            f"artifact is missing modes {sorted(have - got)} that the "
+            f"README table already publishes; run the full sweep first"
+        )
     with open(readme_path, "w") as f:
         f.write(text[:start] + "\n" + render(rows) + "\n" + text[end:])
 
@@ -106,6 +121,9 @@ def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     update = None
     if argv and argv[0] == "--update":
+        if len(argv) < 2:
+            print("--update needs a README path", file=sys.stderr)
+            return 2
         update = argv[1]
         argv = argv[2:]
     if len(argv) != 1:

@@ -313,9 +313,11 @@ class ResNet50Engine:
             resnet_serving_params_from_torch,
         )
 
+        import os
+
         sd = (
-            load_torch_checkpoint(sd_or_path)
-            if isinstance(sd_or_path, str)
+            load_torch_checkpoint(os.fspath(sd_or_path))
+            if isinstance(sd_or_path, (str, os.PathLike))
             else sd_or_path
         )
         return cls(resnet_serving_params_from_torch(sd), **kw)

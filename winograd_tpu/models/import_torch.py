@@ -32,7 +32,9 @@ BN_EPS = 1e-5  # torch.nn.BatchNorm2d default
 
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):  # torch.Tensor without importing torch
-        t = t.detach().cpu().numpy()
+        # .float() first: numpy has no bfloat16/half, and bf16-saved
+        # checkpoints are common for modern training runs.
+        t = t.detach().cpu().float().numpy()
     return np.asarray(t, np.float32)
 
 
@@ -82,6 +84,11 @@ def resnet_train_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
     models/checkpoint.py::prepare_resnet50_serving for the fused-kernel
     serving layouts, or serve directly via ResNet50Engine.from_torch."""
     sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    if "layer1.0.conv1.weight" in sd and "layer1.0.conv3.weight" not in sd:
+        raise ValueError(
+            "BasicBlock checkpoint (ResNet-18/34): the serving stack is "
+            "bottleneck-ResNet only (50/101/152)"
+        )
     s_stem, b_stem = _fold_bn(sd, "bn1", eps)
     stem = {"w7_stem": _np(sd["conv1.weight"]), "s_stem": s_stem, "b_stem": b_stem}
 

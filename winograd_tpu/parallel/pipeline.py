@@ -145,10 +145,12 @@ def _classifier_segments(params, img_hw: int, precision=None):
     """Decompose the classifier into pipeline segments at BLOCK
     granularity: [stem+projection entry], each stride-2 transition, each
     residual block, [head] (attached to the last segment). Returns
-    (apply_fn(a, prm), nominal_flops) pairs; costs come from the weight
-    shapes in params and the tracked feature-map side, so any depth
-    (ResNet-50/101/152) partitions correctly. precision="bf16w" serves
-    every segment at the bf16 weight-storage tier."""
+    (apply_fn(a, prm), nominal_flops, out_shape) triples; costs and
+    boundary shapes come from the weight shapes in params and the tracked
+    feature-map side (no tracing), so any depth (ResNet-50/101/152)
+    partitions correctly. precision="bf16w" serves every segment at the
+    bf16 weight-storage tier."""
+    from winograd_tpu.config import BlockConfig, TransitionConfig, case_flops
     from winograd_tpu.models.downsample import (
         downsample_bottleneck_block_pallas,
         projection_bottleneck_block_pallas,
@@ -156,7 +158,8 @@ def _classifier_segments(params, img_hw: int, precision=None):
     )
     from winograd_tpu.models.resnet50 import head_pallas, stem_pallas
 
-    hw = img_hw // 4  # 7x7/2 conv + 3x3/2 maxpool
+    assert img_hw % 4 == 0, img_hw  # 7x7/2 conv + 3x3/2 maxpool
+    hw = img_hw // 4
     stem_c, c_mid0 = params["proj"]["w_reduce"].shape
     c_io0 = params["proj"]["w_expand"].shape[1]
 
@@ -165,17 +168,20 @@ def _classifier_segments(params, img_hw: int, precision=None):
             stem_pallas(a, prm["stem"], precision), prm["proj"], precision
         )
 
+    # Stem 7x7 + the stride-1 projection entry: the one cost case_flops
+    # has no standalone config for (it's inlined in its ResNet50Config
+    # branch, config.py) — same algebra as there.
     segs = [(
         stem_proj,
         2 * (img_hw // 2) ** 2 * 49 * 3 * stem_c
         + 2 * hw * hw * (stem_c * c_mid0 + 9 * c_mid0 * c_mid0
                          + c_mid0 * c_io0 + stem_c * c_io0),
+        (hw, hw, c_io0),
     )]
     for si, st in enumerate(params["stages"]):
         if st.get("transition") is not None:
             c_in, c_mid = st["transition"]["w_reduce"].shape
             c_out = st["transition"]["w_expand"].shape[1]
-            ho = hw // 2
 
             def tr(a, prm, si=si):
                 return downsample_bottleneck_block_pallas(
@@ -184,11 +190,10 @@ def _classifier_segments(params, img_hw: int, precision=None):
 
             segs.append((
                 tr,
-                2 * (hw * hw * c_in * c_mid
-                     + ho * ho * (9 * c_mid * c_mid + c_mid * c_out
-                                  + c_in * c_out)),
+                case_flops(TransitionConfig("t", c_in, c_mid, c_out, hw=hw)),
+                (hw // 2, hw // 2, c_out),
             ))
-            hw = ho
+            hw //= 2
         for bi, b in enumerate(st["blocks"]):
             c_io, c_mid = b["w_reduce"].shape
 
@@ -200,33 +205,41 @@ def _classifier_segments(params, img_hw: int, precision=None):
                     precision=precision,
                 )
 
-            segs.append(
-                (blk, 2 * hw * hw * (2 * c_io * c_mid + 9 * c_mid * c_mid))
-            )
+            segs.append((
+                blk,
+                case_flops(BlockConfig("b", c_io=c_io, c_mid=c_mid, hw=hw)),
+                (hw, hw, c_io),
+            ))
+
+    nc = params["head"]["w_fc"].shape[1]
 
     def last_plus_head(a, prm, inner=segs[-1][0]):
         return head_pallas(inner(a, prm), prm["head"], precision)
 
-    segs[-1] = (last_plus_head, segs[-1][1])
+    segs[-1] = (last_plus_head, segs[-1][1], (nc,))
     return segs
 
 
 def _balanced_partition(costs, k: int):
-    """Split costs into k contiguous groups minimizing the max group sum
-    (the pipeline's steady-state bottleneck). O(n^2 k) DP — n is tens of
-    blocks. Returns group boundary indices: groups[i] = [b[i], b[i+1])."""
+    """Split costs into k contiguous NON-EMPTY groups minimizing the max
+    group sum (the pipeline's steady-state bottleneck). O(n^2 k) DP — n is
+    tens of blocks. Requires len(costs) >= k (every rank gets at least one
+    segment — an empty group would idle a device even on a cost tie).
+    Returns group boundary indices: groups[i] = [b[i], b[i+1])."""
     n = len(costs)
+    assert n >= k >= 1, (n, k)
     prefix = [0]
     for c in costs:
         prefix.append(prefix[-1] + c)
     INF = float("inf")
-    # best[j][i]: minimal max-group-sum splitting the first i items into j.
+    # best[j][i]: minimal max-group-sum splitting the first i items into j
+    # non-empty groups (valid only for i >= j).
     best = [[INF] * (n + 1) for _ in range(k + 1)]
     cut = [[0] * (n + 1) for _ in range(k + 1)]
     best[0][0] = 0.0
     for j in range(1, k + 1):
-        for i in range(n + 1):
-            for p in range(i + 1):
+        for i in range(j, n + 1):
+            for p in range(j - 1, i):
                 v = max(best[j - 1][p], prefix[i] - prefix[p])
                 if v < best[j][i]:
                     best[j][i], cut[j][i] = v, p
@@ -273,27 +286,24 @@ def pipelined_resnet50_inference(
         f"{n_stages}-rank pipe needs >= {n_stages} segments, model has "
         f"{len(segs)}"
     )
-    bounds = _balanced_partition([fl for _, fl in segs], n_stages)
+    bounds = _balanced_partition([fl for _, fl, _ in segs], n_stages)
 
     def make_group(i0, i1):
         def group(a, prm):
-            for f, _ in segs[i0:i1]:
+            for f, _, _ in segs[i0:i1]:
                 a = f(a, prm)
             return a
 
         return group
 
     fns = [make_group(bounds[i], bounds[i + 1]) for i in range(n_stages)]
-    # Static boundary shapes: probe with eval_shape (no FLOPs).
-    in_shapes = [(mb, h, w, c)]
-    for f in fns[:-1]:
-        out = jax.eval_shape(
-            f, jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32), params
-        )
-        in_shapes.append(out.shape)
-    nc = num_classes or jax.eval_shape(
-        fns[-1], jax.ShapeDtypeStruct(in_shapes[-1], jnp.float32), params
-    ).shape[-1]
+    # Static boundary shapes, analytically from the segment decomposition
+    # (tracing eval_shape probes here would re-trace the whole classifier
+    # on every call just to build the memo key).
+    in_shapes = [(mb, h, w, c)] + [
+        (mb, *segs[bounds[i + 1] - 1][2]) for i in range(n_stages - 1)
+    ]
+    nc = num_classes or segs[-1][2][-1]
     flat = [int(np.prod(s[1:])) for s in in_shapes]
     maxf = max(max(flat), nc)
 
