@@ -181,3 +181,66 @@ def test_backbone_engine_mesh_dp_matches(mesh):
     out_i8 = np.asarray(dp_int8(x))
     rel = np.abs(out_i8 - case["golden"]).max() / np.abs(case["golden"]).max()
     assert rel < 5e-2, rel
+
+
+def test_tp_full_classifier_matches(mesh):
+    """resnet50_forward_tp: the WHOLE classifier (stem, projection entry,
+    transitions, identity blocks, head) with every block's weights sharded
+    over "model" must match the single-device fused forward."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.datagen.generate import make_resnet50_case
+    from winograd_tpu.models.resnet50 import (
+        resnet50_forward_pallas,
+        resnet50_params,
+    )
+    from winograd_tpu.parallel import resnet50_forward_tp
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyTP(ResNet50Config):
+        # channel widths divisible by model_axis=2; num_classes too.
+        stages = ((32, 16, 8, 1), (64, 16, 4, 2))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    cfg = _TinyTP("tp_full")
+    case = make_resnet50_case(cfg, seed=19)
+    params = resnet50_params(case, cfg)
+    # batch 4 divides the mesh's data axis; vary the images.
+    x = jnp.stack([
+        jnp.asarray(case["x"]) * s for s in (1.0, 0.5, -0.25, 2.0)
+    ])
+    want = np.asarray(resnet50_forward_pallas(x, params))
+    got = np.asarray(resnet50_forward_tp(mesh, params, x))
+    assert got.shape == (4, 16), got.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # ...and against the float64 golden, same bar as the serving path.
+    assert np.abs(got[0] - case["golden"]).max() < 2e-4
+
+
+def test_tp_full_classifier_undivisible_head(mesh):
+    """num_classes not divisible by the model axis: the head falls back to
+    replicated FC; everything else stays sharded."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+    from winograd_tpu.parallel import resnet50_forward_tp
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyTP(ResNet50Config):
+        stages = ((32, 16, 8, 1),)
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 13
+
+    params = init_resnet50_params(_TinyTP("tp_odd_head"), seed=20)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 32, 32, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_pallas(x, params))
+    got = np.asarray(resnet50_forward_tp(mesh, params, x))
+    np.testing.assert_allclose(got, want, atol=2e-4)

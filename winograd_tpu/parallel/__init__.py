@@ -6,6 +6,8 @@ from winograd_tpu.parallel.tensor_parallel import (
     conv1x1_bn_tp_expand,
     conv3x3_bn_tp_direct,
     bottleneck_block_tp,
+    resnet_stage_tp,
+    resnet50_forward_tp,
 )
 from winograd_tpu.parallel.data_parallel import (
     sharded_block_inference,
@@ -30,6 +32,8 @@ __all__ = [
     "conv1x1_bn_tp_expand",
     "conv3x3_bn_tp_direct",
     "bottleneck_block_tp",
+    "resnet_stage_tp",
+    "resnet50_forward_tp",
     "make_pipe_mesh",
     "pipelined_stage_inference",
     "pipelined_resnet50_inference",

@@ -258,3 +258,146 @@ def conv1x1_bn_tp_expand(mesh, x, w, scale, bias, relu: bool = False):
         check_vma=False,
     )
     return jax.jit(fn)(x, w, scale, bias)
+
+
+def _tp_block_specs(p, n_model):
+    """PartitionSpec tree for one block/transition param dict under the
+    Megatron recipe: reduce column-parallel, 3x3 row-parallel, expand (and
+    projection shortcut) column-parallel. w9_mid is passed reshaped to
+    (9, Cmid, Cmid) so its contraction dim shards cleanly."""
+    cio, cmid = p["w_reduce"].shape
+    assert cmid % n_model == 0 and p["w_expand"].shape[1] % n_model == 0, (
+        p["w_reduce"].shape, p["w_expand"].shape, n_model)
+    specs = {
+        "w_reduce": P(None, "model"),
+        "s_reduce": P("model"), "b_reduce": P("model"),
+        "w9_mid": P(None, "model", None),
+        "s_mid": P(None), "b_mid": P(None),
+        "w_expand": P(None, "model"),
+        "s_expand": P("model"), "b_expand": P("model"),
+    }
+    if "w_proj" in p:
+        specs.update(
+            w_proj=P(None, "model"), s_proj=P("model"), b_proj=P("model")
+        )
+    return specs
+
+
+def _tp_block_arrays(p):
+    cio, cmid = p["w_reduce"].shape
+    keys = ["w_reduce", "s_reduce", "b_reduce", "w9_mid", "s_mid", "b_mid",
+            "w_expand", "s_expand", "b_expand"]
+    if "w_proj" in p:
+        keys += ["w_proj", "s_proj", "b_proj"]
+    out = {k: jnp.asarray(p[k]) for k in keys}
+    out["w9_mid"] = out["w9_mid"].reshape(9, cmid, cmid)
+    return out
+
+
+def resnet50_forward_tp(mesh, params, x):
+    """The COMPLETE classifier (any depth: 50/101/152) with EVERY block's
+    weights sharded over "model" — the serve-a-model-bigger-than-one-chip
+    (and halve-the-HBM-weight-stream) composition, one shard_map over the
+    whole network:
+
+    * stem + maxpool: computed redundantly per model-rank (37 KB of
+      weights; sharding it would trade a broadcast for nothing);
+    * every bottleneck (projection entry, transitions, identity blocks):
+      the Megatron recipe — reduce column-parallel (h1 lands Cmid-sharded),
+      3x3 row-parallel (stride 1 via the fused direct kernel, stride 2 via
+      strided im2col into the fused pointwise GEMM) with ONE psum, expand
+      and projection shortcut column-parallel, skip-add on the local
+      channel shard, one tiled all_gather re-replicates for the next
+      block's reduce;
+    * head: global avgpool local, FC column-parallel when num_classes
+      divides the model axis (one tiled all_gather of logits), replicated
+      otherwise.
+
+    x: (N, H, W, 3), batch-shardable over "data". params: the
+    models/resnet50.py forward structure. Per-chip weight bytes drop to
+    ~1/p of the model; collectives are activation-sized and ride ICI."""
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+    from winograd_tpu.models.downsample import _strided_im2col, _subsample
+    from winograd_tpu.models.resnet50 import stem_pallas
+
+    n_model = mesh.shape["model"]
+    nc = params["head"]["w_fc"].shape[1]
+    shard_head = nc % n_model == 0
+
+    blocks = [dict(_tp_block_arrays(params["proj"]), _stride=1)]
+    specs = [dict(_tp_block_specs(params["proj"], n_model), _stride=None)]
+    for st in params["stages"]:
+        if st.get("transition") is not None:
+            blocks.append(dict(_tp_block_arrays(st["transition"]), _stride=2))
+            specs.append(
+                dict(_tp_block_specs(st["transition"], n_model), _stride=None)
+            )
+        for b in st["blocks"]:
+            blocks.append(dict(_tp_block_arrays(b), _stride=0))
+            specs.append(dict(_tp_block_specs(b, n_model), _stride=None))
+    strides = [b.pop("_stride") for b in blocks]
+    for s in specs:
+        s.pop("_stride")
+
+    stem_arrays = {k: jnp.asarray(v) for k, v in params["stem"].items()}
+    head_arrays = {
+        "w_fc": jnp.asarray(params["head"]["w_fc"]),
+        "b_fc": jnp.asarray(params["head"]["b_fc"]),
+    }
+    stem_specs = {k: P() for k in stem_arrays}
+    head_specs = (
+        {"w_fc": P(None, "model"), "b_fc": P("model")}
+        if shard_head
+        else {"w_fc": P(), "b_fc": P()}
+    )
+
+    def local_fn(x_l, stem_p, blocks_p, head_p):
+        idx = jax.lax.axis_index("model")
+        h = stem_pallas(x_l, stem_p)
+        for bp, stride in zip(blocks_p, strides):
+            cmid = bp["s_mid"].shape[0]
+            cout_l = bp["w_expand"].shape[1]  # local shard
+            h1 = conv1x1_bn_pallas(
+                h, bp["w_reduce"], bp["s_reduce"], bp["b_reduce"], relu=True
+            )
+            ones = jnp.ones((cmid,), jnp.float32)
+            zeros = jnp.zeros((cmid,), jnp.float32)
+            w9_l = bp["w9_mid"].reshape(-1, cmid)
+            if stride == 2:
+                partial = conv1x1_bn_pallas(
+                    _strided_im2col(h1), w9_l, ones, zeros, relu=False
+                )
+            else:
+                partial = conv3x3_bn_direct_pallas(
+                    h1, w9_l, ones, zeros, relu=False
+                )
+            h2 = jax.lax.psum(partial, "model")
+            h2 = jnp.maximum(h2 * bp["s_mid"] + bp["b_mid"], 0.0)
+            h3 = conv1x1_bn_pallas(
+                h2, bp["w_expand"], bp["s_expand"], bp["b_expand"], relu=False
+            )
+            if "w_proj" in bp:
+                xs = _subsample(h) if stride == 2 else h
+                skip = conv1x1_bn_pallas(
+                    xs, bp["w_proj"], bp["s_proj"], bp["b_proj"], relu=False
+                )
+            else:
+                skip = jax.lax.dynamic_slice_in_dim(
+                    h, idx * cout_l, cout_l, axis=-1
+                )
+            out_l = jnp.maximum(h3 + skip, 0.0)
+            h = jax.lax.all_gather(out_l, "model", axis=-1, tiled=True)
+        pooled = h.mean(axis=(-3, -2))
+        logits = pooled @ head_p["w_fc"] + head_p["b_fc"]
+        if shard_head:
+            logits = jax.lax.all_gather(logits, "model", axis=-1, tiled=True)
+        return logits
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data", None, None, None), stem_specs, specs, head_specs),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(jnp.asarray(x, jnp.float32), stem_arrays, blocks, head_arrays)
