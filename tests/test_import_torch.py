@@ -118,6 +118,27 @@ def test_torch_import_logits_match():
     assert rel < 5e-4, rel
 
 
+def test_torch_import_serving_tiers():
+    """Imported checkpoints serve at every tier: bf16w and int8 logits stay
+    within their tier bounds of the torch reference."""
+    from winograd_tpu.config import BF16W_RTOL_BACKBONE, INT8_RTOL_BACKBONE
+    from winograd_tpu.engine import ResNet50Engine
+
+    model = _random_eval_model((2, 2, 2, 2), seed=3)
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref = model(x).numpy()[0]
+    xj = jnp.asarray(x.numpy()[0].transpose(1, 2, 0))
+
+    def rel(a):
+        r = np.asarray(ref, np.float64)
+        return np.abs(np.asarray(a, np.float64) - r).max() / np.abs(r).max()
+
+    sd = model.state_dict()
+    assert rel(ResNet50Engine.from_torch(sd, tier="bf16w")(xj)) < BF16W_RTOL_BACKBONE
+    assert rel(ResNet50Engine.from_torch(sd, tier="int8")(xj)) < INT8_RTOL_BACKBONE
+
+
 def test_engine_from_torch_checkpoint_file(tmp_path):
     """The .pth round trip: torch.save -> ResNet50Engine.from_torch, with
     the common {'state_dict': ...} + 'module.' DataParallel wrapping."""
