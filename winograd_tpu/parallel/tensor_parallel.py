@@ -27,6 +27,8 @@ from jax.sharding import PartitionSpec as P
 
 from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
 
+_R50_TP_CACHE: dict = {}
+
 
 def conv1x1_bn_tp_reduce(mesh, x, w, scale, bias, relu: bool = True):
     """Contraction-sharded fused 1x1 conv. x: (N, H, W, Cin) with Cin
@@ -393,11 +395,30 @@ def resnet50_forward_tp(mesh, params, x):
             logits = jax.lax.all_gather(logits, "model", axis=-1, tiled=True)
         return logits
 
-    fn = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P("data", None, None, None), stem_specs, specs, head_specs),
-        out_specs=P("data", None),
-        check_vma=False,
+    # Memoize the jitted program per (mesh, geometry, block structure) —
+    # a fresh jit wrapper per call would re-trace the whole network on
+    # every serving step (same pattern as pipeline._R50_PIPE_CACHE).
+    key = (
+        mesh,
+        tuple(x.shape),
+        tuple(strides),
+        shard_head,
+        tuple(
+            (tuple(sorted(b)),) + tuple(b[k].shape for k in sorted(b))
+            for b in blocks
+        ),
     )
-    return jax.jit(fn)(jnp.asarray(x, jnp.float32), stem_arrays, blocks, head_arrays)
+    fn = _R50_TP_CACHE.get(key)
+    if fn is None:
+        fn = _R50_TP_CACHE[key] = jax.jit(
+            shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None, None, None), stem_specs, specs, head_specs
+                ),
+                out_specs=P("data", None),
+                check_vma=False,
+            )
+        )
+    return fn(jnp.asarray(x, jnp.float32), stem_arrays, blocks, head_arrays)
