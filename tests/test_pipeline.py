@@ -173,3 +173,35 @@ def test_pipelined_classifier_bf16w_tier():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pipelined_classifier_int8_tier():
+    """The int8 tier pipelines: quantized params, per-segment int8 kernels,
+    same logits as the single-device int8 forward."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        quantize_resnet50,
+        resnet50_forward_int8,
+    )
+    from winograd_tpu.parallel import make_pipe_mesh, pipelined_resnet50_inference
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyI(ResNet50Config):
+        stages = ((16, 8, 8, 2), (32, 8, 4, 2))
+        img: int = 32
+        stem_c: int = 8
+        num_classes: int = 24
+
+    params = init_resnet50_params(_TinyI("pipe_int8"), seed=29)
+    q = quantize_resnet50(params)
+    x = jax.random.normal(jax.random.PRNGKey(12), (4, 32, 32, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_int8(x, q))
+    got = np.asarray(
+        pipelined_resnet50_inference(
+            make_pipe_mesh(4), q, x, microbatch=2, precision="int8"
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -149,7 +149,8 @@ def _classifier_segments(params, img_hw: int, precision=None):
     boundary shapes come from the weight shapes in params and the tracked
     feature-map side (no tracing), so any depth (ResNet-50/101/152)
     partitions correctly. precision="bf16w" serves every segment at the
-    bf16 weight-storage tier."""
+    bf16 weight-storage tier; precision="int8" expects QUANTIZED params
+    (quantize_resnet50 output) and runs the int8 kernels per segment."""
     from winograd_tpu.config import BlockConfig, TransitionConfig, case_flops
     from winograd_tpu.models.downsample import (
         downsample_bottleneck_block_pallas,
@@ -160,13 +161,32 @@ def _classifier_segments(params, img_hw: int, precision=None):
 
     assert img_hw % 4 == 0, img_hw  # 7x7/2 conv + 3x3/2 maxpool
     hw = img_hw // 4
-    stem_c, c_mid0 = params["proj"]["w_reduce"].shape
-    c_io0 = params["proj"]["w_expand"].shape[1]
+    int8 = precision == "int8"
+    wr_key, we_key = ("w_reduce_q", "w_expand_q") if int8 else (
+        "w_reduce", "w_expand")
+    stem_c, c_mid0 = params["proj"][wr_key].shape
+    c_io0 = params["proj"][we_key].shape[1]
 
-    def stem_proj(a, prm):
-        return projection_bottleneck_block_pallas(
-            stem_pallas(a, prm["stem"], precision), prm["proj"], precision
+    if int8:
+        from winograd_tpu.kernels.quantized import (
+            resnet_stage_int8_pallas,
+            transition_block_int8_pallas,
         )
+        from winograd_tpu.models.resnet50 import (
+            _head_int8,
+            _projection_block_int8,
+        )
+
+        def stem_proj(a, prm):
+            return _projection_block_int8(
+                stem_pallas(a, prm["stem"], "int8"), prm["proj"]
+            )
+    else:
+
+        def stem_proj(a, prm):
+            return projection_bottleneck_block_pallas(
+                stem_pallas(a, prm["stem"], precision), prm["proj"], precision
+            )
 
     # Stem 7x7 + the stride-1 projection entry: the one cost case_flops
     # has no standalone config for (it's inlined in its ResNet50Config
@@ -180,13 +200,21 @@ def _classifier_segments(params, img_hw: int, precision=None):
     )]
     for si, st in enumerate(params["stages"]):
         if st.get("transition") is not None:
-            c_in, c_mid = st["transition"]["w_reduce"].shape
-            c_out = st["transition"]["w_expand"].shape[1]
+            c_in, c_mid = st["transition"][wr_key].shape
+            c_out = st["transition"][we_key].shape[1]
 
-            def tr(a, prm, si=si):
-                return downsample_bottleneck_block_pallas(
-                    a, prm["stages"][si]["transition"], precision=precision
-                )
+            if int8:
+
+                def tr(a, prm, si=si):
+                    return transition_block_int8_pallas(
+                        a, prm["stages"][si]["transition"]
+                    )
+            else:
+
+                def tr(a, prm, si=si):
+                    return downsample_bottleneck_block_pallas(
+                        a, prm["stages"][si]["transition"], precision=precision
+                    )
 
             segs.append((
                 tr,
@@ -194,16 +222,31 @@ def _classifier_segments(params, img_hw: int, precision=None):
                 (hw // 2, hw // 2, c_out),
             ))
             hw //= 2
-        for bi, b in enumerate(st["blocks"]):
-            c_io, c_mid = b["w_reduce"].shape
+        # Identity blocks. int8 stages are STACKED on a leading block axis
+        # (quantize_stage_params); one segment = one static slice of it.
+        if int8:
+            n_blocks = int(st["blocks"][wr_key].shape[0])
+        else:
+            n_blocks = len(st["blocks"])
+        for bi in range(n_blocks):
+            if int8:
+                c_io, c_mid = st["blocks"][wr_key].shape[1:]
 
-            def blk(a, prm, si=si, bi=bi):
-                return resnet50_stages(
-                    a,
-                    [{"transition": None,
-                      "blocks": prm["stages"][si]["blocks"][bi:bi + 1]}],
-                    precision=precision,
-                )
+                def blk(a, prm, si=si, bi=bi):
+                    one = jax.tree.map(
+                        lambda v: v[bi:bi + 1], prm["stages"][si]["blocks"]
+                    )
+                    return resnet_stage_int8_pallas(a, one)
+            else:
+                c_io, c_mid = st["blocks"][bi]["w_reduce"].shape
+
+                def blk(a, prm, si=si, bi=bi):
+                    return resnet50_stages(
+                        a,
+                        [{"transition": None,
+                          "blocks": prm["stages"][si]["blocks"][bi:bi + 1]}],
+                        precision=precision,
+                    )
 
             segs.append((
                 blk,
@@ -211,10 +254,16 @@ def _classifier_segments(params, img_hw: int, precision=None):
                 (hw, hw, c_io),
             ))
 
-    nc = params["head"]["w_fc"].shape[1]
+    nc = params["head"]["w_fc_q" if int8 else "w_fc"].shape[1]
 
-    def last_plus_head(a, prm, inner=segs[-1][0]):
-        return head_pallas(inner(a, prm), prm["head"], precision)
+    if int8:
+
+        def last_plus_head(a, prm, inner=segs[-1][0]):
+            return _head_int8(inner(a, prm), prm["head"])
+    else:
+
+        def last_plus_head(a, prm, inner=segs[-1][0]):
+            return head_pallas(inner(a, prm), prm["head"], precision)
 
     segs[-1] = (last_plus_head, segs[-1][1], (nc,))
     return segs
@@ -273,7 +322,9 @@ def pipelined_resnet50_inference(
     activation-streaming / throughput-scaling schedule, not a weight-
     memory partitioning (that's tensor_parallel.py's job).
 
-    params: the models/resnet50.py forward structure (any trunk depth).
+    params: the models/resnet50.py forward structure (any trunk depth);
+    for precision="int8" pass quantize_resnet50(params) instead (the int8
+    kernels run per segment; stem stays f32 as in single-device serving).
     x: (N, H, W, 3) with N % microbatch == 0."""
     n_stages = mesh.shape["pipe"]
     n, h, w, c = x.shape
