@@ -244,3 +244,29 @@ def test_tp_full_classifier_undivisible_head(mesh):
     want = np.asarray(resnet50_forward_pallas(x, params))
     got = np.asarray(resnet50_forward_tp(mesh, params, x))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_engine_model_partition(mesh):
+    """ResNet50Engine(partition='model') serves through the whole-model TP
+    path and matches the data-parallel engine's logits."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.engine import ResNet50Engine
+    from winograd_tpu.models.resnet50 import init_resnet50_params
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyE(ResNet50Config):
+        stages = ((32, 16, 8, 1), (64, 16, 4, 1))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    params = init_resnet50_params(_TinyE("engine_tp"), seed=31)
+    x = jax.random.normal(jax.random.PRNGKey(13), (4, 32, 32, 3), jnp.float32)
+    dp = ResNet50Engine(params, mesh=mesh)
+    tp = ResNet50Engine(params, mesh=mesh, partition="model")
+    np.testing.assert_allclose(
+        np.asarray(tp(x)), np.asarray(dp(x)), atol=2e-4
+    )
+    assert tp.classify(x).shape == (4,)

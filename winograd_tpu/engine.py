@@ -220,13 +220,25 @@ class ResNet50Engine:
     (f32 strict / bf16w / int8 — the stem's s2d GEMM maps the tier onto
     its split_dot pass count rather than int8 weights, see
     models/resnet50.py::stem_pallas). With a mesh, inputs are
-    batch-sharded over the "data" axis with weights replicated on every
-    chip."""
+    batch-sharded over the "data" axis; partition="data" (default)
+    replicates weights on every chip, partition="model" shards every
+    block's weights over the "model" axis too (the Megatron recipe,
+    parallel/tensor_parallel.py::resnet50_forward_tp — per-chip weight
+    bytes drop to ~1/model_axis; f32 tier only)."""
 
-    def __init__(self, params, tier: str = "f32", mesh=None):
+    def __init__(self, params, tier: str = "f32", mesh=None, partition="data"):
         assert tier in ("f32", "bf16w", "int8"), tier
+        assert partition in ("data", "model"), partition
         self.tier = tier
         self.mesh = mesh
+        if partition == "model":
+            assert mesh is not None, "partition='model' needs a mesh"
+            assert tier == "f32", "model-sharded serving is the f32 path"
+            from winograd_tpu.parallel import resnet50_forward_tp
+
+            self._params = params  # resnet50_forward_tp places the shards
+            self._fn = lambda x, p: resnet50_forward_tp(mesh, p, x)
+            return
         if mesh is None:
             dest = jax.devices()[0]
         else:
