@@ -1,0 +1,26 @@
+"""The examples/ scripts must stay runnable (they are the switching-user
+documentation; a stale example is worse than none)."""
+
+import subprocess
+import sys
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable] + args,
+        capture_output=True, text=True, timeout=900, cwd=".",
+    )
+
+
+def test_serve_torch_checkpoint_demo():
+    r = _run(["examples/serve_torch_checkpoint.py", "--demo",
+              "--tier", "bf16w", "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rel_err vs torch" in r.stdout
+
+
+def test_train_and_deploy_tiny():
+    r = _run(["examples/train_and_deploy.py", "--tiny", "--steps", "3",
+              "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "deployed int8 classes" in r.stdout
