@@ -270,3 +270,29 @@ def test_engine_model_partition(mesh):
         np.asarray(tp(x)), np.asarray(dp(x)), atol=2e-4
     )
     assert tp.classify(x).shape == (4,)
+
+
+def test_tp_full_classifier_bf16w(mesh):
+    """Model-sharded serving at the bf16 weight-storage tier: TP + half
+    the per-chip streamed bytes, within the tier bound of the f32 TP."""
+    import dataclasses
+
+    from winograd_tpu.config import BF16W_RTOL_BACKBONE, ResNet50Config
+    from winograd_tpu.engine import ResNet50Engine
+    from winograd_tpu.models.resnet50 import init_resnet50_params
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyE(ResNet50Config):
+        stages = ((32, 16, 8, 1), (64, 16, 4, 1))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    params = init_resnet50_params(_TinyE("engine_tp_bf"), seed=33)
+    x = jax.random.normal(jax.random.PRNGKey(14), (4, 32, 32, 3), jnp.float32)
+    f32 = np.asarray(ResNet50Engine(params, mesh=mesh, partition="model")(x))
+    bf = np.asarray(
+        ResNet50Engine(params, tier="bf16w", mesh=mesh, partition="model")(x)
+    )
+    rel = np.abs(bf - f32).max() / np.abs(f32).max()
+    assert rel < BF16W_RTOL_BACKBONE, rel

@@ -233,11 +233,16 @@ class ResNet50Engine:
         self.mesh = mesh
         if partition == "model":
             assert mesh is not None, "partition='model' needs a mesh"
-            assert tier == "f32", "model-sharded serving is the f32 path"
+            assert tier in ("f32", "bf16w"), (
+                "model-sharded serving covers the f32/bf16w tiers"
+            )
             from winograd_tpu.parallel import resnet50_forward_tp
 
+            prec = "bf16w" if tier == "bf16w" else None
             self._params = params  # resnet50_forward_tp places the shards
-            self._fn = lambda x, p: resnet50_forward_tp(mesh, p, x)
+            self._fn = lambda x, p: resnet50_forward_tp(
+                mesh, p, x, precision=prec
+            )
             return
         if mesh is None:
             dest = jax.devices()[0]

@@ -296,7 +296,7 @@ def _tp_block_arrays(p):
     return out
 
 
-def resnet50_forward_tp(mesh, params, x):
+def resnet50_forward_tp(mesh, params, x, precision=None):
     """The COMPLETE classifier (any depth: 50/101/152) with EVERY block's
     weights sharded over "model" — the serve-a-model-bigger-than-one-chip
     (and halve-the-HBM-weight-stream) composition, one shard_map over the
@@ -317,11 +317,14 @@ def resnet50_forward_tp(mesh, params, x):
 
     x: (N, H, W, 3), batch-shardable over "data". params: the
     models/resnet50.py forward structure. Per-chip weight bytes drop to
-    ~1/p of the model; collectives are activation-sized and ride ICI."""
+    ~1/p of the model; collectives are activation-sized and ride ICI.
+    precision="bf16w" additionally halves the streamed bytes (each local
+    fused kernel runs the bf16 weight-storage tier)."""
     from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
     from winograd_tpu.models.downsample import _strided_im2col, _subsample
     from winograd_tpu.models.resnet50 import stem_pallas
 
+    kprec = "bf16w" if precision == "bf16w" else "bf16x3"
     n_model = mesh.shape["model"]
     nc = params["head"]["w_fc"].shape[1]
     shard_head = nc % n_model == 0
@@ -355,33 +358,37 @@ def resnet50_forward_tp(mesh, params, x):
 
     def local_fn(x_l, stem_p, blocks_p, head_p):
         idx = jax.lax.axis_index("model")
-        h = stem_pallas(x_l, stem_p)
+        h = stem_pallas(x_l, stem_p, precision)
         for bp, stride in zip(blocks_p, strides):
             cmid = bp["s_mid"].shape[0]
             cout_l = bp["w_expand"].shape[1]  # local shard
             h1 = conv1x1_bn_pallas(
-                h, bp["w_reduce"], bp["s_reduce"], bp["b_reduce"], relu=True
+                h, bp["w_reduce"], bp["s_reduce"], bp["b_reduce"], relu=True,
+                precision=kprec,
             )
             ones = jnp.ones((cmid,), jnp.float32)
             zeros = jnp.zeros((cmid,), jnp.float32)
             w9_l = bp["w9_mid"].reshape(-1, cmid)
             if stride == 2:
                 partial = conv1x1_bn_pallas(
-                    _strided_im2col(h1), w9_l, ones, zeros, relu=False
+                    _strided_im2col(h1), w9_l, ones, zeros, relu=False,
+                    precision=kprec,
                 )
             else:
                 partial = conv3x3_bn_direct_pallas(
-                    h1, w9_l, ones, zeros, relu=False
+                    h1, w9_l, ones, zeros, relu=False, precision=kprec
                 )
             h2 = jax.lax.psum(partial, "model")
             h2 = jnp.maximum(h2 * bp["s_mid"] + bp["b_mid"], 0.0)
             h3 = conv1x1_bn_pallas(
-                h2, bp["w_expand"], bp["s_expand"], bp["b_expand"], relu=False
+                h2, bp["w_expand"], bp["s_expand"], bp["b_expand"], relu=False,
+                precision=kprec,
             )
             if "w_proj" in bp:
                 xs = _subsample(h) if stride == 2 else h
                 skip = conv1x1_bn_pallas(
-                    xs, bp["w_proj"], bp["s_proj"], bp["b_proj"], relu=False
+                    xs, bp["w_proj"], bp["s_proj"], bp["b_proj"], relu=False,
+                    precision=kprec,
                 )
             else:
                 skip = jax.lax.dynamic_slice_in_dim(
@@ -403,6 +410,7 @@ def resnet50_forward_tp(mesh, params, x):
         tuple(x.shape),
         tuple(strides),
         shard_head,
+        precision,
         tuple(
             (tuple(sorted(b)),) + tuple(b[k].shape for k in sorted(b))
             for b in blocks
