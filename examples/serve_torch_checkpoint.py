@@ -40,10 +40,11 @@ def main(argv=None) -> int:
     if args.demo:
         import torch
 
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-        from test_import_torch import _random_eval_model
+        from winograd_tpu.models.import_torch import (
+            build_torch_reference_resnet,
+        )
 
-        model = _random_eval_model((2, 2, 2, 2), seed=0)
+        model = build_torch_reference_resnet((2, 2, 2, 2), seed=0)
         with tempfile.NamedTemporaryFile(suffix=".pth") as f:
             torch.save(model.state_dict(), f.name)
             engine = ResNet50Engine.from_torch(f.name, tier=args.tier)

@@ -1,14 +1,17 @@
 """The examples/ scripts must stay runnable (they are the switching-user
 documentation; a stale example is worse than none)."""
 
+import os
 import subprocess
 import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(args):
     return subprocess.run(
         [sys.executable] + args,
-        capture_output=True, text=True, timeout=900, cwd=".",
+        capture_output=True, text=True, timeout=900, cwd=_ROOT,
     )
 
 

@@ -13,80 +13,18 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-import torch.nn as nn  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 
 from winograd_tpu.models.import_torch import (  # noqa: E402
+    build_torch_reference_resnet,
     resnet_serving_params_from_torch,
     resnet_train_params_from_torch,
 )
 
 
-class _Bottleneck(nn.Module):
-    expansion = 4
-
-    def __init__(self, inplanes, planes, stride=1, downsample=None):
-        super().__init__()
-        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(planes)
-        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
-        self.bn2 = nn.BatchNorm2d(planes)
-        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
-        self.bn3 = nn.BatchNorm2d(planes * 4)
-        self.relu = nn.ReLU(inplace=True)
-        self.downsample = downsample
-
-    def forward(self, x):
-        idt = x if self.downsample is None else self.downsample(x)
-        h = self.relu(self.bn1(self.conv1(x)))
-        h = self.relu(self.bn2(self.conv2(h)))
-        h = self.bn3(self.conv3(h))
-        return self.relu(h + idt)
-
-
-class _ResNet(nn.Module):
-    """torchvision.models.ResNet's structure and parameter names."""
-
-    def __init__(self, layers, stem_c=16, planes=(4, 8, 16, 16), classes=16):
-        super().__init__()
-        self.conv1 = nn.Conv2d(3, stem_c, 7, stride=2, padding=3, bias=False)
-        self.bn1 = nn.BatchNorm2d(stem_c)
-        self.relu = nn.ReLU(inplace=True)
-        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
-        inplanes = stem_c
-        for li, (p, n) in enumerate(zip(planes, layers), start=1):
-            stride = 1 if li == 1 else 2
-            down = nn.Sequential(
-                nn.Conv2d(inplanes, p * 4, 1, stride=stride, bias=False),
-                nn.BatchNorm2d(p * 4),
-            )
-            blocks = [_Bottleneck(inplanes, p, stride, down)]
-            inplanes = p * 4
-            blocks += [_Bottleneck(inplanes, p) for _ in range(n - 1)]
-            setattr(self, f"layer{li}", nn.Sequential(*blocks))
-        self.avgpool = nn.AdaptiveAvgPool2d(1)
-        self.fc = nn.Linear(inplanes, classes)
-
-    def forward(self, x):
-        h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
-        for li in range(1, 5):
-            h = getattr(self, f"layer{li}")(h)
-        return self.fc(torch.flatten(self.avgpool(h), 1))
-
-
 def _random_eval_model(layers, seed=0):
-    torch.manual_seed(seed)
-    model = _ResNet(layers)
-    # Random (but sane) BN running stats so the fold is non-trivial.
-    with torch.no_grad():
-        for m in model.modules():
-            if isinstance(m, nn.BatchNorm2d):
-                m.running_mean.normal_(0, 0.2)
-                m.running_var.uniform_(0.5, 1.5)
-                m.weight.normal_(1.0, 0.2)
-                m.bias.normal_(0, 0.2)
-    return model.eval()
+    return build_torch_reference_resnet(layers, seed=seed)
 
 
 def test_torch_import_structure():

@@ -205,3 +205,31 @@ def test_pipelined_classifier_int8_tier():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pipelined_classifier_odd_transition_maps():
+    """Odd feature maps entering a transition (img=28 -> hw 7 -> ceil 4):
+    the analytic boundary shapes must use ceil like the kernels do."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+    from winograd_tpu.parallel import make_pipe_mesh, pipelined_resnet50_inference
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyOdd(ResNet50Config):
+        stages = ((16, 8, 7, 1), (32, 8, 4, 1))
+        img: int = 28
+        stem_c: int = 8
+        num_classes: int = 24
+
+    params = init_resnet50_params(_TinyOdd("pipe_odd"), seed=35)
+    x = jax.random.normal(jax.random.PRNGKey(15), (4, 28, 28, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_pallas(x, params))
+    got = np.asarray(
+        pipelined_resnet50_inference(make_pipe_mesh(4), params, x, microbatch=2)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)

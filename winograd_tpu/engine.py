@@ -223,8 +223,8 @@ class ResNet50Engine:
     batch-sharded over the "data" axis; partition="data" (default)
     replicates weights on every chip, partition="model" shards every
     block's weights over the "model" axis too (the Megatron recipe,
-    parallel/tensor_parallel.py::resnet50_forward_tp — per-chip weight
-    bytes drop to ~1/model_axis; f32 tier only)."""
+    parallel/tensor_parallel.py::make_resnet50_tp_fn — per-chip weight
+    bytes drop to ~1/model_axis; f32 and bf16w tiers)."""
 
     def __init__(self, params, tier: str = "f32", mesh=None, partition="data"):
         assert tier in ("f32", "bf16w", "int8"), tier
@@ -236,13 +236,14 @@ class ResNet50Engine:
             assert tier in ("f32", "bf16w"), (
                 "model-sharded serving covers the f32/bf16w tiers"
             )
-            from winograd_tpu.parallel import resnet50_forward_tp
+            from winograd_tpu.parallel import make_resnet50_tp_fn
 
             prec = "bf16w" if tier == "bf16w" else None
-            self._params = params  # resnet50_forward_tp places the shards
-            self._fn = lambda x, p: resnet50_forward_tp(
-                mesh, p, x, precision=prec
-            )
+            # The builder converts all weight arrays ONCE; __call__ does no
+            # per-call host->device re-upload.
+            tp_fn = make_resnet50_tp_fn(mesh, params, precision=prec)
+            self._params = None
+            self._fn = lambda x, p: tp_fn(x)
             return
         if mesh is None:
             dest = jax.devices()[0]

@@ -144,3 +144,81 @@ def load_torch_checkpoint(path: str) -> Dict:
     obj = torch.load(path, map_location="cpu", weights_only=True)
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     return {k.removeprefix("module."): v for k, v in sd.items()}
+
+
+def build_torch_reference_resnet(
+    layers, stem_c: int = 16, planes=(4, 8, 16, 16), classes: int = 16,
+    seed=None,
+):
+    """Build a torchvision-naming-compatible bottleneck ResNet in torch
+    (requires torch; torchvision itself is NOT needed). Used by the test
+    suite and examples as an INDEPENDENT cross-framework reference: its
+    eval-mode forward runs torch's own conv backend, so agreement with the
+    imported fused serving path validates the weight mapping end to end.
+    With seed set, weights AND BatchNorm running stats are randomized (a
+    non-trivial BN fold) and the model is returned in eval mode."""
+    import torch
+    import torch.nn as nn
+
+    class _Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, p, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, p, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(p)
+            self.conv2 = nn.Conv2d(p, p, 3, stride=stride, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(p)
+            self.conv3 = nn.Conv2d(p, p * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(p * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            h = self.relu(self.bn1(self.conv1(x)))
+            h = self.relu(self.bn2(self.conv2(h)))
+            h = self.bn3(self.conv3(h))
+            return self.relu(h + idt)
+
+    class _ResNet(nn.Module):
+        """torchvision.models.ResNet's structure and parameter names."""
+
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, stem_c, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(stem_c)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            inplanes = stem_c
+            for li, (p, n) in enumerate(zip(planes, layers), start=1):
+                stride = 1 if li == 1 else 2
+                down = nn.Sequential(
+                    nn.Conv2d(inplanes, p * 4, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(p * 4),
+                )
+                mods = [_Bottleneck(inplanes, p, stride, down)]
+                inplanes = p * 4
+                mods += [_Bottleneck(inplanes, p) for _ in range(n - 1)]
+                setattr(self, f"layer{li}", nn.Sequential(*mods))
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(inplanes, classes)
+
+        def forward(self, x):
+            h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in range(1, len(layers) + 1):
+                h = getattr(self, f"layer{li}")(h)
+            return self.fc(torch.flatten(self.avgpool(h), 1))
+
+    if seed is None:
+        return _ResNet()
+    torch.manual_seed(seed)
+    model = _ResNet()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+    return model.eval()

@@ -7,6 +7,7 @@ from winograd_tpu.parallel.tensor_parallel import (
     conv3x3_bn_tp_direct,
     bottleneck_block_tp,
     resnet_stage_tp,
+    make_resnet50_tp_fn,
     resnet50_forward_tp,
 )
 from winograd_tpu.parallel.data_parallel import (
@@ -33,6 +34,7 @@ __all__ = [
     "conv3x3_bn_tp_direct",
     "bottleneck_block_tp",
     "resnet_stage_tp",
+    "make_resnet50_tp_fn",
     "resnet50_forward_tp",
     "make_pipe_mesh",
     "pipelined_stage_inference",

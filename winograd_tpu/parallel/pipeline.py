@@ -144,13 +144,23 @@ def pipelined_stage_inference(
 def _classifier_segments(params, img_hw: int, precision=None):
     """Decompose the classifier into pipeline segments at BLOCK
     granularity: [stem+projection entry], each stride-2 transition, each
-    residual block, [head] (attached to the last segment). Returns
-    (apply_fn(a, prm), nominal_flops, out_shape) triples; costs and
-    boundary shapes come from the weight shapes in params and the tracked
-    feature-map side (no tracing), so any depth (ResNet-50/101/152)
-    partitions correctly. precision="bf16w" serves every segment at the
-    bf16 weight-storage tier; precision="int8" expects QUANTIZED params
-    (quantize_resnet50 output) and runs the int8 kernels per segment."""
+    residual block. Returns (segs, run_builder, head_fn, nc):
+
+    * segs — (apply_fn(a, prm), nominal_flops, out_shape, meta) with meta
+      one of ("stem",), ("tr", si), ("blk", si, bi); costs and boundary
+      shapes come from the weight shapes in params and the tracked
+      feature-map side (no tracing), so any depth (ResNet-50/101/152)
+      partitions correctly;
+    * run_builder(si, bi, bj) — fuses the contiguous identity run
+      [bi, bj] of stage si into ONE stage-kernel call (weight streaming,
+      activation VMEM-resident across the run — per-block calls would
+      round-trip HBM between blocks);
+    * head_fn(a, prm) — global avgpool + FC;
+    * nc — number of classes.
+
+    precision="bf16w" serves every segment at the bf16 weight-storage
+    tier; precision="int8" expects QUANTIZED params (quantize_resnet50
+    output) and runs the int8 kernels."""
     from winograd_tpu.config import BlockConfig, TransitionConfig, case_flops
     from winograd_tpu.models.downsample import (
         downsample_bottleneck_block_pallas,
@@ -181,12 +191,38 @@ def _classifier_segments(params, img_hw: int, precision=None):
             return _projection_block_int8(
                 stem_pallas(a, prm["stem"], "int8"), prm["proj"]
             )
+
+        def run_builder(si, bi, bj):
+            def run(a, prm):
+                sliced = jax.tree.map(
+                    lambda v: v[bi:bj + 1], prm["stages"][si]["blocks"]
+                )
+                return resnet_stage_int8_pallas(a, sliced)
+
+            return run
+
+        def head_fn(a, prm):
+            return _head_int8(a, prm["head"])
     else:
 
         def stem_proj(a, prm):
             return projection_bottleneck_block_pallas(
                 stem_pallas(a, prm["stem"], precision), prm["proj"], precision
             )
+
+        def run_builder(si, bi, bj):
+            def run(a, prm):
+                return resnet50_stages(
+                    a,
+                    [{"transition": None,
+                      "blocks": prm["stages"][si]["blocks"][bi:bj + 1]}],
+                    precision=precision,
+                )
+
+            return run
+
+        def head_fn(a, prm):
+            return head_pallas(a, prm["head"], precision)
 
     # Stem 7x7 + the stride-1 projection entry: the one cost case_flops
     # has no standalone config for (it's inlined in its ResNet50Config
@@ -197,6 +233,7 @@ def _classifier_segments(params, img_hw: int, precision=None):
         + 2 * hw * hw * (stem_c * c_mid0 + 9 * c_mid0 * c_mid0
                          + c_mid0 * c_io0 + stem_c * c_io0),
         (hw, hw, c_io0),
+        ("stem",),
     )]
     for si, st in enumerate(params["stages"]):
         if st.get("transition") is not None:
@@ -216,12 +253,14 @@ def _classifier_segments(params, img_hw: int, precision=None):
                         a, prm["stages"][si]["transition"], precision=precision
                     )
 
+            ho = -(-hw // 2)  # ceil: the kernels SAME-pad odd maps
             segs.append((
                 tr,
                 case_flops(TransitionConfig("t", c_in, c_mid, c_out, hw=hw)),
-                (hw // 2, hw // 2, c_out),
+                (ho, ho, c_out),
+                ("tr", si),
             ))
-            hw //= 2
+            hw = ho
         # Identity blocks. int8 stages are STACKED on a leading block axis
         # (quantize_stage_params); one segment = one static slice of it.
         if int8:
@@ -231,42 +270,17 @@ def _classifier_segments(params, img_hw: int, precision=None):
         for bi in range(n_blocks):
             if int8:
                 c_io, c_mid = st["blocks"][wr_key].shape[1:]
-
-                def blk(a, prm, si=si, bi=bi):
-                    one = jax.tree.map(
-                        lambda v: v[bi:bi + 1], prm["stages"][si]["blocks"]
-                    )
-                    return resnet_stage_int8_pallas(a, one)
             else:
                 c_io, c_mid = st["blocks"][bi]["w_reduce"].shape
-
-                def blk(a, prm, si=si, bi=bi):
-                    return resnet50_stages(
-                        a,
-                        [{"transition": None,
-                          "blocks": prm["stages"][si]["blocks"][bi:bi + 1]}],
-                        precision=precision,
-                    )
-
             segs.append((
-                blk,
+                run_builder(si, bi, bi),
                 case_flops(BlockConfig("b", c_io=c_io, c_mid=c_mid, hw=hw)),
                 (hw, hw, c_io),
+                ("blk", si, bi),
             ))
 
     nc = params["head"]["w_fc_q" if int8 else "w_fc"].shape[1]
-
-    if int8:
-
-        def last_plus_head(a, prm, inner=segs[-1][0]):
-            return _head_int8(inner(a, prm), prm["head"])
-    else:
-
-        def last_plus_head(a, prm, inner=segs[-1][0]):
-            return head_pallas(inner(a, prm), prm["head"], precision)
-
-    segs[-1] = (last_plus_head, segs[-1][1], (nc,))
-    return segs
+    return segs, run_builder, head_fn, nc
 
 
 def _balanced_partition(costs, k: int):
@@ -332,29 +346,55 @@ def pipelined_resnet50_inference(
     m = n // microbatch
     mb = microbatch
 
-    segs = _classifier_segments(params, h, precision)
+    segs, run_builder, head_fn, nc = _classifier_segments(params, h, precision)
+    nc = num_classes or nc
     assert n_stages <= len(segs), (
         f"{n_stages}-rank pipe needs >= {n_stages} segments, model has "
         f"{len(segs)}"
     )
-    bounds = _balanced_partition([fl for _, fl, _ in segs], n_stages)
+    bounds = _balanced_partition([s[1] for s in segs], n_stages)
 
-    def make_group(i0, i1):
+    def make_group(i0, i1, with_head):
+        # Coalesce contiguous identity-block runs of the same stage back
+        # into ONE fused stage-kernel call: the partition is block-granular
+        # but execution shouldn't pay per-block HBM round trips for blocks
+        # that landed on the same rank.
+        plan = []
+        j = i0
+        while j < i1:
+            meta = segs[j][3]
+            if meta[0] == "blk":
+                si, bi = meta[1], meta[2]
+                k = j
+                while (
+                    k + 1 < i1
+                    and segs[k + 1][3][0] == "blk"
+                    and segs[k + 1][3][1] == si
+                ):
+                    k += 1
+                plan.append(run_builder(si, bi, segs[k][3][2]))
+                j = k + 1
+            else:
+                plan.append(segs[j][0])
+                j += 1
+
         def group(a, prm):
-            for f, _, _ in segs[i0:i1]:
+            for f in plan:
                 a = f(a, prm)
-            return a
+            return head_fn(a, prm) if with_head else a
 
         return group
 
-    fns = [make_group(bounds[i], bounds[i + 1]) for i in range(n_stages)]
+    fns = [
+        make_group(bounds[i], bounds[i + 1], with_head=(i == n_stages - 1))
+        for i in range(n_stages)
+    ]
     # Static boundary shapes, analytically from the segment decomposition
     # (tracing eval_shape probes here would re-trace the whole classifier
     # on every call just to build the memo key).
     in_shapes = [(mb, h, w, c)] + [
         (mb, *segs[bounds[i + 1] - 1][2]) for i in range(n_stages - 1)
     ]
-    nc = num_classes or segs[-1][2][-1]
     flat = [int(np.prod(s[1:])) for s in in_shapes]
     maxf = max(max(flat), nc)
 

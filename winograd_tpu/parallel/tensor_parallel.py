@@ -296,11 +296,11 @@ def _tp_block_arrays(p):
     return out
 
 
-def resnet50_forward_tp(mesh, params, x, precision=None):
-    """The COMPLETE classifier (any depth: 50/101/152) with EVERY block's
-    weights sharded over "model" — the serve-a-model-bigger-than-one-chip
-    (and halve-the-HBM-weight-stream) composition, one shard_map over the
-    whole network:
+def make_resnet50_tp_fn(mesh, params, precision=None):
+    """Build a serving fn(x) for the COMPLETE classifier (any depth:
+    50/101/152) with EVERY block's weights sharded over "model" — the
+    serve-a-model-bigger-than-one-chip (and halve-the-HBM-weight-stream)
+    composition, one shard_map over the whole network:
 
     * stem + maxpool: computed redundantly per model-rank (37 KB of
       weights; sharding it would trade a broadcast for nothing);
@@ -311,23 +311,27 @@ def resnet50_forward_tp(mesh, params, x, precision=None):
       and projection shortcut column-parallel, skip-add on the local
       channel shard, one tiled all_gather re-replicates for the next
       block's reduce;
-    * head: global avgpool local, FC column-parallel when num_classes
-      divides the model axis (one tiled all_gather of logits), replicated
-      otherwise.
+    * head: global avgpool local, FC through the fused Pallas GEMM
+      (lane-padded classes; a plain XLA dot would run single-pass bf16 on
+      the MXU and break the f32 parity bar) — column-parallel when the
+      padded class dim divides the model axis (one tiled all_gather of
+      logits), replicated otherwise.
 
-    x: (N, H, W, 3), batch-shardable over "data". params: the
-    models/resnet50.py forward structure. Per-chip weight bytes drop to
-    ~1/p of the model; collectives are activation-sized and ride ICI.
+    Weight arrays are converted ONCE here (calling the returned fn does no
+    host->device re-upload); the jitted program is shared via
+    _R50_TP_CACHE. fn(x): x (N, H, W, 3), batch-shardable over "data".
     precision="bf16w" additionally halves the streamed bytes (each local
     fused kernel runs the bf16 weight-storage tier)."""
     from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
     from winograd_tpu.models.downsample import _strided_im2col, _subsample
-    from winograd_tpu.models.resnet50 import stem_pallas
+    from winograd_tpu.models.resnet50 import _class_pad, stem_pallas
 
     kprec = "bf16w" if precision == "bf16w" else "bf16x3"
     n_model = mesh.shape["model"]
     nc = params["head"]["w_fc"].shape[1]
-    shard_head = nc % n_model == 0
+    pad = _class_pad(nc)
+    ncp = nc + pad
+    shard_head = ncp % n_model == 0
 
     blocks = [dict(_tp_block_arrays(params["proj"]), _stride=1)]
     specs = [dict(_tp_block_specs(params["proj"], n_model), _stride=None)]
@@ -346,14 +350,19 @@ def resnet50_forward_tp(mesh, params, x, precision=None):
 
     stem_arrays = {k: jnp.asarray(v) for k, v in params["stem"].items()}
     head_arrays = {
-        "w_fc": jnp.asarray(params["head"]["w_fc"]),
-        "b_fc": jnp.asarray(params["head"]["b_fc"]),
+        "w_fc": jnp.pad(
+            jnp.asarray(params["head"]["w_fc"], jnp.float32), ((0, 0), (0, pad))
+        ),
+        "s_fc": jnp.ones((ncp,), jnp.float32),
+        "b_fc": jnp.pad(
+            jnp.asarray(params["head"]["b_fc"], jnp.float32), ((0, pad),)
+        ),
     }
     stem_specs = {k: P() for k in stem_arrays}
     head_specs = (
-        {"w_fc": P(None, "model"), "b_fc": P("model")}
+        {"w_fc": P(None, "model"), "s_fc": P("model"), "b_fc": P("model")}
         if shard_head
-        else {"w_fc": P(), "b_fc": P()}
+        else {"w_fc": P(), "s_fc": P(), "b_fc": P()}
     )
 
     def local_fn(x_l, stem_p, blocks_p, head_p):
@@ -397,28 +406,33 @@ def resnet50_forward_tp(mesh, params, x, precision=None):
             out_l = jnp.maximum(h3 + skip, 0.0)
             h = jax.lax.all_gather(out_l, "model", axis=-1, tiled=True)
         pooled = h.mean(axis=(-3, -2))
-        logits = pooled @ head_p["w_fc"] + head_p["b_fc"]
+        logits = conv1x1_bn_pallas(
+            pooled, head_p["w_fc"], head_p["s_fc"], head_p["b_fc"],
+            relu=False, precision=kprec,
+        )
         if shard_head:
             logits = jax.lax.all_gather(logits, "model", axis=-1, tiled=True)
-        return logits
+        return logits[..., :nc]
 
-    # Memoize the jitted program per (mesh, geometry, block structure) —
-    # a fresh jit wrapper per call would re-trace the whole network on
-    # every serving step (same pattern as pipeline._R50_PIPE_CACHE).
+    # Memoize the jitted program per (mesh, block structure) — a fresh jit
+    # wrapper per build would re-trace the whole network for every engine
+    # (same pattern as pipeline._R50_PIPE_CACHE). jit itself keys on x's
+    # shape, so one cached wrapper covers all batch sizes.
     key = (
         mesh,
-        tuple(x.shape),
         tuple(strides),
         shard_head,
         precision,
+        nc,
+        tuple(sorted(stem_arrays)),
         tuple(
             (tuple(sorted(b)),) + tuple(b[k].shape for k in sorted(b))
             for b in blocks
         ),
     )
-    fn = _R50_TP_CACHE.get(key)
-    if fn is None:
-        fn = _R50_TP_CACHE[key] = jax.jit(
+    jitted = _R50_TP_CACHE.get(key)
+    if jitted is None:
+        jitted = _R50_TP_CACHE[key] = jax.jit(
             shard_map(
                 local_fn,
                 mesh=mesh,
@@ -429,4 +443,17 @@ def resnet50_forward_tp(mesh, params, x, precision=None):
                 check_vma=False,
             )
         )
-    return fn(jnp.asarray(x, jnp.float32), stem_arrays, blocks, head_arrays)
+
+    def fn(x):
+        return jitted(
+            jnp.asarray(x, jnp.float32), stem_arrays, blocks, head_arrays
+        )
+
+    return fn
+
+
+def resnet50_forward_tp(mesh, params, x, precision=None):
+    """One-shot convenience wrapper over make_resnet50_tp_fn (which is the
+    serving form: it converts the weight arrays once and returns a fn(x)
+    that does no per-call host->device re-upload)."""
+    return make_resnet50_tp_fn(mesh, params, precision)(x)
