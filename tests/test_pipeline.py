@@ -233,3 +233,33 @@ def test_pipelined_classifier_odd_transition_maps():
         pipelined_resnet50_inference(make_pipe_mesh(4), params, x, microbatch=2)
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_engine_pipe_partition():
+    """ResNet50Engine(partition='pipe'): GPipe serving through the engine
+    API at f32 and int8, matching the single-device engine."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.engine import ResNet50Engine
+    from winograd_tpu.models.resnet50 import init_resnet50_params
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyP(ResNet50Config):
+        stages = ((16, 8, 8, 2), (32, 8, 4, 1))
+        img: int = 32
+        stem_c: int = 8
+        num_classes: int = 24
+
+    params = init_resnet50_params(_TinyP("engine_pipe"), seed=37)
+    x = jax.random.normal(jax.random.PRNGKey(16), (4, 32, 32, 3), jnp.float32)
+    mesh = make_pipe_mesh(4)
+    for tier in ("f32", "int8"):
+        single = ResNet50Engine(params, tier=tier)
+        piped = ResNet50Engine(
+            params, tier=tier, mesh=mesh, partition="pipe", microbatch=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(piped(x)), np.asarray(single(x)), atol=2e-5,
+            err_msg=tier,
+        )

@@ -226,11 +226,29 @@ class ResNet50Engine:
     parallel/tensor_parallel.py::make_resnet50_tp_fn — per-chip weight
     bytes drop to ~1/model_axis; f32 and bf16w tiers)."""
 
-    def __init__(self, params, tier: str = "f32", mesh=None, partition="data"):
+    def __init__(self, params, tier: str = "f32", mesh=None, partition="data",
+                 microbatch: int = 1):
         assert tier in ("f32", "bf16w", "int8"), tier
-        assert partition in ("data", "model"), partition
+        assert partition in ("data", "model", "pipe"), partition
         self.tier = tier
         self.mesh = mesh
+        if partition == "pipe":
+            # GPipe over a ("pipe",) mesh (parallel/pipeline.py): block-
+            # granular FLOP-balanced rank groups, all three tiers. The
+            # batch must be a multiple of microbatch.
+            assert mesh is not None and "pipe" in mesh.axis_names, mesh
+            from winograd_tpu.parallel import pipelined_resnet50_inference
+
+            if tier == "int8":
+                from winograd_tpu.models.resnet50 import quantize_resnet50
+
+                params = quantize_resnet50(params)
+            prec = None if tier == "f32" else tier
+            self._params = jax.tree.map(jnp.asarray, params)
+            self._fn = lambda x, p: pipelined_resnet50_inference(
+                mesh, p, x, microbatch=microbatch, precision=prec
+            )
+            return
         if partition == "model":
             assert mesh is not None, "partition='model' needs a mesh"
             assert tier in ("f32", "bf16w"), (
