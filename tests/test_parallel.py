@@ -296,3 +296,30 @@ def test_tp_full_classifier_bf16w(mesh):
     )
     rel = np.abs(bf - f32).max() / np.abs(f32).max()
     assert rel < BF16W_RTOL_BACKBONE, rel
+
+
+def test_tp_full_classifier_model_axis_4():
+    """4-way model sharding (data=2 x model=4): the Megatron composition
+    must hold at deeper weight splits, not just 2-way."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        resnet50_forward_pallas,
+    )
+    from winograd_tpu.parallel import make_mesh, resnet50_forward_tp
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyTP4(ResNet50Config):
+        stages = ((32, 16, 8, 1), (64, 16, 4, 1))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    mesh4 = make_mesh(8, model_axis=4)
+    params = init_resnet50_params(_TinyTP4("tp4_full"), seed=41)
+    x = jax.random.normal(jax.random.PRNGKey(17), (2, 32, 32, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_pallas(x, params))
+    got = np.asarray(resnet50_forward_tp(mesh4, params, x))
+    np.testing.assert_allclose(got, want, atol=2e-4)
