@@ -11,6 +11,8 @@ from winograd_tpu.models.resnet import (
 from winograd_tpu.models.checkpoint import (
     export_artifacts,
     load_model,
+    load_model_orbax,
+    save_model_orbax,
     load_params,
     prepare_resnet50_serving,
     save_model,
@@ -41,6 +43,8 @@ __all__ = [
     "load_params",
     "save_model",
     "load_model",
+    "save_model_orbax",
+    "load_model_orbax",
     "prepare_resnet50_serving",
     "export_artifacts",
     "downsample_bottleneck_block_pallas",

@@ -165,3 +165,51 @@ def export_artifacts(params: Dict, outdir: str, m: int = 4) -> None:
         (f"bnBias_myKernel_one_{cio}", "b_expand"),
     ]:
         save_parameter(f"{outdir}/{name}.bin", params[key])
+
+
+def save_model_orbax(path: str, tree, *, wait: bool = True):
+    """Save a nested param pytree with orbax (StandardCheckpointer): an
+    ASYNC, per-array, production checkpoint directory — the at-scale
+    complement to save_model's single-file npz (atomic + dependency-free).
+    With wait=False the save runs in the background; call
+    .wait_until_finished() on the returned checkpointer (e.g. overlap a
+    checkpoint with the next training steps)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    if wait:
+        ckptr.wait_until_finished()
+        return None
+    return ckptr
+
+
+def load_model_orbax(path: str, like=None, mesh=None):
+    """Restore a save_model_orbax directory. `like` (an abstract tree of
+    the same structure, e.g. init_resnet50_params(cfg)) makes the restore
+    structure-checked; with a mesh, arrays land replicated on it (ready
+    for the DP/TP serving paths)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = None
+    if like is not None:
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P())
+            target = jax.tree.map(
+                lambda v: jax.ShapeDtypeStruct(
+                    np.shape(v), np.asarray(v).dtype, sharding=sh
+                ),
+                like,
+            )
+        else:
+            target = jax.tree.map(
+                lambda v: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype),
+                like,
+            )
+    out = ckptr.restore(os.path.abspath(path), target)
+    ckptr.wait_until_finished()
+    return out
