@@ -263,3 +263,35 @@ def test_engine_pipe_partition():
             np.asarray(piped(x)), np.asarray(single(x)), atol=2e-5,
             err_msg=tier,
         )
+
+
+def test_pipelined_classifier_int8_two_ranks_coalesced():
+    """2 ranks over a deep int8 model: whole multi-block runs coalesce into
+    single stacked int8 stage-kernel calls and still match single-device."""
+    import dataclasses
+
+    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.models.resnet50 import (
+        init_resnet50_params,
+        quantize_resnet50,
+        resnet50_forward_int8,
+    )
+    from winograd_tpu.parallel import make_pipe_mesh, pipelined_resnet50_inference
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyI2(ResNet50Config):
+        stages = ((16, 8, 8, 3), (32, 8, 4, 2))
+        img: int = 32
+        stem_c: int = 8
+        num_classes: int = 24
+
+    params = init_resnet50_params(_TinyI2("pipe_int8_2r"), seed=43)
+    q = quantize_resnet50(params)
+    x = jax.random.normal(jax.random.PRNGKey(18), (4, 32, 32, 3), jnp.float32)
+    want = np.asarray(resnet50_forward_int8(x, q))
+    got = np.asarray(
+        pipelined_resnet50_inference(
+            make_pipe_mesh(2), q, x, microbatch=2, precision="int8"
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
