@@ -57,3 +57,28 @@ def test_render_r02_artifact_roundtrip():
     # Spot-check a known row against the artifact's values.
     mode12 = next(l for l in out if l.startswith("| 12 |"))
     assert "**56.41**" in mode12 and "55.31" in mode12
+
+
+def test_update_readme_roundtrip(tmp_path):
+    from winograd_tpu.bench.render import TABLE_END, TABLE_START, update_readme
+
+    md = tmp_path / "README.md"
+    md.write_text(
+        "# x\n\n" + TABLE_START + "\n| 0 | old | row |\n" + TABLE_END + "\ntail\n"
+    )
+    rows = [dict(ROW)]
+    update_readme(str(md), rows)
+    text = md.read_text()
+    assert "**3.13** (direct 4.0; F(4,3) 5.9)" in text
+    assert "old" not in text and text.endswith("tail\n")
+
+    # Refuses to DROP a published mode (the r2 stale-table failure shape).
+    import pytest
+
+    with pytest.raises(SystemExit):
+        update_readme(str(md), [dict(ROW, mode=5)])
+    # Refuses a file without markers.
+    bare = tmp_path / "bare.md"
+    bare.write_text("no markers here\n")
+    with pytest.raises(SystemExit):
+        update_readme(str(bare), rows)
