@@ -256,6 +256,19 @@ CASES[20] = ResNet101Config("resnet101_full")
 CASES[21] = ResNet152Config("resnet152_full")
 
 
+def stem_entry_flops(img: int, stem_c: int, c_mid0: int, c_io0: int) -> int:
+    """Nominal FLOPs of the stem 7x7/2 conv + conv2_x's stride-1 projection
+    entry block (reduce, 3x3, expand, projection shortcut) at batch 1 —
+    shared by case_flops and the pipeline's segment cost model so the two
+    can't drift apart."""
+    hs = img // 2
+    hw0 = img // 4
+    return 2 * hs * hs * 49 * 3 * stem_c + 2 * hw0 * hw0 * (
+        stem_c * c_mid0 + 9 * c_mid0 * c_mid0
+        + c_mid0 * c_io0 + stem_c * c_io0
+    )
+
+
 def case_flops(cfg) -> int:
     """Nominal conv FLOPs of a case (the conventional 2*MACs count of the
     mathematical convolution — algorithm-independent, so Winograd's FLOP
@@ -275,14 +288,9 @@ def case_flops(cfg) -> int:
             )
             prev = c_io
         if isinstance(cfg, ResNet50Config):
-            hs = cfg.img // 2
             c_io0, c_mid0, hw0, _ = cfg.stages[0]
-            # Stem 7x7/2 conv + conv2_x's stride-1 projection entry block
-            # (reduce, 3x3, expand, projection shortcut) + head FC.
-            total += 2 * cfg.batch * hs * hs * 49 * 3 * cfg.stem_c
-            total += 2 * cfg.batch * hw0 * hw0 * (
-                cfg.stem_c * c_mid0 + 9 * c_mid0 * c_mid0
-                + c_mid0 * c_io0 + cfg.stem_c * c_io0
+            total += cfg.batch * stem_entry_flops(
+                cfg.img, cfg.stem_c, c_mid0, c_io0
             )
             total += 2 * cfg.batch * cfg.stages[-1][0] * cfg.num_classes
         if isinstance(cfg, (TrainConfig, FullTrainConfig)):

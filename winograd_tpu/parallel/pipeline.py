@@ -161,7 +161,12 @@ def _classifier_segments(params, img_hw: int, precision=None):
     precision="bf16w" serves every segment at the bf16 weight-storage
     tier; precision="int8" expects QUANTIZED params (quantize_resnet50
     output) and runs the int8 kernels."""
-    from winograd_tpu.config import BlockConfig, TransitionConfig, case_flops
+    from winograd_tpu.config import (
+        BlockConfig,
+        TransitionConfig,
+        case_flops,
+        stem_entry_flops,
+    )
     from winograd_tpu.models.downsample import (
         downsample_bottleneck_block_pallas,
         projection_bottleneck_block_pallas,
@@ -224,14 +229,9 @@ def _classifier_segments(params, img_hw: int, precision=None):
         def head_fn(a, prm):
             return head_pallas(a, prm["head"], precision)
 
-    # Stem 7x7 + the stride-1 projection entry: the one cost case_flops
-    # has no standalone config for (it's inlined in its ResNet50Config
-    # branch, config.py) — same algebra as there.
     segs = [(
         stem_proj,
-        2 * (img_hw // 2) ** 2 * 49 * 3 * stem_c
-        + 2 * hw * hw * (stem_c * c_mid0 + 9 * c_mid0 * c_mid0
-                         + c_mid0 * c_io0 + stem_c * c_io0),
+        stem_entry_flops(img_hw, stem_c, c_mid0, c_io0),
         (hw, hw, c_io0),
         ("stem",),
     )]
@@ -272,8 +272,11 @@ def _classifier_segments(params, img_hw: int, precision=None):
                 c_io, c_mid = st["blocks"][wr_key].shape[1:]
             else:
                 c_io, c_mid = st["blocks"][bi]["w_reduce"].shape
+            # Block segments carry no standalone fn: the group builder
+            # always executes identity runs through run_builder so blocks
+            # landing on one rank coalesce into one stage-kernel call.
             segs.append((
-                run_builder(si, bi, bi),
+                None,
                 case_flops(BlockConfig("b", c_io=c_io, c_mid=c_mid, hw=hw)),
                 (hw, hw, c_io),
                 ("blk", si, bi),
