@@ -286,7 +286,7 @@ def _tp_block_specs(p, n_model):
 
 
 def _tp_block_arrays(p):
-    cio, cmid = p["w_reduce"].shape
+    cmid = p["w_reduce"].shape[1]
     keys = ["w_reduce", "s_reduce", "b_reduce", "w9_mid", "s_mid", "b_mid",
             "w_expand", "s_expand", "b_expand"]
     if "w_proj" in p:
