@@ -323,3 +323,34 @@ def test_tp_full_classifier_model_axis_4():
     want = np.asarray(resnet50_forward_pallas(x, params))
     got = np.asarray(resnet50_forward_tp(mesh4, params, x))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_tp_full_classifier_int8(mesh):
+    """Model-sharded int8 serving: quantized matrices shard like their f32
+    twins, the row-parallel 3x3 dequantizes before the psum, and the
+    result stays within the int8 tier bound of the f32 TP forward."""
+    import dataclasses
+
+    from winograd_tpu.config import INT8_RTOL_BACKBONE, ResNet50Config
+    from winograd_tpu.engine import ResNet50Engine
+    from winograd_tpu.models.resnet50 import init_resnet50_params
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyE(ResNet50Config):
+        stages = ((32, 16, 8, 1), (64, 16, 4, 1))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    params = init_resnet50_params(_TinyE("engine_tp_i8"), seed=45)
+    x = jax.random.normal(jax.random.PRNGKey(19), (4, 32, 32, 3), jnp.float32)
+    f32 = np.asarray(ResNet50Engine(params, mesh=mesh, partition="model")(x))
+    i8 = np.asarray(
+        ResNet50Engine(params, tier="int8", mesh=mesh, partition="model")(x)
+    )
+    rel = np.abs(i8 - f32).max() / np.abs(f32).max()
+    assert rel < INT8_RTOL_BACKBONE, rel
+    # ...and against the single-device int8 engine (same quantization).
+    single_i8 = np.asarray(ResNet50Engine(params, tier="int8")(x))
+    rel2 = np.abs(i8 - single_i8).max() / np.abs(single_i8).max()
+    assert rel2 < 2e-2, rel2

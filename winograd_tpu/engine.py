@@ -251,12 +251,9 @@ class ResNet50Engine:
             return
         if partition == "model":
             assert mesh is not None, "partition='model' needs a mesh"
-            assert tier in ("f32", "bf16w"), (
-                "model-sharded serving covers the f32/bf16w tiers"
-            )
             from winograd_tpu.parallel import make_resnet50_tp_fn
 
-            prec = "bf16w" if tier == "bf16w" else None
+            prec = None if tier == "f32" else tier
             # The builder converts all weight arrays ONCE; __call__ does no
             # per-call host->device re-upload.
             tp_fn = make_resnet50_tp_fn(mesh, params, precision=prec)

@@ -21,6 +21,7 @@ sharded for the next layer.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
@@ -296,6 +297,52 @@ def _tp_block_arrays(p):
     return out
 
 
+def _tp_block_specs_int8(p, n_model):
+    """Int8 twin of _tp_block_specs: the quantized matrices shard exactly
+    like their f32 twins; per-OUT-channel weight scales ride with the
+    output sharding (column-parallel layers) or stay replicated (the
+    row-parallel 3x3, whose dequant happens before the psum)."""
+    cio, cmid = p["w_reduce"].shape
+    assert cmid % n_model == 0 and p["w_expand"].shape[1] % n_model == 0, (
+        p["w_reduce"].shape, p["w_expand"].shape, n_model)
+    specs = {
+        "w_reduce_q": P(None, "model"), "w_reduce_s": P("model"),
+        "s_reduce": P("model"), "b_reduce": P("model"),
+        "w9_mid_q": P(None, "model", None), "w9_mid_s": P(None),
+        "s_mid": P(None), "b_mid": P(None),
+        "w_expand_q": P(None, "model"), "w_expand_s": P("model"),
+        "s_expand": P("model"), "b_expand": P("model"),
+    }
+    if "w_proj" in p:
+        specs.update(
+            w_proj_q=P(None, "model"), w_proj_s=P("model"),
+            s_proj=P("model"), b_proj=P("model"),
+        )
+    return specs
+
+
+def _tp_block_arrays_int8(p):
+    """Quantize one block/transition offline and lay the arrays out for
+    the TP specs above (w9 reshaped to (9, Cmid, Cmid) for row sharding)."""
+    from winograd_tpu.kernels.quantized import quantize_weights
+
+    cmid = p["w_reduce"].shape[1]
+    out = {}
+    for key in ("w_reduce", "w9_mid", "w_expand") + (
+        ("w_proj",) if "w_proj" in p else ()
+    ):
+        wq, sw = quantize_weights(np.asarray(p[key]))
+        out[f"{key}_q"] = jnp.asarray(wq)
+        out[f"{key}_s"] = jnp.asarray(sw)
+    out["w9_mid_q"] = out["w9_mid_q"].reshape(9, cmid, cmid)
+    for key in ("s_reduce", "b_reduce", "s_mid", "b_mid",
+                "s_expand", "b_expand") + (
+        ("s_proj", "b_proj") if "w_proj" in p else ()
+    ):
+        out[key] = jnp.asarray(p[key], jnp.float32)
+    return out
+
+
 def make_resnet50_tp_fn(mesh, params, precision=None):
     """Build a serving fn(x) for the COMPLETE classifier (any depth:
     50/101/152) with EVERY block's weights sharded over "model" — the
@@ -321,84 +368,145 @@ def make_resnet50_tp_fn(mesh, params, precision=None):
     host->device re-upload); the jitted program is shared via
     _R50_TP_CACHE. fn(x): x (N, H, W, 3), batch-shardable over "data".
     precision="bf16w" additionally halves the streamed bytes (each local
-    fused kernel runs the bf16 weight-storage tier)."""
+    fused kernel runs the bf16 weight-storage tier); precision="int8"
+    quantizes every block offline and runs the int8 kernels locally —
+    quantized matrices shard exactly like their f32 twins, and the
+    row-parallel 3x3's per-shard dynamic activation quant dequantizes
+    BEFORE the psum, so partial sums compose exactly. params is always
+    the f32 forward structure (quantization happens here)."""
     from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
     from winograd_tpu.models.downsample import _strided_im2col, _subsample
     from winograd_tpu.models.resnet50 import _class_pad, stem_pallas
 
+    int8 = precision == "int8"
+    if int8:
+        from winograd_tpu.kernels.quantized import (
+            conv1x1_bn_int8_pallas,
+            conv3x3_bn_int8_pallas,
+            quantize_weights,
+        )
     kprec = "bf16w" if precision == "bf16w" else "bf16x3"
     n_model = mesh.shape["model"]
     nc = params["head"]["w_fc"].shape[1]
     pad = _class_pad(nc)
     ncp = nc + pad
-    shard_head = ncp % n_model == 0
+    # The int8 head FC stays replicated (2 MB of int8 weights at
+    # ResNet-50 scale; sharding it would save nothing measurable).
+    shard_head = ncp % n_model == 0 and not int8
 
-    blocks = [dict(_tp_block_arrays(params["proj"]), _stride=1)]
-    specs = [dict(_tp_block_specs(params["proj"], n_model), _stride=None)]
+    mk_arrays = _tp_block_arrays_int8 if int8 else _tp_block_arrays
+    mk_specs = _tp_block_specs_int8 if int8 else _tp_block_specs
+    blocks = [dict(mk_arrays(params["proj"]), _stride=1)]
+    specs = [dict(mk_specs(params["proj"], n_model), _stride=None)]
     for st in params["stages"]:
         if st.get("transition") is not None:
-            blocks.append(dict(_tp_block_arrays(st["transition"]), _stride=2))
+            blocks.append(dict(mk_arrays(st["transition"]), _stride=2))
             specs.append(
-                dict(_tp_block_specs(st["transition"], n_model), _stride=None)
+                dict(mk_specs(st["transition"], n_model), _stride=None)
             )
         for b in st["blocks"]:
-            blocks.append(dict(_tp_block_arrays(b), _stride=0))
-            specs.append(dict(_tp_block_specs(b, n_model), _stride=None))
+            blocks.append(dict(mk_arrays(b), _stride=0))
+            specs.append(dict(mk_specs(b, n_model), _stride=None))
     strides = [b.pop("_stride") for b in blocks]
     for s in specs:
         s.pop("_stride")
 
     stem_arrays = {k: jnp.asarray(v) for k, v in params["stem"].items()}
-    head_arrays = {
-        "w_fc": jnp.pad(
-            jnp.asarray(params["head"]["w_fc"], jnp.float32), ((0, 0), (0, pad))
-        ),
-        "s_fc": jnp.ones((ncp,), jnp.float32),
-        "b_fc": jnp.pad(
-            jnp.asarray(params["head"]["b_fc"], jnp.float32), ((0, pad),)
-        ),
-    }
+    if int8:
+        wq, sw = quantize_weights(np.asarray(params["head"]["w_fc"]))
+        head_arrays = {
+            "w_fc_q": jnp.pad(jnp.asarray(wq), ((0, 0), (0, pad))),
+            "w_fc_s": jnp.pad(jnp.asarray(sw), ((0, pad),), constant_values=1.0),
+            "s_fc": jnp.ones((ncp,), jnp.float32),
+            "b_fc": jnp.pad(
+                jnp.asarray(params["head"]["b_fc"], jnp.float32), ((0, pad),)
+            ),
+        }
+    else:
+        head_arrays = {
+            "w_fc": jnp.pad(
+                jnp.asarray(params["head"]["w_fc"], jnp.float32),
+                ((0, 0), (0, pad)),
+            ),
+            "s_fc": jnp.ones((ncp,), jnp.float32),
+            "b_fc": jnp.pad(
+                jnp.asarray(params["head"]["b_fc"], jnp.float32), ((0, pad),)
+            ),
+        }
     stem_specs = {k: P() for k in stem_arrays}
     head_specs = (
         {"w_fc": P(None, "model"), "s_fc": P("model"), "b_fc": P("model")}
         if shard_head
-        else {"w_fc": P(), "s_fc": P(), "b_fc": P()}
+        else {k: P() for k in head_arrays}
     )
+
+    if int8:
+        # Tier adapters: same call sites, int8 kernels. The quantized
+        # matrices carry a "_q" suffix plus a per-out-channel "_s" scale.
+        def k1x1(a, bp, key, s, b, relu):
+            return conv1x1_bn_int8_pallas(
+                a, bp[f"{key}_q"], bp[f"{key}_s"], s, b, relu
+            )
+
+        def kmid(a, w9_l, w9s, cmid, stride):
+            if stride == 2:
+                return conv1x1_bn_int8_pallas(
+                    _strided_im2col(a), w9_l, w9s,
+                    jnp.ones((cmid,), jnp.float32),
+                    jnp.zeros((cmid,), jnp.float32), False,
+                )
+            return conv3x3_bn_int8_pallas(
+                a, w9_l, w9s, jnp.ones((cmid,), jnp.float32),
+                jnp.zeros((cmid,), jnp.float32), relu=False,
+            )
+
+        def khead(pooled, head_p):
+            return conv1x1_bn_int8_pallas(
+                pooled, head_p["w_fc_q"], head_p["w_fc_s"],
+                head_p["s_fc"], head_p["b_fc"], False,
+            )
+    else:
+
+        def k1x1(a, bp, key, s, b, relu):
+            return conv1x1_bn_pallas(a, bp[key], s, b, relu=relu,
+                                     precision=kprec)
+
+        def kmid(a, w9_l, w9s, cmid, stride):
+            ones = jnp.ones((cmid,), jnp.float32)
+            zeros = jnp.zeros((cmid,), jnp.float32)
+            if stride == 2:
+                return conv1x1_bn_pallas(
+                    _strided_im2col(a), w9_l, ones, zeros, relu=False,
+                    precision=kprec,
+                )
+            return conv3x3_bn_direct_pallas(
+                a, w9_l, ones, zeros, relu=False, precision=kprec
+            )
+
+        def khead(pooled, head_p):
+            return conv1x1_bn_pallas(
+                pooled, head_p["w_fc"], head_p["s_fc"], head_p["b_fc"],
+                relu=False, precision=kprec,
+            )
+
+    we_key = "w_expand_q" if int8 else "w_expand"
+    w9_key = "w9_mid_q" if int8 else "w9_mid"
 
     def local_fn(x_l, stem_p, blocks_p, head_p):
         idx = jax.lax.axis_index("model")
         h = stem_pallas(x_l, stem_p, precision)
         for bp, stride in zip(blocks_p, strides):
             cmid = bp["s_mid"].shape[0]
-            cout_l = bp["w_expand"].shape[1]  # local shard
-            h1 = conv1x1_bn_pallas(
-                h, bp["w_reduce"], bp["s_reduce"], bp["b_reduce"], relu=True,
-                precision=kprec,
-            )
-            ones = jnp.ones((cmid,), jnp.float32)
-            zeros = jnp.zeros((cmid,), jnp.float32)
-            w9_l = bp["w9_mid"].reshape(-1, cmid)
-            if stride == 2:
-                partial = conv1x1_bn_pallas(
-                    _strided_im2col(h1), w9_l, ones, zeros, relu=False,
-                    precision=kprec,
-                )
-            else:
-                partial = conv3x3_bn_direct_pallas(
-                    h1, w9_l, ones, zeros, relu=False, precision=kprec
-                )
+            cout_l = bp[we_key].shape[1]  # local shard
+            h1 = k1x1(h, bp, "w_reduce", bp["s_reduce"], bp["b_reduce"], True)
+            w9_l = bp[w9_key].reshape(-1, cmid)
+            partial = kmid(h1, w9_l, bp.get("w9_mid_s"), cmid, stride)
             h2 = jax.lax.psum(partial, "model")
             h2 = jnp.maximum(h2 * bp["s_mid"] + bp["b_mid"], 0.0)
-            h3 = conv1x1_bn_pallas(
-                h2, bp["w_expand"], bp["s_expand"], bp["b_expand"], relu=False,
-                precision=kprec,
-            )
-            if "w_proj" in bp:
+            h3 = k1x1(h2, bp, "w_expand", bp["s_expand"], bp["b_expand"], False)
+            if ("w_proj" in bp) or ("w_proj_q" in bp):
                 xs = _subsample(h) if stride == 2 else h
-                skip = conv1x1_bn_pallas(
-                    xs, bp["w_proj"], bp["s_proj"], bp["b_proj"], relu=False,
-                    precision=kprec,
-                )
+                skip = k1x1(xs, bp, "w_proj", bp["s_proj"], bp["b_proj"], False)
             else:
                 skip = jax.lax.dynamic_slice_in_dim(
                     h, idx * cout_l, cout_l, axis=-1
@@ -406,10 +514,7 @@ def make_resnet50_tp_fn(mesh, params, precision=None):
             out_l = jnp.maximum(h3 + skip, 0.0)
             h = jax.lax.all_gather(out_l, "model", axis=-1, tiled=True)
         pooled = h.mean(axis=(-3, -2))
-        logits = conv1x1_bn_pallas(
-            pooled, head_p["w_fc"], head_p["s_fc"], head_p["b_fc"],
-            relu=False, precision=kprec,
-        )
+        logits = khead(pooled, head_p)
         if shard_head:
             logits = jax.lax.all_gather(logits, "model", axis=-1, tiled=True)
         return logits[..., :nc]
