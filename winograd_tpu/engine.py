@@ -224,7 +224,9 @@ class ResNet50Engine:
     replicates weights on every chip, partition="model" shards every
     block's weights over the "model" axis too (the Megatron recipe,
     parallel/tensor_parallel.py::make_resnet50_tp_fn — per-chip weight
-    bytes drop to ~1/model_axis; f32 and bf16w tiers)."""
+    bytes drop to ~1/model_axis), partition="pipe" runs the FLOP-balanced
+    GPipe schedule over a ("pipe",) mesh. Every tier serves under every
+    partition."""
 
     def __init__(self, params, tier: str = "f32", mesh=None, partition="data",
                  microbatch: int = 1):
