@@ -25,6 +25,16 @@ def test_run_case_winograd_quick():
     assert r["max_error_pallas"] < 1e-4
 
 
+def test_run_case_stem_quick():
+    """Mode 22: the isolated fused stem — full parity surface (fused, XLA
+    emitter, the s2d alternate in the 'direct' slot, both tiers)."""
+    r = run_case(22, iterations=3, warmup=1)
+    assert r["parity_ok"]
+    assert r["max_error_pallas"] < 1e-4
+    assert r["max_error_direct"] < 1e-4
+    assert r["int8_rel_error"] is not None and r["bf16w_rel_error"] is not None
+
+
 def test_bench_loop_protocol():
     import jax.numpy as jnp
 

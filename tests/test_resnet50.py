@@ -59,7 +59,13 @@ def test_stem_matches_golden():
     out = np.asarray(stem_pallas(jnp.asarray(x), params))
     assert out.shape == (8, 8, 16)
     assert np.abs(out - gold).max() < PARITY_ATOL
-    # The space-to-depth + fused-Pallas-GEMM route (the served path on TPU).
+    # The served default is the single fused kernel (kernels/stem.py);
+    # check its accuracy tiers too.
+    for prec, bound in (("bf16w", 5e-3), ("int8", 5e-2)):
+        out_t = np.asarray(stem_pallas(jnp.asarray(x), params, precision=prec))
+        rel = np.abs(out_t - gold).max() / max(np.abs(gold).max(), 1.0)
+        assert rel < bound, (prec, rel)
+    # The space-to-depth patch-matrix route (the previous served path).
     out_s2d = np.asarray(stem_pallas(jnp.asarray(x), params, algo="s2d"))
     assert np.abs(out_s2d - gold).max() < PARITY_ATOL
     # The explicit im2col + fused-Pallas-GEMM route (kept as the non-XLA
@@ -106,7 +112,7 @@ def test_stem_odd_map_matches_golden():
         "s_stem": jnp.asarray(bn["scale"]),
         "b_stem": jnp.asarray(bn["bias"]),
     }
-    for algo in ("s2d", "conv", "im2col"):
+    for algo in ("fused", "s2d", "conv", "im2col"):
         out = np.asarray(stem_pallas(jnp.asarray(x), params, algo=algo))
         assert out.shape == gold.shape, (algo, out.shape)
         assert np.abs(out - gold).max() < PARITY_ATOL, algo

@@ -48,6 +48,38 @@ def test_forward_values_match_pallas():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=1e-3)
 
 
+def test_stem_train_fused_matches_xla_autodiff():
+    """stem_train_fused: forward == the served fused stem kernel; grads
+    (input, raw OIHW filter, folded BN) == jax.grad of the XLA stem math."""
+    from winograd_tpu.kernels.stem import stem_fused_pallas
+    from winograd_tpu.kernels.vjp import stem_filter_s2d_jnp
+
+    x = _rand(0, 32, 32, 3)
+    params = {
+        "w7_stem": _rand(1, 16, 3, 7, 7),
+        "s_stem": _rand(2, 16) * 0.2 + 1.0,
+        "b_stem": _rand(3, 16),
+    }
+    out = vjp.stem_train_fused(x, params)
+    want_fwd = stem_fused_pallas(
+        x, stem_filter_s2d_jnp(params["w7_stem"]),
+        params["s_stem"], params["b_stem"],
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want_fwd))
+
+    def _xla_stem(x_, p_):
+        h = jnp_ops.conv7x7_s2_bn_relu(x_, p_["w7_stem"], p_["s_stem"], p_["b_stem"])
+        return jnp_ops.maxpool3x3_s2(h)
+
+    got = _grads(vjp.stem_train_fused, (x, params))
+    want = _grads(_xla_stem, (x, params))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=2e-4, atol=2e-3, err_msg="dx")
+    for k in params:
+        np.testing.assert_allclose(np.asarray(got[1][k]), np.asarray(want[1][k]),
+                                   rtol=2e-4, atol=5e-3, err_msg=k)
+
+
 def test_block_megakernel_grads_match_xla_autodiff():
     """bottleneck_block_train (fused megakernel forward) grads == jax.grad
     of the XLA block, for every param and the input."""

@@ -108,7 +108,12 @@ def run_case(
     parity_pallas_fn = None
     parity_xla_fn = None
     extras: Dict = {}
-    from winograd_tpu.config import FullTrainConfig, ResNet50Config, TrainConfig
+    from winograd_tpu.config import (
+        FullTrainConfig,
+        ResNet50Config,
+        StemConfig,
+        TrainConfig,
+    )
 
     def _train_setup(fwd_fused, fwd_xla, params, x):
         """Shared train-mode machinery (modes 17/19): jitted forward-parity
@@ -322,6 +327,32 @@ def run_case(
         core_int8 = jax.jit(lambda x_: resnet_stage_int8_pallas(x_, qstacked))
         core_bf16w = jax.jit(
             lambda x_: resnet.resnet_stage_pallas(x_, params_list, precision="bf16w")
+        )
+    elif isinstance(cfg, StemConfig):
+        from winograd_tpu.models.resnet50 import stem_pallas
+        from winograd_tpu.ops import jnp_ops
+
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        params = {
+            "w7_stem": jax.device_put(jnp.asarray(case["stem_w7"]), dev),
+            "w49_stem": jax.device_put(jnp.asarray(case["stem_w49"]), dev),
+            "w192_stem": jax.device_put(jnp.asarray(case["stem_w192"]), dev),
+            "s_stem": jax.device_put(jnp.asarray(case["stem_scale"]), dev),
+            "b_stem": jax.device_put(jnp.asarray(case["stem_bias"]), dev),
+        }
+        fused = jax.jit(lambda x_: stem_pallas(x_, params))
+        xla_fn = jax.jit(lambda x_: jnp_ops.stem(x_, params))
+        pallas_fn = lambda: fused(x)
+        baseline_fn = lambda: xla_fn(x)
+        core_pallas = fused
+        core_xla = xla_fn
+        # The "direct" slot carries the previous served route (the XLA-built
+        # space-to-depth patch matrix through the pointwise kernel) — the
+        # in-house alternative algorithm, like modes 0/1's direct im2col.
+        core_direct = jax.jit(lambda x_: stem_pallas(x_, params, algo="s2d"))
+        core_int8 = jax.jit(lambda x_: stem_pallas(x_, params, precision="int8"))
+        core_bf16w = jax.jit(
+            lambda x_: stem_pallas(x_, params, precision="bf16w")
         )
     elif cfg.kind == "winograd3x3":
         from winograd_tpu.kernels import transforms
@@ -669,6 +700,8 @@ def run_smoke() -> int:
         "b_stem": jnp.asarray(bns["bias"]),
     }
     check("stem", lambda: stem_pallas(ximg, stem_p))
+    check("stem_bf16w", lambda: stem_pallas(ximg, stem_p, precision="bf16w"))
+    check("stem_int8", lambda: stem_pallas(ximg, stem_p, precision="int8"))
     xh = jnp.asarray(_rand(rng, 7, 7, 2048))
     head_p = {
         "w_fc": jnp.asarray(_rand(rng, 2048, 1000, scale=0.06)),

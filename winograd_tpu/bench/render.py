@@ -37,7 +37,12 @@ CASE_NOTES = {
     19: "(image → logits fwd+bwd)",
     20: "(ResNet-101, image → logits)",
     21: "(ResNet-152, image → logits)",
+    22: "(stem: 7×7/2 conv+BN+ReLU+maxpool)",
 }
+
+# What the generic "direct" alternate-algorithm slot means per mode (the
+# stem's alternate is the space-to-depth patch-matrix route, not im2col).
+DIRECT_LABEL = {22: "s2d"}
 
 TABLE_START = "<!-- BENCH_TABLE_START -->"
 TABLE_END = "<!-- BENCH_TABLE_END -->"
@@ -63,7 +68,8 @@ def render_row(r: dict) -> str:
     # Alternate in-house f32 algorithms, where the case ran them.
     alts = []
     if r.get("direct_device_us") is not None:
-        alts.append(f"direct {_us(r['direct_device_us'], 1)}")
+        label = DIRECT_LABEL.get(mode, "direct")
+        alts.append(f"{label} {_us(r['direct_device_us'], 1)}")
     if r.get("winograd_f43_device_us") is not None:
         alts.append(f"F(4,3) {_us(r['winograd_f43_device_us'], 1)}")
     if alts:

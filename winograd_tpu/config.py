@@ -31,6 +31,10 @@ Extensions beyond the reference:
     18: the complete classifier at batch 8 (serving-throughput regime)
     19: one full training step (fwd+bwd) through the COMPLETE classifier
         (stem + projection entry + 16-block trunk + head)
+    20/21: ResNet-101 / ResNet-152 through the same kernels (deeper
+        conv3_x/conv4_x stages; bench-only artifacts)
+    22: the classifier stem in isolation (7x7/2 conv + BN + ReLU + 3x3/2
+        maxpool — the fused single-kernel route, kernels/stem.py)
 """
 
 from __future__ import annotations
@@ -256,6 +260,26 @@ CASES[20] = ResNet101Config("resnet101_full")
 CASES[21] = ResNet152Config("resnet152_full")
 
 
+@dataclasses.dataclass(frozen=True)
+class StemConfig:
+    """The classifier stem in isolation: 7x7/2 conv + BN + ReLU + 3x3/2
+    maxpool. No reference analog (its scope is one bottleneck stage);
+    benchmarked on its own because it is the one layer with a dedicated
+    fused kernel (kernels/stem.py) and it dominates the non-trunk share of
+    the whole-classifier modes. Bench-only (the x/golden pair regenerates
+    in memory; on_disk=False)."""
+
+    name: str
+    img: int = 224
+    cin: int = 3
+    cout: int = 64
+    batch: int = 1
+    on_disk: bool = False
+
+
+CASES[22] = StemConfig("resnet50_stem")
+
+
 def stem_entry_flops(img: int, stem_c: int, c_mid0: int, c_io0: int) -> int:
     """Nominal FLOPs of the stem 7x7/2 conv + conv2_x's stride-1 projection
     entry block (reduce, 3x3, expand, projection shortcut) at batch 1 —
@@ -296,6 +320,9 @@ def case_flops(cfg) -> int:
         if isinstance(cfg, (TrainConfig, FullTrainConfig)):
             total *= 3  # fwd + bwd ~ 3x forward FLOPs (standard estimate)
         return total
+    if isinstance(cfg, StemConfig):
+        hs = -(-cfg.img // 2)
+        return 2 * cfg.batch * hs * hs * 49 * cfg.cin * cfg.cout
     if isinstance(cfg, TransitionConfig):
         ho = -(-cfg.hw // 2)
         return 2 * cfg.batch * (

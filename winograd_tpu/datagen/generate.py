@@ -370,10 +370,42 @@ def backbone_stages(cfg: BackboneConfig, case: Dict[str, np.ndarray]):
     return stages
 
 
+def make_stem_case(cfg, seed: int = 0) -> Dict[str, np.ndarray]:
+    """The isolated stem case (mode 22): image input, raw OIHW 7x7 filter
+    plus both offline GEMM layouts (im2col stem_w49, space-to-depth
+    stem_w192 — the fused kernel's artifact), folded BN, float64 golden."""
+    from winograd_tpu.models.resnet50 import stem_filter, stem_filter_s2d
+
+    rng = np.random.default_rng(seed)
+    shape = (
+        (cfg.img, cfg.img, cfg.cin)
+        if cfg.batch == 1
+        else (cfg.batch, cfg.img, cfg.img, cfg.cin)
+    )
+    x = _rand(rng, *shape)
+    w7 = _rand(rng, cfg.cout, cfg.cin, 7, 7)
+    bn = _bn_params(rng, cfg.cout, scale=0.5)
+    golden = np.asarray(
+        reference.stem(x.astype(np.float64), w7, bn["scale"], bn["bias"]),
+        np.float32,
+    )
+    return {
+        "x": x,
+        "stem_w7": w7,
+        "stem_w49": stem_filter(w7),
+        "stem_w192": stem_filter_s2d(w7),
+        "stem_scale": bn["scale"],
+        "stem_bias": bn["bias"],
+        "golden": golden,
+    }
+
+
 def make_case(mode: int, seed: int = 0) -> Dict[str, np.ndarray]:
-    from winograd_tpu.config import ResNet50Config
+    from winograd_tpu.config import ResNet50Config, StemConfig
 
     cfg = CASES[mode]
+    if isinstance(cfg, StemConfig):
+        return make_stem_case(cfg, seed)
     if isinstance(cfg, ResNet50Config):
         return make_resnet50_case(cfg, seed)
     if isinstance(cfg, BackboneConfig):

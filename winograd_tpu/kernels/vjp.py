@@ -164,6 +164,59 @@ def _wg_bwd(relu, m, res, g):
 conv3x3_bn_winograd_train.defvjp(_wg_fwd, _wg_bwd)
 
 
+# --- fused stem ----------------------------------------------------------------
+
+
+@jax.custom_vjp
+def stem_train_fused(x, params):
+    """Differentiable ResNet stem whose FORWARD is the single fused Pallas
+    stem kernel (kernels/stem.py: s2d patch GEMMs + BN + ReLU + row-pooled
+    maxpool) — the trained forward IS the served forward. params carries
+    the RAW {w7_stem, s_stem, b_stem}; the s2d GEMM layout is a fixed
+    pad+permutation applied in-trace (stem_filter_s2d_jnp) so gradients
+    flow to the OIHW filter. BACKWARD is XLA autodiff of the identical
+    math (the s2d patch-matrix GEMM + maxpool), rematerialized at
+    BWD_PRECISION."""
+    return _stem_fused_forward(x, params)
+
+
+def _stem_fused_forward(x, params):
+    from winograd_tpu.kernels.stem import stem_fused_pallas
+
+    return stem_fused_pallas(
+        x,
+        stem_filter_s2d_jnp(params["w7_stem"]),
+        params["s_stem"],
+        params["b_stem"],
+    )
+
+
+def _stem_math(x, params):
+    """The stem's math in plain XLA ops (the backward's subject): the same
+    s2d patch matrix, one GEMM at BWD_PRECISION, BN+ReLU, maxpool."""
+    from winograd_tpu.models.resnet50 import _stem_s2d_cols
+    from winograd_tpu.ops import jnp_ops
+
+    cols = _stem_s2d_cols(x)
+    w = stem_filter_s2d_jnp(params["w7_stem"])
+    z = jnp.dot(cols, w, preferred_element_type=jnp.float32, precision=BWD_PRECISION)
+    h = jnp.maximum(z * params["s_stem"] + params["b_stem"], 0.0)
+    return jnp_ops.maxpool3x3_s2(h)
+
+
+def _stem_fwd(x, params):
+    return _stem_fused_forward(x, params), (x, params)
+
+
+def _stem_bwd(res, g):
+    x, params = res
+    _, vjp_fn = jax.vjp(_stem_math, x, params)
+    return vjp_fn(g)
+
+
+stem_train_fused.defvjp(_stem_fwd, _stem_bwd)
+
+
 # --- whole-block megakernel ---------------------------------------------------
 
 

@@ -123,20 +123,32 @@ def stem_pallas(
     x: jax.Array,
     params: Dict,
     precision: str | None = None,
-    algo: str = "s2d",
+    algo: str = "fused",
 ) -> jax.Array:
     """Stem: 7x7/2 conv + BN + ReLU + 3x3/2 maxpool.
     (..., 224, 224, 3) -> (..., 56, 56, 64).
 
-    algo="s2d" (default, the measured winner — see module docstring) runs
-    the space-to-depth patch GEMM through the fused pointwise Pallas
-    kernel; needs key w192_stem (192, 64) = stem_filter_s2d(w7).
+    algo="fused" (default, the served route) runs the whole stem as ONE
+    Pallas kernel — s2d patch GEMMs + BN + ReLU + row-pooled maxpool in
+    VMEM (kernels/stem.py) — needing only the cheap 4x width-shift XLA
+    relayout instead of the 16x patch matrix; needs key w192_stem
+    (192, 64) = stem_filter_s2d(w7).
+    algo="s2d" is the previous served route (the full XLA-built patch
+    matrix through the fused pointwise kernel); same w192_stem key.
     algo="conv" runs XLA's conv emitter at the tier's precision
     (jnp_ops.conv7x7_s2_bn_relu: f32 -> HIGHEST exact, bf16w -> HIGH
     2.07e-4, int8 -> DEFAULT 3.1e-3); needs w7_stem (64, 3, 7, 7) OIHW.
     algo="im2col" routes the strided im2col into the same pointwise kernel
     (differential check only); needs w49_stem (147, 64).
     Common keys: s_stem, b_stem."""
+    if algo == "fused":
+        from winograd_tpu.kernels.stem import stem_fused_pallas
+
+        prec = {None: "bf16x3", "bf16w": "bf16w", "int8": "bf16"}[precision]
+        return stem_fused_pallas(
+            x, params["w192_stem"], params["s_stem"], params["b_stem"],
+            precision=prec,
+        )
     if algo == "conv":
         h = jnp_ops.conv7x7_s2_bn_relu(
             x, params["w7_stem"], params["s_stem"], params["b_stem"],
@@ -211,8 +223,8 @@ def resnet50_forward_pallas(
 
 def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     """Differentiable COMPLETE-classifier forward whose every conv runs the
-    SAME fused Pallas kernels serving uses (mode 19's subject): the stem's
-    s2d GEMM via conv1x1_bn_train (w7 -> w192 layout derived in-trace so
+    SAME fused Pallas kernels serving uses (mode 19's subject): the fused
+    stem kernel via stem_train_fused (w7 -> w192 layout derived in-trace so
     gradients flow to the raw OIHW filter), the projection / block /
     transition custom VJPs, and the head FC. Backward passes are XLA
     autodiff of the identical math, rematerialized (kernels/vjp.py).
@@ -222,16 +234,11 @@ def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     from winograd_tpu.kernels.vjp import (
         conv1x1_bn_train,
         projection_block_train_fused,
-        stem_filter_s2d_jnp,
+        stem_train_fused,
     )
     from winograd_tpu.models.downsample import resnet50_stages_train
 
-    st = params["stem"]
-    cols = _stem_s2d_cols(x)
-    h = conv1x1_bn_train(
-        cols, stem_filter_s2d_jnp(st["w7_stem"]), st["s_stem"], st["b_stem"], True
-    )
-    h = jnp_ops.maxpool3x3_s2(h)
+    h = stem_train_fused(x, params["stem"])
     h = projection_block_train_fused(h, params["proj"])
     h = resnet50_stages_train(h, params["stages"])
     return head_pallas(
