@@ -2,11 +2,13 @@
 
     python examples/serve_torch_checkpoint.py resnet50.pth --tier bf16w
     python examples/serve_torch_checkpoint.py --demo        # no checkpoint:
-        builds a tiny random bottleneck ResNet in torch, round-trips it
-        through a .pth file, and checks our logits against torch's.
+        builds tiny random bottleneck AND basic ResNets in torch,
+        round-trips them through .pth files, and checks our logits
+        against torch's.
 
-Any torchvision bottleneck ResNet state_dict works (50/101/152 — depth is
-inferred); BN folding and all fused-kernel layouts happen offline at load.
+Any torchvision ResNet state_dict works — bottleneck (50/101/152) or
+basic (18/34); the block family and depth are inferred. BN folding and all
+fused-kernel layouts happen offline at load.
 """
 
 import argparse
@@ -35,7 +37,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from winograd_tpu import ResNet50Engine
+    from winograd_tpu import engine_from_torch
 
     if args.demo:
         import torch
@@ -44,22 +46,31 @@ def main(argv=None) -> int:
             build_torch_reference_resnet,
         )
 
-        model = build_torch_reference_resnet((2, 2, 2, 2), seed=0)
-        with tempfile.NamedTemporaryFile(suffix=".pth") as f:
-            torch.save(model.state_dict(), f.name)
-            engine = ResNet50Engine.from_torch(f.name, tier=args.tier)
-        x = torch.randn(2, 3, 64, 64)
-        with torch.no_grad():
-            ref = model(x).numpy()
-        ours = np.asarray(engine(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
-        rel = np.abs(ours - ref).max() / np.abs(ref).max()
-        print(f"demo: tier={args.tier} rel_err vs torch = {rel:.2e}")
-        print(f"demo: classes = {np.asarray(engine.classify(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))}")
+        demos = {
+            "bottleneck": build_torch_reference_resnet((2, 2, 2, 2), seed=0),
+            "basic": build_torch_reference_resnet(
+                (2, 2), stem_c=16, planes=(16, 32), classes=16, seed=1,
+                block="basic",
+            ),
+        }
+        for family, model in demos.items():
+            with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+                torch.save(model.state_dict(), f.name)
+                engine = engine_from_torch(f.name, tier=args.tier)
+            x = torch.randn(2, 3, 64, 64)
+            with torch.no_grad():
+                ref = model(x).numpy()
+            xh = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+            ours = np.asarray(engine(xh))
+            rel = np.abs(ours - ref).max() / np.abs(ref).max()
+            print(f"demo[{family}]: engine={type(engine).__name__} "
+                  f"tier={args.tier} rel_err vs torch = {rel:.2e}")
+            print(f"demo[{family}]: classes = {np.asarray(engine.classify(xh))}")
         return 0
 
     if not args.checkpoint:
         ap.error("give a checkpoint path or --demo")
-    engine = ResNet50Engine.from_torch(args.checkpoint, tier=args.tier)
+    engine = engine_from_torch(args.checkpoint, tier=args.tier)
     x = jnp.zeros((1, 224, 224, 3), jnp.float32)
     print("classes:", np.asarray(engine.classify(x)))
     return 0

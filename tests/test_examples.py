@@ -19,6 +19,7 @@ def test_serve_torch_checkpoint_demo():
     r = _run(["examples/serve_torch_checkpoint.py", "--demo",
               "--tier", "bf16w", "--platform", "cpu"])
     assert r.returncode == 0, r.stderr[-2000:]
+    assert "demo[bottleneck]" in r.stdout and "demo[basic]" in r.stdout
     assert "rel_err vs torch" in r.stdout
 
 

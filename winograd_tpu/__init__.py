@@ -25,7 +25,9 @@ operators for the 14x14 stage of a ResNet bottleneck block —
   on tolerance breach (the reference's checker never fails: util.c:46-63).
 * A ResNet model family — block/stage/stride-2-transition megakernels,
   the 13-block backbone, and the COMPLETE ResNet-50 classifier (stem as a
-  space-to-depth patch GEMM + 16-block trunk + head; ResNet50Engine) —
+  space-to-depth patch GEMM + 16-block trunk + head; ResNet50Engine;
+  deeper depths 101/152 and the BASIC-block family 18/34 via
+  ResNetBasicEngine) —
   and a multi-chip parallel layer (jax.sharding.Mesh + pjit/shard_map:
   DP, Megatron-style block TP, GPipe pipeline) for batched deployment;
   bf16-weight-storage and int8 serving tiers with weight streaming.
@@ -41,9 +43,11 @@ operators for the 14x14 stage of a ResNet bottleneck block —
 from winograd_tpu.config import (
     CASES,
     BackboneConfig,
+    BasicNetConfig,
     BlockConfig,
     LayerConfig,
     ResNet50Config,
+    ResNet34Config,
     ResNet101Config,
     ResNet152Config,
     TransitionConfig,
@@ -57,8 +61,16 @@ from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
 from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
 from winograd_tpu.kernels.transition import transition_block_fused_pallas
 from winograd_tpu.kernels.stage import resnet_stage_fused_pallas
-from winograd_tpu.engine import BackboneEngine, BottleneckEngine, ResNet50Engine
+from winograd_tpu.engine import (
+    BackboneEngine,
+    BottleneckEngine,
+    ResNet50Engine,
+    ResNetBasicEngine,
+    engine_from_torch,
+)
 from winograd_tpu.models.import_torch import (
+    basicnet_serving_params_from_torch,
+    basicnet_train_params_from_torch,
     resnet_serving_params_from_torch,
     resnet_train_params_from_torch,
 )
@@ -72,10 +84,14 @@ __all__ = [
     "TransitionConfig",
     "BackboneConfig",
     "ResNet50Config",
+    "BasicNetConfig",
+    "ResNet34Config",
     "ResNet101Config",
     "ResNet152Config",
     "resnet_serving_params_from_torch",
     "resnet_train_params_from_torch",
+    "basicnet_serving_params_from_torch",
+    "basicnet_train_params_from_torch",
     "case_config",
     "jnp_ops",
     "reference",
@@ -89,5 +105,7 @@ __all__ = [
     "BottleneckEngine",
     "BackboneEngine",
     "ResNet50Engine",
+    "ResNetBasicEngine",
+    "engine_from_torch",
     "__version__",
 ]

@@ -109,6 +109,8 @@ def run_case(
     parity_xla_fn = None
     extras: Dict = {}
     from winograd_tpu.config import (
+        BasicNetConfig,
+        BasicTrainConfig,
         FullTrainConfig,
         ResNet50Config,
         StemConfig,
@@ -206,6 +208,45 @@ def run_case(
         )
         pallas_fn = lambda: core_pallas(x)
         baseline_fn = lambda: core_xla(x)
+    elif isinstance(cfg, BasicTrainConfig):
+        from winograd_tpu.models.basic import (
+            basicnet_forward_train,
+            basicnet_forward_xla,
+            basicnet_params,
+        )
+        from winograd_tpu.models.train import trainable_basicnet_params
+
+        params = jax.device_put(
+            trainable_basicnet_params(basicnet_params(case, cfg)), dev
+        )
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        parity_pallas_fn, parity_xla_fn, core_pallas, core_xla = _train_setup(
+            basicnet_forward_train, basicnet_forward_xla, params, x
+        )
+        pallas_fn = lambda: core_pallas(x)
+        baseline_fn = lambda: core_xla(x)
+    elif isinstance(cfg, BasicNetConfig):
+        from winograd_tpu.models.basic import (
+            basicnet_forward_int8,
+            basicnet_forward_pallas,
+            basicnet_forward_xla,
+            basicnet_params,
+            quantize_basicnet,
+        )
+
+        params = jax.device_put(basicnet_params(case, cfg), dev)
+        x = jax.device_put(jnp.asarray(case["x"]), dev)
+        fused = jax.jit(lambda x_: basicnet_forward_pallas(x_, params))
+        xla_fn = jax.jit(lambda x_: basicnet_forward_xla(x_, params))
+        pallas_fn = lambda: fused(x)
+        baseline_fn = lambda: xla_fn(x)
+        core_pallas = fused
+        core_xla = xla_fn
+        qparams = jax.device_put(quantize_basicnet(params), dev)
+        core_int8 = jax.jit(lambda x_: basicnet_forward_int8(x_, qparams))
+        core_bf16w = jax.jit(
+            lambda x_: basicnet_forward_pallas(x_, params, precision="bf16w")
+        )
     elif isinstance(cfg, ResNet50Config):
         from winograd_tpu.models.resnet50 import (
             quantize_resnet50,

@@ -35,6 +35,11 @@ Extensions beyond the reference:
         conv3_x/conv4_x stages; bench-only artifacts)
     22: the classifier stem in isolation (7x7/2 conv + BN + ReLU + 3x3/2
         maxpool — the fused single-kernel route, kernels/stem.py)
+    23/24: ResNet-18 / ResNet-34 — the BASIC-block family (two 3x3 convs
+        per block, stride-2 entry blocks) through the same fused kernels
+        (bench-only artifacts)
+    25: ONE ResNet-18 train step (fwd+bwd through the serving kernels vs
+        the all-XLA autodiff step — the basic-family twin of mode 19)
 """
 
 from __future__ import annotations
@@ -280,6 +285,67 @@ class StemConfig:
 CASES[22] = StemConfig("resnet50_stem")
 
 
+@dataclasses.dataclass(frozen=True)
+class BasicNetConfig:
+    """The COMPLETE ResNet-18 classifier — the BASIC-block family (two 3x3
+    convs per block; torchvision BasicBlock semantics). Stage tuples are
+    (channels, hw, blocks); stage 0's blocks are all identity (the stem
+    already outputs its width), later stages enter with a stride-2
+    downsample block (stride-2 3x3 + 3x3, stride-2 1x1 projection skip)
+    counted in `blocks`.
+
+    No new kernels: the stride-1 3x3s run the F(2,3) Winograd megakernel
+    (kernels/winograd.py), the stride-2 3x3 runs the strided-im2col fused
+    GEMM (models/downsample.py::conv3x3_s2_bn_relu_pallas), the projection
+    1x1 the fused pointwise kernel, and the stem/head are shared with the
+    bottleneck family. The reference scopes to bottleneck layers
+    (report.pdf section 1); this is the other half of the standard ResNet
+    model space."""
+
+    name: str
+    stages = (
+        (64, 56, 2),
+        (128, 28, 2),
+        (256, 14, 2),
+        (512, 7, 2),
+    )
+    img: int = 224
+    stem_c: int = 64
+    num_classes: int = 1000
+    batch: int = 1
+    # Bench-only: load_case regenerates the case in memory (like modes
+    # 20/21), no on-disk artifact set.
+    on_disk = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNet34Config(BasicNetConfig):
+    """The COMPLETE ResNet-34 classifier: the deeper basic-block depths
+    (3/4/6/3), same stage geometries and kernels as ResNet-18."""
+
+    stages = (
+        (64, 56, 3),
+        (128, 28, 4),
+        (256, 14, 6),
+        (512, 7, 3),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class BasicTrainConfig(BasicNetConfig):
+    """Training benchmark over the COMPLETE ResNet-18: ONE fwd+bwd step,
+    image to logits, forward through the SAME fused kernels serving uses
+    (models/basic.py::basicnet_forward_train — stem s2d GEMM, F(2,3)
+    Winograd custom VJPs for the stride-1 3x3s, in-trace w9 layout for the
+    strided entries) vs the all-XLA autodiff step. The basic-family twin
+    of mode 19."""
+
+
+CASES[23] = BasicNetConfig("resnet18_full")
+CASES[24] = ResNet34Config("resnet34_full")
+CASES[25] = BasicTrainConfig("resnet18_trainstep")
+
+
 def stem_entry_flops(img: int, stem_c: int, c_mid0: int, c_io0: int) -> int:
     """Nominal FLOPs of the stem 7x7/2 conv + conv2_x's stride-1 projection
     entry block (reduce, 3x3, expand, projection shortcut) at batch 1 —
@@ -320,6 +386,20 @@ def case_flops(cfg) -> int:
         if isinstance(cfg, (TrainConfig, FullTrainConfig)):
             total *= 3  # fwd + bwd ~ 3x forward FLOPs (standard estimate)
         return total
+    if isinstance(cfg, BasicNetConfig):
+        hs = cfg.img // 2
+        total = 2 * hs * hs * 49 * 3 * cfg.stem_c  # stem 7x7/2 conv
+        prev = cfg.stem_c
+        for c, hw, blocks in cfg.stages:
+            if prev != c:  # stride-2 entry block (3x3/2 + 3x3 + 1x1 proj)
+                total += 2 * hw * hw * (9 * prev * c + 9 * c * c + prev * c)
+                blocks -= 1
+            total += blocks * 2 * hw * hw * 2 * 9 * c * c
+            prev = c
+        total += 2 * cfg.stages[-1][0] * cfg.num_classes  # head FC
+        if isinstance(cfg, BasicTrainConfig):
+            total *= 3  # fwd + bwd ~ 3x forward FLOPs (standard estimate)
+        return cfg.batch * total
     if isinstance(cfg, StemConfig):
         hs = -(-cfg.img // 2)
         return 2 * cfg.batch * hs * hs * 49 * cfg.cin * cfg.cout

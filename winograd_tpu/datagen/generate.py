@@ -370,6 +370,96 @@ def backbone_stages(cfg: BackboneConfig, case: Dict[str, np.ndarray]):
     return stages
 
 
+def _basic_block_params_random(rng, c, bn_scale=1.0) -> Dict[str, np.ndarray]:
+    """Identity BASIC block (two stride-1 3x3s at width c) with both
+    offline filter layouts per conv (F(2,3) u2_* and direct w9_*)."""
+    from winograd_tpu.kernels.direct import direct_filter
+
+    out: Dict[str, np.ndarray] = {}
+    for leg in ("a", "b"):
+        w = _rand(rng, c, c, 3, 3)
+        bn = _bn_params(rng, c, scale=bn_scale)
+        out.update({
+            f"w_{leg}": w,
+            f"u2_{leg}": transforms.transform_filter(w, m=2),
+            f"w9_{leg}": np.asarray(direct_filter(w)),
+            f"s_{leg}": bn["scale"], f"b_{leg}": bn["bias"],
+        })
+    return out
+
+
+def _basic_entry_params_random(rng, cin, cout, bn_scale=1.0) -> Dict[str, np.ndarray]:
+    """Stride-2 entry BASIC block: strided 3x3 cin->cout (direct layout
+    only — Winograd needs stride 1), stride-1 3x3 cout->cout, and the
+    stride-2 1x1 projection shortcut."""
+    from winograd_tpu.kernels.direct import direct_filter
+
+    w_a = _rand(rng, cout, cin, 3, 3)
+    bn_a = _bn_params(rng, cout, scale=bn_scale)
+    w_b = _rand(rng, cout, cout, 3, 3)
+    bn_b = _bn_params(rng, cout, scale=bn_scale)
+    bn_p = _bn_params(rng, cout, scale=bn_scale)
+    return dict(
+        w_a=w_a, w9_a=np.asarray(direct_filter(w_a)),
+        s_a=bn_a["scale"], b_a=bn_a["bias"],
+        w_b=w_b, u2_b=transforms.transform_filter(w_b, m=2),
+        w9_b=np.asarray(direct_filter(w_b)),
+        s_b=bn_b["scale"], b_b=bn_b["bias"],
+        w_proj=_rand(rng, cin, cout),
+        s_proj=bn_p["scale"], b_proj=bn_p["bias"],
+    )
+
+
+def make_basicnet_case(cfg, seed: int = 0) -> Dict[str, np.ndarray]:
+    """The COMPLETE ResNet-18/34 case (BasicNetConfig): image input, stem
+    params, the basic-block trunk (stride-2 entry blocks "t{si}_", identity
+    blocks "s{si}_b{bi}_"), head FC params, and the float64 golden logits."""
+    from winograd_tpu.models.resnet50 import stem_filter, stem_filter_s2d
+
+    rng = np.random.default_rng(seed)
+    case: Dict[str, np.ndarray] = {}
+    img, stem_c = cfg.img, cfg.stem_c
+    shape = (img, img, 3) if cfg.batch == 1 else (cfg.batch, img, img, 3)
+    x = _rand(rng, *shape)
+    case["x"] = x
+
+    w7 = _rand(rng, stem_c, 3, 7, 7)
+    bn_stem = _bn_params(rng, stem_c, scale=0.5)
+    case.update(
+        stem_w7=w7, stem_w49=stem_filter(w7), stem_w192=stem_filter_s2d(w7),
+        stem_scale=bn_stem["scale"], stem_bias=bn_stem["bias"],
+    )
+    h = reference.stem(x.astype(np.float64), w7, bn_stem["scale"], bn_stem["bias"])
+
+    prev = stem_c
+    for si, (c, _hw, blocks) in enumerate(cfg.stages):
+        if prev != c:
+            e = _basic_entry_params_random(rng, prev, c, bn_scale=0.5)
+            h = reference.downsample_basic_block(
+                h,
+                e["w_a"], e["s_a"], e["b_a"],
+                e["w_b"], e["s_b"], e["b_b"],
+                e["w_proj"], e["s_proj"], e["b_proj"],
+            )
+            case.update({f"t{si}_{k}": v for k, v in e.items()})
+            blocks -= 1
+        for bi in range(blocks):
+            b = _basic_block_params_random(rng, c, bn_scale=0.5)
+            h = reference.basic_block(
+                h, b["w_a"], b["s_a"], b["b_a"], b["w_b"], b["s_b"], b["b_b"]
+            )
+            case.update({f"s{si}_b{bi}_{k}": v for k, v in b.items()})
+        prev = c
+    case["golden_trunk"] = np.asarray(h, np.float32)
+
+    nc = cfg.num_classes
+    w_fc = _rand(rng, cfg.stages[-1][0], nc, scale=2 * np.sqrt(2.0 / cfg.stages[-1][0]))
+    b_fc = _rand(rng, nc)
+    case.update(head_wfc=w_fc, head_bfc=b_fc)
+    case["golden"] = np.asarray(reference.head(h, w_fc, b_fc), np.float32)
+    return case
+
+
 def make_stem_case(cfg, seed: int = 0) -> Dict[str, np.ndarray]:
     """The isolated stem case (mode 22): image input, raw OIHW 7x7 filter
     plus both offline GEMM layouts (im2col stem_w49, space-to-depth
@@ -404,6 +494,10 @@ def make_case(mode: int, seed: int = 0) -> Dict[str, np.ndarray]:
     from winograd_tpu.config import ResNet50Config, StemConfig
 
     cfg = CASES[mode]
+    from winograd_tpu.config import BasicNetConfig
+
+    if isinstance(cfg, BasicNetConfig):
+        return make_basicnet_case(cfg, seed)
     if isinstance(cfg, StemConfig):
         return make_stem_case(cfg, seed)
     if isinstance(cfg, ResNet50Config):

@@ -378,6 +378,153 @@ class ResNet50Engine:
         return _throughput(self, batch, 3, iters, img)
 
 
+class ResNetBasicEngine:
+    """Serves the COMPLETE BASIC-block family (ResNet-18/34: image in,
+    logits out) through the fused kernels — the deployment surface for
+    bench modes 23/24.
+
+    params: the models/basic.py forward structure ({"stem", "stages",
+    "head"}, e.g. from basicnet_params(case, cfg)). tier selects the
+    serving precision (f32 strict / bf16w / int8). With a mesh, inputs are
+    batch-sharded over the "data" axis with weights replicated on every
+    chip (the basic family's largest weight stream — conv 512x512x3x3,
+    9.4 MB f32 — is an order of magnitude under the bottleneck family's
+    HBM-bound stages, so data parallelism is the scaling path that pays;
+    the Megatron/TP and pipeline partitioners stay bottleneck-only)."""
+
+    def __init__(self, params, tier: str = "f32", mesh=None):
+        assert tier in ("f32", "bf16w", "int8"), tier
+        self.tier = tier
+        self.mesh = mesh
+        if mesh is None:
+            dest = jax.devices()[0]
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dest = NamedSharding(mesh, P())
+        if tier == "int8":
+            from winograd_tpu.models.basic import quantize_basicnet
+
+            self._params = jax.device_put(quantize_basicnet(params), dest)
+
+            def fwd(x, p):
+                from winograd_tpu.models.basic import basicnet_forward_int8
+
+                return basicnet_forward_int8(x, p)
+        else:
+            precision = "bf16w" if tier == "bf16w" else None
+            self._params = jax.device_put(
+                jax.tree.map(jnp.asarray, params), dest
+            )
+
+            def fwd(x, p):
+                from winograd_tpu.models.basic import basicnet_forward_pallas
+
+                return basicnet_forward_pallas(x, p, precision=precision)
+
+        if mesh is None:
+            self._fn = jax.jit(fwd)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            inner = shard_map(
+                fwd,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None, None, None),
+                    jax.tree.map(lambda _: P(), self._params),
+                ),
+                out_specs=P("data", None),
+                check_vma=False,
+            )
+            self._fn = jax.jit(inner)
+
+    @classmethod
+    def from_case(cls, case, cfg, **kw) -> "ResNetBasicEngine":
+        """Build from a flat make_basicnet_case dict (datagen)."""
+        from winograd_tpu.models.basic import basicnet_params
+
+        return cls(basicnet_params(case, cfg), **kw)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "ResNetBasicEngine":
+        """Load a save_model checkpoint of TRAINED basic-family params
+        (basicnet_forward_train's structure), run the offline preprocessing
+        (models/checkpoint.py::prepare_basicnet_serving), serve."""
+        from winograd_tpu.models.checkpoint import (
+            load_model,
+            prepare_basicnet_serving,
+        )
+
+        params, _ = load_model(path)
+        return cls(prepare_basicnet_serving(params), **kw)
+
+    @classmethod
+    def from_torch(cls, sd_or_path, **kw) -> "ResNetBasicEngine":
+        """Serve a torchvision-format ResNet-18/34 checkpoint: a state_dict
+        (dict of tensors/arrays) or a .pt/.pth path. BN folding and every
+        fused-kernel layout happen offline here (models/import_torch.py);
+        depth is inferred from the state_dict."""
+        import os
+
+        from winograd_tpu.models.import_torch import (
+            basicnet_serving_params_from_torch,
+            load_torch_checkpoint,
+        )
+
+        sd = (
+            load_torch_checkpoint(os.fspath(sd_or_path))
+            if isinstance(sd_or_path, (str, os.PathLike))
+            else sd_or_path
+        )
+        return cls(basicnet_serving_params_from_torch(sd), **kw)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (H, W, 3) or (N, H, W, 3) image(s); returns (num_classes,) /
+        (N, num_classes) logits. Single images run as N=1 so the mesh path
+        sees a batch axis."""
+        x = jnp.asarray(x, jnp.float32)
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        out = self._fn(x, self._params)
+        return out[0] if squeeze else out
+
+    def classify(self, x: jax.Array) -> jax.Array:
+        """Argmax class id(s) for image(s) x."""
+        return jnp.argmax(self(x), axis=-1)
+
+    def throughput(self, batch: int, iters: int = 20, img: int = 224) -> Dict:
+        """img must match the deployment image side (224 for the standard
+        model) — the compiled program is shape-specific."""
+        return _throughput(self, batch, 3, iters, img)
+
+
+def engine_from_torch(sd_or_path, **kw):
+    """Serve ANY torchvision-format ResNet checkpoint: detects the block
+    family from the state_dict (models/import_torch.py::resnet_family) and
+    returns the matching engine — ResNet50Engine for bottleneck 50/101/152,
+    ResNetBasicEngine for basic 18/34. kw passes through (tier, mesh, ...).
+    """
+    import os
+
+    from winograd_tpu.models.import_torch import (
+        load_torch_checkpoint,
+        resnet_family,
+    )
+
+    sd = (
+        load_torch_checkpoint(os.fspath(sd_or_path))
+        if isinstance(sd_or_path, (str, os.PathLike))
+        else sd_or_path
+    )
+    cls = {"bottleneck": ResNet50Engine, "basic": ResNetBasicEngine}[
+        resnet_family(sd)
+    ]
+    return cls.from_torch(sd, **kw)
+
+
 def _throughput(engine, batch: int, c_in: int, iters: int, hw: int) -> Dict:
     """Steady-state images/sec at the given batch size and feature-map
     side (hw must match the deployment shape — the compiled program is

@@ -14,6 +14,7 @@ from winograd_tpu.models.checkpoint import (
     load_model_orbax,
     save_model_orbax,
     load_params,
+    prepare_basicnet_serving,
     prepare_resnet50_serving,
     save_model,
     save_params,
@@ -26,9 +27,16 @@ from winograd_tpu.models.resnet50 import (
     resnet50_forward_pallas,
     resnet50_forward_train,
 )
+from winograd_tpu.models.basic import (
+    basicnet_forward_pallas,
+    basicnet_forward_train,
+    basicnet_params,
+    quantize_basicnet,
+)
 from winograd_tpu.models.train import (
     make_resnet50_train_step,
     resnet50_loss,
+    trainable_basicnet_params,
     trainable_resnet50_params,
 )
 
@@ -46,12 +54,18 @@ __all__ = [
     "save_model_orbax",
     "load_model_orbax",
     "prepare_resnet50_serving",
+    "prepare_basicnet_serving",
     "export_artifacts",
     "downsample_bottleneck_block_pallas",
     "resnet50_stages",
     "resnet50_forward_pallas",
     "resnet50_forward_train",
+    "basicnet_forward_pallas",
+    "basicnet_forward_train",
+    "basicnet_params",
+    "quantize_basicnet",
     "resnet50_loss",
     "make_resnet50_train_step",
     "trainable_resnet50_params",
+    "trainable_basicnet_params",
 ]

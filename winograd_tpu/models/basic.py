@@ -1,0 +1,263 @@
+"""The BASIC-block ResNet family (ResNet-18/34) — stem + stages + head.
+
+The reference scopes to bottleneck layers (/root/reference/report.pdf
+section 1); ResNet-18/34 are the other half of the standard ResNet model
+space: BASIC blocks of two 3x3 convs (torchvision BasicBlock semantics),
+with stride-2 entry blocks between stages. The whole family composes from
+kernels that already exist — NO new device code:
+
+* stride-1 3x3 (+BN, ReLU optional): the fused F(2,3) Winograd megakernel
+  (kernels/winograd.py) — the measured-fastest 3x3 path at every geometry.
+* stride-2 3x3: strided im2col (9 strided XLA slices fused into one copy)
+  into the SAME fused GEMM+BN+ReLU pointwise kernel
+  (models/downsample.py::conv3x3_s2_bn_relu_pallas's recipe).
+* stride-2 1x1 projection shortcut: subsample + fused pointwise GEMM.
+* stem / head: shared with the bottleneck family (models/resnet50.py).
+
+Tiers: f32 (strict 1e-4 logits parity), bf16w (bfloat16 weight storage
+end to end), int8 (per-channel weights + per-row dynamic activation
+quant through kernels/quantized.py; the stem stays f32 like ResNet-50's).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from winograd_tpu.kernels.pointwise import conv1x1_bn_pallas
+from winograd_tpu.kernels.winograd import conv3x3_bn_winograd_pallas
+from winograd_tpu.models.downsample import _strided_im2col, _subsample
+from winograd_tpu.models.resnet50 import head_pallas, stem_pallas
+from winograd_tpu.ops import jnp_ops
+
+BasicParams = Dict[str, jax.Array]
+
+
+def _conv3x3(x, p, leg: str, relu: bool, precision):
+    """Stride-1 3x3 + BN (+ReLU) through the fused Winograd kernel (u2_*
+    artifact) or the direct im2col kernel (w9_* only)."""
+    kw = {} if precision is None else {"precision": precision}
+    if f"u2_{leg}" in p:
+        return conv3x3_bn_winograd_pallas(
+            x, p[f"u2_{leg}"], p[f"s_{leg}"], p[f"b_{leg}"], relu=relu, **kw
+        )
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+
+    return conv3x3_bn_direct_pallas(
+        x, p[f"w9_{leg}"], p[f"s_{leg}"], p[f"b_{leg}"], relu=relu, **kw
+    )
+
+
+def basic_block_pallas(
+    x: jax.Array, params: BasicParams, precision: str | None = None
+) -> jax.Array:
+    """Identity BASIC block: 3x3+BN+ReLU -> 3x3+BN -> add skip -> ReLU.
+    x: (..., H, W, C); both convs C -> C (offline artifacts u2_a/u2_b or
+    w9_a/w9_b, folded BN s_*/b_*)."""
+    h = _conv3x3(x, params, "a", True, precision)
+    h = _conv3x3(h, params, "b", False, precision)
+    return jnp.maximum(h + x, 0.0)
+
+
+def downsample_basic_block_pallas(
+    x: jax.Array, params: BasicParams, precision: str | None = None
+) -> jax.Array:
+    """Stride-2 entry BASIC block: stride-2 3x3 (+BN+ReLU) -> 3x3 (+BN) with
+    a stride-2 1x1 projection shortcut (+BN); add -> ReLU. Extra keys vs the
+    identity block: w9_a is the (9*Cin, Cout) direct layout of the STRIDED
+    conv, w_proj (Cin, Cout), s_proj, b_proj."""
+    kw = {} if precision is None else {"precision": precision}
+    cols = _strided_im2col(x)
+    h = conv1x1_bn_pallas(
+        cols, params["w9_a"], params["s_a"], params["b_a"], relu=True, **kw
+    )
+    h = _conv3x3(h, params, "b", False, precision)
+    skip = conv1x1_bn_pallas(
+        _subsample(x), params["w_proj"], params["s_proj"], params["b_proj"],
+        relu=False, **kw,
+    )
+    return jnp.maximum(h + skip, 0.0)
+
+
+def basicnet_stages(
+    x: jax.Array, stages: List[Dict], precision: str | None = None
+) -> jax.Array:
+    """Run the basic-block trunk: each stage dict has optional "entry" (the
+    stride-2 downsample block) and "blocks" (identity blocks)."""
+    for st in stages:
+        if st.get("entry") is not None:
+            x = downsample_basic_block_pallas(x, st["entry"], precision)
+        for b in st["blocks"]:
+            x = basic_block_pallas(x, b, precision)
+    return x
+
+
+def basicnet_forward_pallas(
+    x: jax.Array, params: Dict, precision: str | None = None
+) -> jax.Array:
+    """Full ResNet-18/34 forward through the fused Pallas kernels.
+    params: {"stem", "stages", "head"} (no projection entry block — the
+    basic family's stage 0 is all identity blocks at the stem's width)."""
+    h = stem_pallas(x, params["stem"], precision)
+    h = basicnet_stages(h, params["stages"], precision)
+    return head_pallas(h, params["head"], precision)
+
+
+def basicnet_forward_xla(x: jax.Array, params: Dict) -> jax.Array:
+    """The same network through jitted XLA ops (the vendor-baseline role)."""
+    h = jnp_ops.stem(x, params["stem"])
+    for st in params["stages"]:
+        if st.get("entry") is not None:
+            h = jnp_ops.downsample_basic_block(h, st["entry"])
+        for b in st["blocks"]:
+            h = jnp_ops.basic_block(h, b)
+    return jnp_ops.head(h, params["head"])
+
+
+def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
+    """Differentiable forward whose convs run the SAME fused Pallas kernels
+    serving uses (custom VJPs, kernels/vjp.py): the fused stem kernel, the
+    F(2,3) Winograd train kernel for stride-1 3x3s, the fused GEMM for the
+    strided convs (w9 layout derived in-trace so gradients flow to the raw
+    OIHW filter), and the head FC. params carries the TRAINABLE set only:
+    raw w_a/w_b filters + folded BN (no offline layouts)."""
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.kernels.vjp import (
+        conv1x1_bn_train,
+        conv3x3_bn_winograd_train,
+        stem_train_fused,
+    )
+
+    h = stem_train_fused(x, params["stem"])
+    for st in params["stages"]:
+        e = st.get("entry")
+        if e is not None:
+            cols = _strided_im2col(h)
+            g = conv1x1_bn_train(
+                cols, direct_filter(e["w_a"]), e["s_a"], e["b_a"], True
+            )
+            g = conv3x3_bn_winograd_train(g, e["w_b"], e["s_b"], e["b_b"], False, 2)
+            skip = conv1x1_bn_train(
+                _subsample(h), e["w_proj"], e["s_proj"], e["b_proj"], False
+            )
+            h = jnp.maximum(g + skip, 0.0)
+        for b in st["blocks"]:
+            g = conv3x3_bn_winograd_train(h, b["w_a"], b["s_a"], b["b_a"], True, 2)
+            g = conv3x3_bn_winograd_train(g, b["w_b"], b["s_b"], b["b_b"], False, 2)
+            h = jnp.maximum(g + h, 0.0)
+    return head_pallas(
+        h,
+        params["head"],
+        gemm=lambda p, w, s, b: conv1x1_bn_train(p, w, s, b, False),
+    )
+
+
+def quantize_basicnet(params: Dict) -> Dict:
+    """Offline int8 quantization of the full basic-block model (per-output-
+    channel weight scales; the stem stays f32 like quantize_resnet50's)."""
+    from winograd_tpu.kernels.quantized import quantize_weights
+
+    def q(w, prefix):
+        wq, sw = quantize_weights(np.asarray(w))
+        return {f"{prefix}_q": jnp.asarray(wq), f"{prefix}_s": jnp.asarray(sw)}
+
+    def q_block(p):
+        out = {
+            k: jnp.asarray(p[k], jnp.float32)
+            for k in ("s_a", "b_a", "s_b", "b_b")
+        }
+        out.update(q(p["w9_a"], "w9_a"))
+        out.update(q(p["w9_b"], "w9_b"))
+        if "w_proj" in p:
+            out.update(q(p["w_proj"], "w_proj"))
+            out["s_proj"] = jnp.asarray(p["s_proj"], jnp.float32)
+            out["b_proj"] = jnp.asarray(p["b_proj"], jnp.float32)
+        return out
+
+    wq, sw = quantize_weights(np.asarray(params["head"]["w_fc"]))
+    return {
+        "stem": params["stem"],
+        "stages": [
+            {
+                "entry": None if st.get("entry") is None else q_block(st["entry"]),
+                "blocks": [q_block(b) for b in st["blocks"]],
+            }
+            for st in params["stages"]
+        ],
+        "head": {
+            "w_fc_q": jnp.asarray(wq),
+            "w_fc_s": jnp.asarray(sw),
+            "b_fc": jnp.asarray(params["head"]["b_fc"], jnp.float32),
+        },
+    }
+
+
+def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
+    """Full ResNet-18/34 at the int8 serving tier: every 3x3 through the
+    int8 direct kernel (stride-2 via im2col + the int8 GEMM), projection
+    shortcuts and the head FC through the int8 pointwise kernel."""
+    from winograd_tpu.kernels.quantized import (
+        conv1x1_bn_int8_pallas,
+        conv3x3_bn_int8_pallas,
+    )
+    from winograd_tpu.models.resnet50 import _head_int8
+
+    h = stem_pallas(x, qparams["stem"], precision="int8")
+    for st in qparams["stages"]:
+        e = st.get("entry")
+        if e is not None:
+            cols = _strided_im2col(h)
+            g = conv1x1_bn_int8_pallas(
+                cols, e["w9_a_q"], e["w9_a_s"], e["s_a"], e["b_a"], relu=True
+            )
+            g = conv3x3_bn_int8_pallas(
+                g, e["w9_b_q"], e["w9_b_s"], e["s_b"], e["b_b"], relu=False
+            )
+            skip = conv1x1_bn_int8_pallas(
+                _subsample(h), e["w_proj_q"], e["w_proj_s"],
+                e["s_proj"], e["b_proj"], relu=False,
+            )
+            h = jnp.maximum(g + skip, 0.0)
+        for b in st["blocks"]:
+            g = conv3x3_bn_int8_pallas(
+                h, b["w9_a_q"], b["w9_a_s"], b["s_a"], b["b_a"], relu=True
+            )
+            g = conv3x3_bn_int8_pallas(
+                g, b["w9_b_q"], b["w9_b_s"], b["s_b"], b["b_b"], relu=False
+            )
+            h = jnp.maximum(g + h, 0.0)
+    return _head_int8(h, qparams["head"])
+
+
+def basicnet_params(case: Dict[str, np.ndarray], cfg) -> Dict:
+    """Build the nested forward-params structure from a flat
+    make_basicnet_case dict (datagen/generate.py)."""
+    from winograd_tpu.models.resnet50 import stem_filter, stem_filter_s2d
+
+    def sub(prefix):
+        return {
+            k[len(prefix):]: case[k] for k in case if k.startswith(prefix)
+        }
+
+    stages = []
+    for si in range(len(cfg.stages)):
+        entry = sub(f"t{si}_") or None
+        blocks, bi = [], 0
+        while any(k.startswith(f"s{si}_b{bi}_") for k in case):
+            blocks.append(sub(f"s{si}_b{bi}_"))
+            bi += 1
+        stages.append({"entry": entry, "blocks": blocks})
+    return {
+        "stem": {
+            "w49_stem": case["stem_w49"],
+            "w7_stem": case["stem_w7"],
+            "w192_stem": case.get("stem_w192", stem_filter_s2d(case["stem_w7"])),
+            "s_stem": case["stem_scale"],
+            "b_stem": case["stem_bias"],
+        },
+        "stages": stages,
+        "head": {"w_fc": case["head_wfc"], "b_fc": case["head_bfc"]},
+    }

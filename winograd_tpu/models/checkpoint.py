@@ -138,6 +138,44 @@ def prepare_resnet50_serving(train_params: Dict) -> Dict:
     }
 
 
+def prepare_basicnet_serving(train_params: Dict) -> Dict:
+    """Offline preprocessing for the BASIC-block family (ResNet-18/34):
+    derive every serving artifact from trained params (raw OIHW filters,
+    folded BN — models/basic.py::basicnet_forward_train's structure): the
+    stem's GEMM layouts, each stride-1 3x3's F(2,3) Winograd + direct
+    layouts (u2_*/w9_*), and each entry block's strided direct layout."""
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.models.resnet50 import stem_filter, stem_filter_s2d
+
+    def with_layouts(d, winograd=("a", "b")):
+        out = dict(d)
+        for leg in ("a", "b"):
+            w = np.asarray(d[f"w_{leg}"])
+            out[f"w9_{leg}"] = np.asarray(direct_filter(w))
+            if leg in winograd:
+                out[f"u2_{leg}"] = transforms.transform_filter(w, m=2)
+        return out
+
+    stem = dict(train_params["stem"])
+    w7 = np.asarray(stem["w7_stem"])
+    stem["w49_stem"] = stem_filter(w7)
+    stem["w192_stem"] = stem_filter_s2d(w7)
+    return {
+        "stem": stem,
+        "stages": [
+            {
+                # The entry's first conv is strided — direct layout only.
+                "entry": None
+                if st.get("entry") is None
+                else with_layouts(st["entry"], winograd=("b",)),
+                "blocks": [with_layouts(b) for b in st["blocks"]],
+            }
+            for st in train_params["stages"]
+        ],
+        "head": dict(train_params["head"]),
+    }
+
+
 def export_artifacts(params: Dict, outdir: str, m: int = 4) -> None:
     """Write a trained bottleneck block as reference-format blobs.
 

@@ -86,8 +86,8 @@ def resnet_train_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
     sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
     if "layer1.0.conv1.weight" in sd and "layer1.0.conv3.weight" not in sd:
         raise ValueError(
-            "BasicBlock checkpoint (ResNet-18/34): the serving stack is "
-            "bottleneck-ResNet only (50/101/152)"
+            "BasicBlock checkpoint (ResNet-18/34): use "
+            "basicnet_train_params_from_torch / ResNetBasicEngine.from_torch"
         )
     s_stem, b_stem = _fold_bn(sd, "bn1", eps)
     stem = {"w7_stem": _np(sd["conv1.weight"]), "s_stem": s_stem, "b_stem": b_stem}
@@ -127,12 +127,97 @@ def resnet_train_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
     }
 
 
+def _basic_block_import(sd: Dict, prefix: str, eps: float) -> Dict[str, np.ndarray]:
+    s1, b1 = _fold_bn(sd, f"{prefix}.bn1", eps)
+    s2, b2 = _fold_bn(sd, f"{prefix}.bn2", eps)
+    out = dict(
+        w_a=_np(sd[f"{prefix}.conv1.weight"]),  # OIHW
+        s_a=s1, b_a=b1,
+        w_b=_np(sd[f"{prefix}.conv2.weight"]),
+        s_b=s2, b_b=b2,
+    )
+    if f"{prefix}.downsample.0.weight" in sd:
+        sp, bp = _fold_bn(sd, f"{prefix}.downsample.1", eps)
+        out.update(
+            w_proj=_conv1x1(sd, f"{prefix}.downsample.0.weight"),
+            s_proj=sp, b_proj=bp,
+        )
+    return out
+
+
+def basicnet_train_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
+    """torchvision ResNet-18/34 (BasicBlock) state_dict -> the basic
+    family's TRAINABLE params structure ({"stem", "stages", "head"}; raw
+    OIHW filters, folded BN — models/basic.py::basicnet_forward_train's
+    parameterization). Depth is inferred. Feed the result to
+    models/checkpoint.py::prepare_basicnet_serving for the fused-kernel
+    layouts, or serve directly via ResNetBasicEngine.from_torch."""
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    if "layer1.0.conv3.weight" in sd:
+        raise ValueError(
+            "Bottleneck checkpoint (ResNet-50/101/152): use "
+            "resnet_train_params_from_torch / ResNet50Engine.from_torch"
+        )
+    s_stem, b_stem = _fold_bn(sd, "bn1", eps)
+    stem = {"w7_stem": _np(sd["conv1.weight"]), "s_stem": s_stem, "b_stem": b_stem}
+
+    stages = []
+    for layer in range(1, 5):
+        if f"layer{layer}.0.conv1.weight" not in sd:
+            break
+        blocks = []
+        i = 0
+        while f"layer{layer}.{i}.conv1.weight" in sd:
+            blocks.append(_basic_block_import(sd, f"layer{layer}.{i}", eps))
+            i += 1
+        entry = None
+        if "w_proj" in blocks[0]:
+            entry = blocks.pop(0)
+        else:
+            assert layer == 1, (
+                f"layer{layer}.0 has no downsample projection — not a "
+                "torchvision BasicBlock ResNet state_dict"
+            )
+        stages.append({"entry": entry, "blocks": blocks})
+    assert stages, "state_dict has no layer1 — not a ResNet"
+
+    return {
+        "stem": stem,
+        "stages": stages,
+        "head": {
+            "w_fc": np.ascontiguousarray(_np(sd["fc.weight"]).T),
+            "b_fc": _np(sd["fc.bias"]),
+        },
+    }
+
+
+def basicnet_serving_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
+    """torchvision ResNet-18/34 state_dict -> ready-to-serve params (all
+    fused-kernel layouts derived offline). ResNetBasicEngine serves it."""
+    from winograd_tpu.models.checkpoint import prepare_basicnet_serving
+
+    return prepare_basicnet_serving(basicnet_train_params_from_torch(sd, eps))
+
+
 def resnet_serving_params_from_torch(sd: Dict, eps: float = BN_EPS) -> Dict:
     """torchvision state_dict -> ready-to-serve params (all fused-kernel
     layouts derived offline). ResNet50Engine(params, tier=...) serves it."""
     from winograd_tpu.models.checkpoint import prepare_resnet50_serving
 
     return prepare_resnet50_serving(resnet_train_params_from_torch(sd, eps))
+
+
+def resnet_family(sd: Dict) -> str:
+    """Classify a torchvision ResNet state_dict by block family:
+    "bottleneck" (50/101/152 — layer1.0 has a conv3) or "basic" (18/34).
+    Raises on anything that isn't a torchvision-format ResNet."""
+    if "layer1.0.conv3.weight" in sd:
+        return "bottleneck"
+    if "layer1.0.conv1.weight" in sd:
+        return "basic"
+    raise ValueError(
+        "state_dict has no layer1.0.conv1 — not a torchvision-format ResNet"
+    )
 
 
 def load_torch_checkpoint(path: str) -> Dict:
@@ -148,15 +233,17 @@ def load_torch_checkpoint(path: str) -> Dict:
 
 def build_torch_reference_resnet(
     layers, stem_c: int = 16, planes=(4, 8, 16, 16), classes: int = 16,
-    seed=None,
+    seed=None, block: str = "bottleneck",
 ):
-    """Build a torchvision-naming-compatible bottleneck ResNet in torch
-    (requires torch; torchvision itself is NOT needed). Used by the test
-    suite and examples as an INDEPENDENT cross-framework reference: its
-    eval-mode forward runs torch's own conv backend, so agreement with the
-    imported fused serving path validates the weight mapping end to end.
-    With seed set, weights AND BatchNorm running stats are randomized (a
-    non-trivial BN fold) and the model is returned in eval mode."""
+    """Build a torchvision-naming-compatible ResNet in torch (requires
+    torch; torchvision itself is NOT needed). Used by the test suite and
+    examples as an INDEPENDENT cross-framework reference: its eval-mode
+    forward runs torch's own conv backend, so agreement with the imported
+    fused serving path validates the weight mapping end to end. With seed
+    set, weights AND BatchNorm running stats are randomized (a non-trivial
+    BN fold) and the model is returned in eval mode. block="basic" builds
+    the BasicBlock family (ResNet-18/34 structure: layer1 has no
+    downsample when stem_c == planes[0], matching torchvision)."""
     import torch
     import torch.nn as nn
 
@@ -181,6 +268,26 @@ def build_torch_reference_resnet(
             h = self.bn3(self.conv3(h))
             return self.relu(h + idt)
 
+    class _BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, p, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, p, 3, stride=stride, padding=1, bias=False)
+            self.bn1 = nn.BatchNorm2d(p)
+            self.conv2 = nn.Conv2d(p, p, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(p)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            h = self.relu(self.bn1(self.conv1(x)))
+            h = self.bn2(self.conv2(h))
+            return self.relu(h + idt)
+
+    blk = {"bottleneck": _Bottleneck, "basic": _BasicBlock}[block]
+
     class _ResNet(nn.Module):
         """torchvision.models.ResNet's structure and parameter names."""
 
@@ -193,13 +300,20 @@ def build_torch_reference_resnet(
             inplanes = stem_c
             for li, (p, n) in enumerate(zip(planes, layers), start=1):
                 stride = 1 if li == 1 else 2
-                down = nn.Sequential(
-                    nn.Conv2d(inplanes, p * 4, 1, stride=stride, bias=False),
-                    nn.BatchNorm2d(p * 4),
-                )
-                mods = [_Bottleneck(inplanes, p, stride, down)]
-                inplanes = p * 4
-                mods += [_Bottleneck(inplanes, p) for _ in range(n - 1)]
+                out_c = p * blk.expansion
+                # torchvision's bottleneck stage entries ALWAYS project
+                # (expansion 4 changes the width); basic stages only when
+                # the shape actually changes.
+                if block == "bottleneck" or stride != 1 or inplanes != out_c:
+                    down = nn.Sequential(
+                        nn.Conv2d(inplanes, out_c, 1, stride=stride, bias=False),
+                        nn.BatchNorm2d(out_c),
+                    )
+                else:
+                    down = None
+                mods = [blk(inplanes, p, stride, down)]
+                inplanes = out_c
+                mods += [blk(inplanes, p) for _ in range(n - 1)]
                 setattr(self, f"layer{li}", nn.Sequential(*mods))
             self.avgpool = nn.AdaptiveAvgPool2d(1)
             self.fc = nn.Linear(inplanes, classes)

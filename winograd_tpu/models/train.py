@@ -119,3 +119,28 @@ def trainable_resnet50_params(full: Dict) -> Dict:
         ],
         "head": keep(full["head"]),
     }
+
+
+def trainable_basicnet_params(full: Dict) -> Dict:
+    """Strip the serving-only offline artifacts from a full BASIC-block
+    param structure (models/basic.py::basicnet_params), leaving the
+    trainable set that basicnet_forward_train and
+    prepare_basicnet_serving expect (raw OIHW filters + folded BN)."""
+    drop = ("u2_a", "u2_b", "w9_a", "w9_b", "w49_stem", "w192_stem")
+
+    def keep(d):
+        return {k: jnp.asarray(v) for k, v in d.items() if k not in drop}
+
+    return {
+        "stem": keep(full["stem"]),
+        "stages": [
+            {
+                "entry": None
+                if st.get("entry") is None
+                else keep(st["entry"]),
+                "blocks": [keep(b) for b in st["blocks"]],
+            }
+            for st in full["stages"]
+        ],
+        "head": keep(full["head"]),
+    }

@@ -202,3 +202,31 @@ def bottleneck_block(x, params, precision=None) -> jax.Array:
         relu=False, precision=p,
     )
     return jnp.maximum(h + x, 0.0)
+
+
+def basic_block(x, params, precision=None) -> jax.Array:
+    """ResNet BASIC block with identity skip (XLA path) — the ResNet-18/34
+    family. Keys: w_a/w_b (C, C, 3, 3) OIHW, s_a/b_a, s_b/b_b."""
+    p = precision
+    h = conv3x3_bn_relu(x, params["w_a"], params["s_a"], params["b_a"],
+                        relu=True, precision=p)
+    h = conv3x3_bn_relu(h, params["w_b"], params["s_b"], params["b_b"],
+                        relu=False, precision=p)
+    return jnp.maximum(h + x, 0.0)
+
+
+def downsample_basic_block(x, params, precision=None) -> jax.Array:
+    """ResNet BASIC downsampling block (XLA path): stride-2 3x3 + BN +
+    ReLU -> 3x3 + BN; stride-2 1x1 projection shortcut + BN; add -> ReLU.
+    Extra keys vs basic_block: w_proj (Cin, Cout), s_proj, b_proj; w_a is
+    (Cout, Cin, 3, 3)."""
+    p = precision
+    h = conv3x3_s2_bn_relu(x, params["w_a"], params["s_a"], params["b_a"],
+                           relu=True, precision=p)
+    h = conv3x3_bn_relu(h, params["w_b"], params["s_b"], params["b_b"],
+                        relu=False, precision=p)
+    skip = conv1x1_bn(
+        x[..., ::2, ::2, :], params["w_proj"], params["s_proj"],
+        params["b_proj"], relu=False, precision=p,
+    )
+    return jnp.maximum(h + skip, 0.0)

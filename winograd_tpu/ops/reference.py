@@ -170,3 +170,33 @@ def bottleneck_block(
     h2 = bn_act(conv3x3_same(h1, w_mid), s_mid, b_mid, relu=True)
     h3 = bn_act(conv1x1(h2, w_expand), s_expand, b_expand, relu=False)
     return np.maximum(h3 + x.astype(np.float64), 0.0).astype(np.float32)
+
+
+def basic_block(
+    x,
+    w_a, s_a, b_a,
+    w_b, s_b, b_b,
+) -> np.ndarray:
+    """ResNet BASIC block with identity skip (golden model), float32 out —
+    the ResNet-18/34 block family: 3x3 (+BN+ReLU) -> 3x3 (+BN, no ReLU) ->
+    add skip -> ReLU (torchvision BasicBlock semantics; the reference's
+    scope is bottleneck layers only, report.pdf section 1)."""
+    h1 = bn_act(conv3x3_same(x, w_a), s_a, b_a, relu=True)
+    h2 = bn_act(conv3x3_same(h1, w_b), s_b, b_b, relu=False)
+    return np.maximum(h2 + x.astype(np.float64), 0.0).astype(np.float32)
+
+
+def downsample_basic_block(
+    x,
+    w_a, s_a, b_a,
+    w_b, s_b, b_b,
+    w_proj, s_proj, b_proj,
+) -> np.ndarray:
+    """ResNet BASIC downsampling block (golden), float32 out: stride-2 3x3
+    (+BN+ReLU) -> 3x3 (+BN, no ReLU); stride-2 1x1 projection shortcut with
+    BN (no ReLU); add -> ReLU (torchvision BasicBlock with downsample)."""
+    h1 = bn_act(conv3x3_stride2(x, w_a), s_a, b_a, relu=True)
+    h2 = bn_act(conv3x3_same(h1, w_b), s_b, b_b, relu=False)
+    x_sub = x[..., ::2, ::2, :] if x.ndim == 4 else x[::2, ::2, :]
+    skip = bn_act(conv1x1(x_sub, w_proj), s_proj, b_proj, relu=False)
+    return np.maximum(h2 + skip, 0.0).astype(np.float32)
