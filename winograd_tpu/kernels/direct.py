@@ -204,9 +204,9 @@ def conv3x3_bn_direct_pallas(
         if 9 * cin * cout * 4 <= 6 * 2**20:
             tile_co = cout
         else:
-            from winograd_tpu.kernels.pointwise import largest_divisor_leq
+            from winograd_tpu.kernels.pointwise import mxu_lane_divisor
 
-            tile_co = largest_divisor_leq(cout, 128)
+            tile_co = mxu_lane_divisor(cout, 128)
     assert cout % tile_co == 0, (cout, tile_co)
     out = _direct_dense(
         x.astype(jnp.float32),

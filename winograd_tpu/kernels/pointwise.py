@@ -48,6 +48,22 @@ def largest_divisor_leq(n: int, cap: int) -> int:
     return 1
 
 
+def mxu_lane_divisor(n: int, cap: int) -> int:
+    """Largest divisor of n <= cap that Mosaic lowers as a MINOR-dim block
+    size: a multiple of the 128-lane tile, or n itself. A minor-dim block
+    that is neither (e.g. 288 for n=576) crashes the TPU lowering ("last
+    two dimensions of your block shape [must be] divisible by 8 and 128
+    respectively, or be equal to the respective dimensions"), so when n has
+    no lane-multiple divisor under the cap the whole dim is the only valid
+    choice — n=576=2**6*9 from a 9*Cin im2col width must stay untiled."""
+    if n <= cap:
+        return n
+    for d in range(cap - cap % 128, 0, -128):
+        if n % d == 0:
+            return d
+    return n
+
+
 def _matmul_bn_kernel(
     x_ref, w_ref, scale_ref, bias_ref, out_ref, *, relu: bool, n_k: int, precision: str
 ):
@@ -157,8 +173,8 @@ def conv1x1_bn_pallas(
     # Tile selection: MXU-aligned, sized so a (tile_p, tile_k) + (tile_k,
     # tile_n) + (tile_p, tile_n) working set stays a few MB of VMEM.
     tp = tile_p or min(_round_up(p, 128), 512)
-    tn = tile_n or largest_divisor_leq(cout, 512)
-    tk = tile_k or largest_divisor_leq(cin, 512)
+    tn = tile_n or mxu_lane_divisor(cout, 512)
+    tk = tile_k or mxu_lane_divisor(cin, 512)
     assert cout % tn == 0 and cin % tk == 0, (cin, cout, tn, tk)
 
     p_pad = _round_up(p, tp)

@@ -197,9 +197,9 @@ def conv3x3_bn_int8_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_co is None:
-        from winograd_tpu.kernels.pointwise import largest_divisor_leq
+        from winograd_tpu.kernels.pointwise import mxu_lane_divisor
 
-        tile_co = cout if 9 * cin * cout <= 4 * 2**20 else largest_divisor_leq(cout, 256)
+        tile_co = cout if 9 * cin * cout <= 4 * 2**20 else mxu_lane_divisor(cout, 256)
     assert cout % tile_co == 0, (cout, tile_co)
     n_j = cout // tile_co
 
@@ -737,12 +737,12 @@ def transition_block_int8_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_co is None:
-        from winograd_tpu.kernels.pointwise import largest_divisor_leq
+        from winograd_tpu.kernels.pointwise import mxu_lane_divisor
 
         tile_co = (
             cout
             if (cmid + cin) * cout <= 4 * 2**20  # int8: 1 B/elem
-            else largest_divisor_leq(cout, 256)
+            else mxu_lane_divisor(cout, 256)
         )
     assert cout % tile_co == 0, (cout, tile_co)
     n_j = cout // tile_co

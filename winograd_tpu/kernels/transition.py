@@ -277,14 +277,14 @@ def transition_block_fused_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_co is None:
-        from winograd_tpu.kernels.pointwise import largest_divisor_leq
+        from winograd_tpu.kernels.pointwise import mxu_lane_divisor
 
         # Stream the wide output layers in lane-tile slices when the full
         # expand+projection weights would not fit comfortably in VMEM.
         tile_co = (
             cout
             if (cmid + cin) * cout * 4 <= 4 * 2**20
-            else largest_divisor_leq(cout, 128)
+            else mxu_lane_divisor(cout, 128)
         )
     assert cout % tile_co == 0, (cout, tile_co)
     n_j = cout // tile_co

@@ -409,9 +409,9 @@ def conv3x3_bn_winograd_pallas(
     # it also bounds the resident U slice (~2.4 MB at Cin=256, tile_co=128).
     a2 = u.shape[0]
     if tile_co is None:
-        from winograd_tpu.kernels.pointwise import largest_divisor_leq
+        from winograd_tpu.kernels.pointwise import mxu_lane_divisor
 
-        tile_co = largest_divisor_leq(cout, 128)
+        tile_co = mxu_lane_divisor(cout, 128)
     assert cout % tile_co == 0, (cout, tile_co)
     assert tile_co <= 128, f"tile_co must be <= one lane tile, got {tile_co}"
 
