@@ -171,6 +171,16 @@ def quantize_basicnet(params: Dict) -> Dict:
         }
         out.update(q(p["w9_a"], "w9_a"))
         out.update(q(p["w9_b"], "w9_b"))
+        # Stride-1 3x3s also carry the F(2,3) filter as BFLOAT16: on large
+        # maps the bf16-weight winograd2 kernel beats int8 direct im2col
+        # (and is more accurate), so the int8 forward routes there by
+        # geometry — the basic-family twin of the bottleneck stage
+        # kernel's winograd2 mid (kernels/quantized.py).
+        for leg in ("a", "b"):
+            if f"u2_{leg}" in p:
+                out[f"u2_{leg}_bf16"] = jnp.asarray(
+                    p[f"u2_{leg}"], jnp.float32
+                ).astype(jnp.bfloat16)
         if "w_proj" in p:
             out.update(q(p["w_proj"], "w_proj"))
             out["s_proj"] = jnp.asarray(p["s_proj"], jnp.float32)
@@ -195,14 +205,32 @@ def quantize_basicnet(params: Dict) -> Dict:
     }
 
 
-def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
-    """Full ResNet-18/34 at the int8 serving tier: every 3x3 through the
-    int8 direct kernel (stride-2 via im2col + the int8 GEMM), projection
-    shortcuts and the head FC through the int8 pointwise kernel."""
-    from winograd_tpu.kernels.quantized import (
-        conv1x1_bn_int8_pallas,
-        conv3x3_bn_int8_pallas,
+def _conv3x3_int8(x: jax.Array, p: Dict, leg: str, relu: bool) -> jax.Array:
+    """Geometry-routed stride-1 3x3 of the int8 tier. Measured per-layer
+    on v5e (2026-08-18): bf16-weight F(2,3) winograd beats int8 direct
+    im2col on large maps (56x56x64: 6.6 vs 8.1 us; 28x28x128: 2.1 vs 5.2)
+    and is more accurate, while the weight-bound small maps keep int8
+    weights (7x7x512: 7.1 vs 12.8 — half the streamed bytes wins); 14x14
+    is a tie (4.7 vs 4.8) and stays int8 for the byte savings."""
+    from winograd_tpu.kernels.quantized import conv3x3_bn_int8_pallas
+
+    if x.shape[-2] >= 16 and f"u2_{leg}_bf16" in p:
+        return conv3x3_bn_winograd_pallas(
+            x, p[f"u2_{leg}_bf16"], p[f"s_{leg}"], p[f"b_{leg}"],
+            relu=relu, precision="bf16w",
+        )
+    return conv3x3_bn_int8_pallas(
+        x, p[f"w9_{leg}_q"], p[f"w9_{leg}_s"], p[f"s_{leg}"], p[f"b_{leg}"],
+        relu=relu,
     )
+
+
+def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
+    """Full ResNet-18/34 at the int8 serving tier: strided entry convs and
+    projection shortcuts through the int8 pointwise kernel, stride-1 3x3s
+    geometry-routed (_conv3x3_int8) between the int8 direct kernel and the
+    bf16-weight winograd2 kernel, int8 head FC."""
+    from winograd_tpu.kernels.quantized import conv1x1_bn_int8_pallas
     from winograd_tpu.models.resnet50 import _head_int8
 
     h = stem_pallas(x, qparams["stem"], precision="int8")
@@ -213,21 +241,15 @@ def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
             g = conv1x1_bn_int8_pallas(
                 cols, e["w9_a_q"], e["w9_a_s"], e["s_a"], e["b_a"], relu=True
             )
-            g = conv3x3_bn_int8_pallas(
-                g, e["w9_b_q"], e["w9_b_s"], e["s_b"], e["b_b"], relu=False
-            )
+            g = _conv3x3_int8(g, e, "b", relu=False)
             skip = conv1x1_bn_int8_pallas(
                 _subsample(h), e["w_proj_q"], e["w_proj_s"],
                 e["s_proj"], e["b_proj"], relu=False,
             )
             h = jnp.maximum(g + skip, 0.0)
         for b in st["blocks"]:
-            g = conv3x3_bn_int8_pallas(
-                h, b["w9_a_q"], b["w9_a_s"], b["s_a"], b["b_a"], relu=True
-            )
-            g = conv3x3_bn_int8_pallas(
-                g, b["w9_b_q"], b["w9_b_s"], b["s_b"], b["b_b"], relu=False
-            )
+            g = _conv3x3_int8(h, b, "a", relu=True)
+            g = _conv3x3_int8(g, b, "b", relu=False)
             h = jnp.maximum(g + h, 0.0)
     return _head_int8(h, qparams["head"])
 
