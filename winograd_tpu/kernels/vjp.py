@@ -3,10 +3,15 @@
 The reference is inference-only ("no training related operations",
 report.pdf §1). A deployable TPU framework wants gradients, so the fused
 kernels get custom VJPs (the pattern in the Pallas guide): the FORWARD pass
-runs the single fused Pallas kernel; the BACKWARD pass runs standard XLA
-convolution/GEMM transposes with rematerialization of the pre-BN
-activation z (one extra conv/GEMM instead of storing z — trading FLOPs for
-memory, the right trade on HBM-bound TPUs).
+runs the single fused Pallas kernel; the BACKWARD pass runs the layer
+transposes — dx of stride-1 3x3s through the SAME fused F(2,3) Pallas
+kernel (the winograd algebra's 2.25x MAC saving applies to the data
+gradient too), the rest as XLA GEMM transposes. The pre-BN activation z
+that d(scale) needs is RECOVERED algebraically from the fused output
+(z = (y - bias)/scale, exact wherever the ReLU-masked gradient is
+nonzero) instead of rematerialized by an extra conv/GEMM — the layer
+VJPs store only (x, y) like a plain remat scheme but pay zero recompute
+for z.
 
 Parameterization is by the RAW weights (w, gamma-folded scale/bias): the
 offline Winograd filter transform G g G^T is itself a fixed linear map, so
@@ -68,17 +73,30 @@ def conv1x1_bn_train(x, w, scale, bias, relu: bool):
     return conv1x1_bn_pallas(x, w, scale, bias, relu)
 
 
+def _recover_z(y, scale, bias):
+    """Pre-BN activation recovered from the fused output: z = (y-bias)/scale.
+    Replaces the z-rematerializing conv/GEMM the backward used to run —
+    d(scale) only needs z where the (ReLU-masked) gradient is nonzero, and
+    there y = z*scale + bias holds exactly: with relu, masked grads are
+    zero wherever y <= 0, so the junk recovered there multiplies 0; without
+    relu it is exact everywhere. Assumes the folded BN scale is nonzero
+    (guarded against 0 to avoid NaN poisoning; a transiently-zero trained
+    scale would zero that channel's d(scale) contribution anyway since
+    y = bias there only when z*scale = 0)."""
+    s = jnp.where(scale == 0.0, 1.0, scale)
+    return (y - bias) / s
+
+
 def _pw_fwd(x, w, scale, bias, relu):
     y = conv1x1_bn_pallas(x, w, scale, bias, relu)
-    return y, (x, w, scale, y)
+    return y, (x, w, scale, bias, y)
 
 
 def _pw_bwd(relu, res, g):
-    x, w, scale, y = res
+    x, w, scale, bias, y = res
     if relu:
         g = jnp.where(y > 0, g, 0.0)
-    # Rematerialize pre-BN activation for d(scale).
-    z = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=BWD_PRECISION)
+    z = _recover_z(y, scale, bias)
     gs = g * scale
     lead = tuple(range(x.ndim - 1))
     dx = jnp.dot(gs, w.T, preferred_element_type=jnp.float32, precision=BWD_PRECISION)
@@ -96,23 +114,6 @@ conv1x1_bn_train.defvjp(_pw_fwd, _pw_bwd)
 # --- 3x3 winograd ------------------------------------------------------------
 
 
-def _conv3x3(x, w):
-    """Cross-correlation, SAME pad, NHWC x OIHW (helper for fwd/bwd)."""
-    squeeze = x.ndim == 3
-    if squeeze:
-        x = x[None]
-    y = jax.lax.conv_general_dilated(
-        x,
-        jnp.transpose(w, (2, 3, 1, 0)),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=BWD_PRECISION,
-    )
-    return y[0] if squeeze else y
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def conv3x3_bn_winograd_train(x, w, scale, bias, relu: bool = True, m: int = 4):
     """Differentiable fused 3x3 Winograd conv + BN (+ReLU); Pallas forward.
@@ -127,17 +128,27 @@ def conv3x3_bn_winograd_train(x, w, scale, bias, relu: bool = True, m: int = 4):
 def _wg_fwd(x, w, scale, bias, relu, m):
     u = filter_transform_jnp(w, m)
     y = conv3x3_bn_winograd_pallas(x, u, scale, bias, relu)
-    return y, (x, w, scale, y)
+    return y, (x, w, scale, bias, y)
 
 
 def _wg_bwd(relu, m, res, g):
-    x, w, scale, y = res
+    x, w, scale, bias, y = res
     if relu:
         g = jnp.where(y > 0, g, 0.0)
     gs = g * scale
-    # dx: correlate gs with the spatially-flipped, channel-transposed filter.
+    # dx: correlate gs with the spatially-flipped, channel-transposed
+    # filter — through the SAME fused F(2,3) Pallas kernel the forward
+    # uses (identity BN epilogue), not XLA's direct conv: 2.25x fewer MACs
+    # and bf16x3 (~2e-5) is tighter than the direct conv at HIGH (~1e-4).
     w_t = jnp.transpose(w[:, :, ::-1, ::-1], (1, 0, 2, 3))  # (Cin, Cout, 3, 3)
-    dx = _conv3x3(gs, w_t)
+    cin = w.shape[1]
+    dx = conv3x3_bn_winograd_pallas(
+        gs,
+        filter_transform_jnp(w_t, 2),
+        jnp.ones((cin,), jnp.float32),
+        jnp.zeros((cin,), jnp.float32),
+        relu=False,
+    )
     # dw[o,c,r,s] = sum_{n,i,j} gs[n,i,j,o] * xpad[n,i+r,j+s,c]
     x4 = x if x.ndim == 4 else x[None]
     g4 = gs if gs.ndim == 4 else gs[None]
@@ -153,8 +164,7 @@ def _wg_bwd(relu, m, res, g):
             )
         dw_parts.append(row)
     dw = jnp.stack([jnp.stack(row, axis=-1) for row in dw_parts], axis=-2)  # (O,C,3,3)
-    # Rematerialize pre-BN activation for d(scale).
-    z = _conv3x3(x, w)
+    z = _recover_z(y, scale, bias)
     lead = tuple(range(g.ndim - 1))
     dscale = jnp.sum(z * g, axis=lead)
     dbias = jnp.sum(g, axis=lead)
@@ -228,11 +238,11 @@ def bottleneck_block_train_fused(x, params):
     direct im2col filter layout is a fixed permutation applied inside the
     trace (like the Winograd transform in conv3x3_bn_winograd_train).
 
-    BACKWARD runs XLA autodiff of the identical math (ops/jnp_ops.py
-    bottleneck_block), rematerializing the intermediates — one extra XLA
-    forward instead of storing per-layer activations, the right trade on
-    HBM-bound TPUs. Gradients therefore match the XLA-baseline autodiff
-    exactly (tests/test_vjp.py asserts to 1e-4)."""
+    BACKWARD differentiates the per-layer train composition (the layer
+    wrappers above), rematerializing intermediates through the fused
+    Pallas kernels — the mid conv's remat AND data gradient ride the
+    F(2,3) algebra, z is recovered algebraically. Gradients match the
+    XLA-baseline autodiff (tests/test_vjp.py asserts to 1e-4)."""
     return _block_fused_forward(x, params)
 
 
@@ -254,14 +264,25 @@ def _block_fwd(x, params):
 
 
 def _block_bwd(res, g):
-    from winograd_tpu.ops import jnp_ops
+    # Differentiate the PER-LAYER train composition instead of the plain
+    # XLA math: the layer wrappers' custom VJPs rematerialize the mid conv
+    # through the fused F(2,3) Pallas kernel and run its data gradient
+    # through the same algebra (2.25x fewer MACs than the direct-conv
+    # autodiff both ways), with z recovered algebraically per layer.
+    def math(x_, p_):
+        h = conv1x1_bn_train(
+            x_, p_["w_reduce"], p_["s_reduce"], p_["b_reduce"], True
+        )
+        h = conv3x3_bn_winograd_train(
+            h, p_["w_mid"], p_["s_mid"], p_["b_mid"], True, 2
+        )
+        h = conv1x1_bn_train(
+            h, p_["w_expand"], p_["s_expand"], p_["b_expand"], False
+        )
+        return jnp.maximum(h + x_, 0.0)
 
     x, params = res
-    _, vjp_fn = jax.vjp(
-        lambda x_, p_: jnp_ops.bottleneck_block(x_, p_, precision=BWD_PRECISION),
-        x,
-        params,
-    )
+    _, vjp_fn = jax.vjp(math, x, params)
     return vjp_fn(g)
 
 
@@ -279,7 +300,9 @@ def transition_block_train_fused(x, params):
     through the same kernels serving runs. params carries the RAW w_mid
     (Cmid, Cmid, 3, 3); the direct im2col layout is a fixed permutation
     applied in-trace. BACKWARD is XLA autodiff of the identical math
-    (ops/jnp_ops.py downsample_bottleneck_block), rematerialized."""
+    (ops/jnp_ops.py downsample_bottleneck_block), rematerialized — the
+    strided mid conv has no winograd form, so the per-layer-composition
+    backward the stride-1 blocks use does not apply here."""
     return _transition_fused_forward(x, params)
 
 
@@ -321,9 +344,8 @@ def projection_block_train_fused(x, params):
     """Differentiable stride-1 PROJECTION bottleneck (conv2_x's entry in
     the full classifier) whose FORWARD runs the serving composition
     (models/downsample.py::projection_bottleneck_block_pallas, with the
-    F(2,3) filter layout derived in-trace from the raw w_mid). BACKWARD is
-    XLA autodiff of the identical math (jnp_ops.downsample_bottleneck_block
-    at stride=1), rematerialized."""
+    F(2,3) filter layout derived in-trace from the raw w_mid). BACKWARD
+    differentiates the per-layer train composition (see _block_bwd)."""
     return _projection_fused_forward(x, params)
 
 
@@ -341,16 +363,25 @@ def _projection_fwd(x, params):
 
 
 def _projection_bwd(res, g):
-    from winograd_tpu.ops import jnp_ops
+    # Same per-layer-composition backward as _block_bwd (winograd-algebra
+    # mid remat + data gradient), plus the projection shortcut's GEMM.
+    def math(x_, p_):
+        h = conv1x1_bn_train(
+            x_, p_["w_reduce"], p_["s_reduce"], p_["b_reduce"], True
+        )
+        h = conv3x3_bn_winograd_train(
+            h, p_["w_mid"], p_["s_mid"], p_["b_mid"], True, 2
+        )
+        h = conv1x1_bn_train(
+            h, p_["w_expand"], p_["s_expand"], p_["b_expand"], False
+        )
+        skip = conv1x1_bn_train(
+            x_, p_["w_proj"], p_["s_proj"], p_["b_proj"], False
+        )
+        return jnp.maximum(h + skip, 0.0)
 
     x, params = res
-    _, vjp_fn = jax.vjp(
-        lambda x_, p_: jnp_ops.downsample_bottleneck_block(
-            x_, p_, stride=1, precision=BWD_PRECISION
-        ),
-        x,
-        params,
-    )
+    _, vjp_fn = jax.vjp(math, x, params)
     return vjp_fn(g)
 
 
