@@ -202,15 +202,16 @@ def _stem_fused_forward(x, params):
 
 
 def _stem_math(x, params):
-    """The stem's math in plain XLA ops (the backward's subject): the same
-    s2d patch matrix, one GEMM at BWD_PRECISION, BN+ReLU, maxpool."""
+    """The backward's subject: the same s2d patch matrix, the conv+BN+ReLU
+    GEMM through the fused-pointwise TRAIN wrapper (Pallas remat + its
+    fast custom backward with algebraic z recovery), then the maxpool
+    (XLA select-and-scatter autodiff)."""
     from winograd_tpu.models.resnet50 import _stem_s2d_cols
     from winograd_tpu.ops import jnp_ops
 
     cols = _stem_s2d_cols(x)
     w = stem_filter_s2d_jnp(params["w7_stem"])
-    z = jnp.dot(cols, w, preferred_element_type=jnp.float32, precision=BWD_PRECISION)
-    h = jnp.maximum(z * params["s_stem"] + params["b_stem"], 0.0)
+    h = conv1x1_bn_train(cols, w, params["s_stem"], params["b_stem"], True)
     return jnp_ops.maxpool3x3_s2(h)
 
 
