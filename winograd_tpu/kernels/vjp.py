@@ -300,10 +300,9 @@ def transition_block_train_fused(x, params):
     bottleneck_block_train_fused this makes the ENTIRE backbone trainable
     through the same kernels serving runs. params carries the RAW w_mid
     (Cmid, Cmid, 3, 3); the direct im2col layout is a fixed permutation
-    applied in-trace. BACKWARD is XLA autodiff of the identical math
-    (ops/jnp_ops.py downsample_bottleneck_block), rematerialized — the
-    strided mid conv has no winograd form, so the per-layer-composition
-    backward the stride-1 blocks use does not apply here."""
+    applied in-trace. BACKWARD differentiates the per-layer composition
+    (GEMMs through the Pallas pointwise train wrapper; the strided mid —
+    which has no winograd form — as im2col into the same wrapper)."""
     return _transition_fused_forward(x, params)
 
 
@@ -321,16 +320,33 @@ def _transition_fwd(x, params):
 
 
 def _transition_bwd(res, g):
-    from winograd_tpu.ops import jnp_ops
+    # Per-layer composition: the three GEMMs (reduce, expand, projection)
+    # remat through the Pallas pointwise train wrapper (fast backward,
+    # algebraic z recovery); the STRIDED mid conv has no winograd form, so
+    # it runs as strided im2col into the same wrapper with the direct
+    # filter layout derived in-trace (gradients flow to the raw w_mid) —
+    # the identical math the serving transition kernel computes.
+    def math(x_, p_):
+        from winograd_tpu.kernels.direct import direct_filter
+        from winograd_tpu.models.downsample import _strided_im2col, _subsample
+
+        h = conv1x1_bn_train(
+            x_, p_["w_reduce"], p_["s_reduce"], p_["b_reduce"], True
+        )
+        cols = _strided_im2col(h)
+        h = conv1x1_bn_train(
+            cols, direct_filter(p_["w_mid"]), p_["s_mid"], p_["b_mid"], True
+        )
+        h = conv1x1_bn_train(
+            h, p_["w_expand"], p_["s_expand"], p_["b_expand"], False
+        )
+        skip = conv1x1_bn_train(
+            _subsample(x_), p_["w_proj"], p_["s_proj"], p_["b_proj"], False
+        )
+        return jnp.maximum(h + skip, 0.0)
 
     x, params = res
-    _, vjp_fn = jax.vjp(
-        lambda x_, p_: jnp_ops.downsample_bottleneck_block(
-            x_, p_, precision=BWD_PRECISION
-        ),
-        x,
-        params,
-    )
+    _, vjp_fn = jax.vjp(math, x, params)
     return vjp_fn(g)
 
 
