@@ -40,6 +40,7 @@ Extensions beyond the reference:
         (bench-only artifacts)
     25: ONE ResNet-18 train step (fwd+bwd through the serving kernels vs
         the all-XLA autodiff step — the basic-family twin of mode 19)
+    26: ResNet-18 at batch 8 (the basic-family twin of mode 18)
 """
 
 from __future__ import annotations
@@ -341,9 +342,19 @@ class BasicTrainConfig(BasicNetConfig):
     of mode 19."""
 
 
+@dataclasses.dataclass(frozen=True)
+class BasicNetB8Config(BasicNetConfig):
+    """Batched serving: the COMPLETE ResNet-18 classifier at N=8 (the
+    basic-family twin of mode 18) — same kernels, the batch dim rides the
+    kernels' image-outer grids."""
+
+    batch: int = 8
+
+
 CASES[23] = BasicNetConfig("resnet18_full")
 CASES[24] = ResNet34Config("resnet34_full")
 CASES[25] = BasicTrainConfig("resnet18_trainstep")
+CASES[26] = BasicNetB8Config("resnet18_full_b8")
 
 
 def stem_entry_flops(img: int, stem_c: int, c_mid0: int, c_io0: int) -> int:
