@@ -276,3 +276,23 @@ def test_optimizer_loop_converges_through_megakernel():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
+
+
+def test_recover_z_matches_remat_and_guards_zero_scale():
+    """The backward's algebraic z recovery equals the rematerialized pre-BN
+    activation wherever the ReLU-masked gradient can be nonzero, and the
+    scale==0 guard keeps it finite."""
+    from winograd_tpu.kernels.vjp import _recover_z
+
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.standard_normal((4, 4, 8)).astype(np.float32))
+    scale = jnp.asarray((rng.random(8) + 0.5).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.1)
+    y = jnp.maximum(z * scale + bias, 0.0)
+    zr = _recover_z(y, scale, bias)
+    mask = np.asarray(y) > 0
+    assert np.allclose(np.asarray(zr)[mask], np.asarray(z)[mask], atol=1e-6)
+    # scale = 0 channel: recovery is junk there but must stay finite.
+    s0 = scale.at[0].set(0.0)
+    y0 = jnp.maximum(z * s0 + bias, 0.0)
+    assert np.isfinite(np.asarray(_recover_z(y0, s0, bias))).all()
