@@ -70,6 +70,15 @@ def _matmul_bn_kernel(
     """One (TILE_P, TILE_K) x (TILE_K, TILE_N) MXU step with fused epilogue."""
     from winograd_tpu.kernels.direct import split_dot
 
+    if n_k == 1:
+        # Single contraction step: write the epilogue result directly, no
+        # zero-init / accumulate passes over the output VMEM block (three
+        # block-sized VMEM traversals become one — measurable at the
+        # reference's 196-pixel layer sizes).
+        y = split_dot(x_ref[:], w_ref[:], precision) * scale_ref[:] + bias_ref[:]
+        out_ref[:] = jnp.maximum(y, 0.0) if relu else y
+        return
+
     k = pl.program_id(2)
 
     @pl.when(k == 0)
