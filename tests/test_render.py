@@ -26,8 +26,16 @@ def test_render_row_cells():
     assert cells == [
         "0", "winograd3x3_128",
         "**3.13** (direct 4.0; F(4,3) 5.9)",
-        "—", "3.1", "9.4%", "4.20", "59", "1.6e-05",
+        "—", "3.1", "9.4%", "4.20", "59", "1.6e-05", "—",
     ]
+
+
+def test_render_row_grad_error_column():
+    r = dict(ROW, mode=19, name="resnet50_full_trainstep",
+             direct_device_us=None, winograd_f43_device_us=None,
+             train_grad_rel_error=6.45e-07)
+    cells = [c.strip() for c in render_row(r).strip("|").split("|")]
+    assert cells[-1] == "6.4e-07"
 
 
 def test_render_row_no_alts_no_ref():
@@ -82,3 +90,52 @@ def test_update_readme_roundtrip(tmp_path):
     bare.write_text("no markers here\n")
     with pytest.raises(SystemExit):
         update_readme(str(bare), rows)
+
+
+def test_committed_readme_matches_cited_artifact():
+    """The repo's own README table must match, cell for cell, the sweep
+    artifact its prose cites (BENCH_FULL_rNN.json). This is the standing
+    guard against the r2/r3 failure shape: published rows drifting from
+    the committed measurement."""
+    import re
+
+    from winograd_tpu.bench.render import check_readme
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "README.md")) as f:
+        text = f.read()
+    cited = re.search(r"BENCH_FULL_r\d+\.json", text)
+    assert cited, "README must cite the sweep artifact it renders"
+    with open(os.path.join(root, cited.group(0))) as f:
+        rows = json.load(f)
+    check_readme(os.path.join(root, "README.md"), rows)
+
+
+def test_check_readme_value_mismatch(tmp_path):
+    """--check must FAIL when a published CELL differs from the artifact
+    (the r3 stale-value failure shape: rows present but 24% off)."""
+    import pytest
+
+    from winograd_tpu.bench.render import TABLE_END, TABLE_START, check_readme, update_readme
+
+    md = tmp_path / "README.md"
+    md.write_text("# x\n\n" + TABLE_START + "\n" + TABLE_END + "\ntail\n")
+    rows = [dict(ROW)]
+    update_readme(str(md), rows)
+    check_readme(str(md), rows)  # freshly regenerated table passes
+
+    # A drifted value in the artifact (as if README went stale) must fail
+    # and name the offending cell.
+    drifted = [dict(ROW, pallas_device_us=9.99)]
+    with pytest.raises(SystemExit) as e:
+        check_readme(str(md), drifted)
+    assert "mode 0" in str(e.value) and "9.99" in str(e.value)
+
+    # A published row the artifact lacks must fail too.
+    extra = md.read_text().replace(
+        TABLE_END, "| 7 | ghost | **1.00** | — | — | — | 1.00 | — | 1.0e-06 | — |\n" + TABLE_END
+    )
+    md.write_text(extra)
+    with pytest.raises(SystemExit) as e:
+        check_readme(str(md), rows)
+    assert "mode 7" in str(e.value)

@@ -38,6 +38,10 @@ CASE_NOTES = {
     20: "(ResNet-101, image → logits)",
     21: "(ResNet-152, image → logits)",
     22: "(stem: 7×7/2 conv+BN+ReLU+maxpool)",
+    25: "(fwd+bwd)",
+    26: "(ResNet-18, N=8)",
+    27: "(classifier, N=32)",
+    28: "(ResNet-18, N=32)",
 }
 
 # What the generic "direct" alternate-algorithm slot means per mode (the
@@ -49,8 +53,8 @@ TABLE_END = "<!-- BENCH_TABLE_END -->"
 
 HEADER = (
     "| Mode | Case | Pallas f32 (µs) | bf16w (µs) | int8 (µs) | MFU "
-    "| XLA f32 (µs) | ref CUDA (µs) | max err |\n"
-    "|---|---|---|---|---|---|---|---|---|"
+    "| XLA f32 (µs) | ref CUDA (µs) | max err | grad err |\n"
+    "|---|---|---|---|---|---|---|---|---|---|"
 )
 
 
@@ -78,6 +82,7 @@ def render_row(r: dict) -> str:
     name = r["name"]
     if mode in CASE_NOTES:
         name += f" {CASE_NOTES[mode]}"
+    grad = r.get("train_grad_rel_error")
     cells = [
         str(mode),
         name,
@@ -88,6 +93,7 @@ def render_row(r: dict) -> str:
         _us(r.get("xla_device_us")),
         str(REF_CUDA_US.get(mode, "—")),
         f"{r['max_error_pallas']:.1e}",
+        f"{grad:.1e}" if grad is not None else "—",
     ]
     return "| " + " | ".join(cells) + " |"
 
@@ -123,19 +129,66 @@ def update_readme(readme_path: str, rows: list[dict]) -> None:
         f.write(text[:start] + "\n" + render(rows) + "\n" + text[end:])
 
 
+def check_readme(readme_path: str, rows: list[dict]) -> None:
+    """Assert the README's published table matches the artifact CELL BY CELL
+    (round-3 verdict: mode-presence checking alone let published VALUES
+    drift 24% from the artifact). Raises SystemExit naming every cell that
+    disagrees."""
+    with open(readme_path) as f:
+        text = f.read()
+    if TABLE_START not in text or TABLE_END not in text:
+        raise SystemExit(
+            f"{readme_path} has no {TABLE_START}/{TABLE_END} markers"
+        )
+    start = text.index(TABLE_START) + len(TABLE_START)
+    end = text.index(TABLE_END)
+    published = [l for l in text[start:end].strip().splitlines()]
+    expected = render(rows).splitlines()
+    mismatches = []
+    n_header = len(HEADER.splitlines())
+    if published[:n_header] != expected[:n_header]:
+        mismatches.append("header row differs")
+    pub_rows = {l.split("|")[1].strip(): l for l in published[n_header:] if l.strip()}
+    exp_rows = {l.split("|")[1].strip(): l for l in expected[n_header:]}
+    for mode in sorted(set(pub_rows) | set(exp_rows), key=int):
+        p, e = pub_rows.get(mode), exp_rows.get(mode)
+        if p is None:
+            mismatches.append(f"mode {mode}: in artifact but not published")
+        elif e is None:
+            mismatches.append(f"mode {mode}: published but not in artifact")
+        elif p != e:
+            pc = [c.strip() for c in p.strip("|").split("|")]
+            ec = [c.strip() for c in e.strip("|").split("|")]
+            cols = [c.strip() for c in HEADER.splitlines()[0].strip("|").split("|")]
+            for i, col in enumerate(cols):
+                if i < len(pc) and i < len(ec) and pc[i] != ec[i]:
+                    mismatches.append(
+                        f"mode {mode} [{col}]: README has {pc[i]!r}, "
+                        f"artifact renders {ec[i]!r}"
+                    )
+    if mismatches:
+        raise SystemExit(
+            f"{readme_path} table drifted from the artifact "
+            f"({len(mismatches)} cell(s)):\n  " + "\n  ".join(mismatches)
+        )
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    update = None
-    if argv and argv[0] == "--update":
+    update = check = None
+    if argv and argv[0] in ("--update", "--check"):
         if len(argv) < 2:
-            print("--update needs a README path", file=sys.stderr)
+            print(f"{argv[0]} needs a README path", file=sys.stderr)
             return 2
-        update = argv[1]
+        if argv[0] == "--update":
+            update = argv[1]
+        else:
+            check = argv[1]
         argv = argv[2:]
     if len(argv) != 1:
         print(
             "usage: python -m winograd_tpu.bench.render "
-            "[--update README.md] SWEEP.json",
+            "[--update README.md | --check README.md] SWEEP.json",
             file=sys.stderr,
         )
         return 2
@@ -143,7 +196,11 @@ def main(argv=None) -> int:
         rows = json.load(f)
     if update:
         update_readme(update, rows)
+        check_readme(update, rows)  # regeneration must round-trip
         print(f"updated table in {update} ({len(rows)} rows)", file=sys.stderr)
+    elif check:
+        check_readme(check, rows)
+        print(f"{check} table matches the artifact", file=sys.stderr)
     else:
         print(render(rows))
     return 0
