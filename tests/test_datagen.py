@@ -21,13 +21,14 @@ def test_seed_determinism():
 
 
 def test_all_cases_constructible():
-    from winograd_tpu.config import BackboneConfig
+    from winograd_tpu.config import BackboneConfig, BasicNetConfig
 
     for mode in CASES:
         cfg = CASES[mode]
-        if isinstance(cfg, BackboneConfig) and cfg.batch > 1:
-            # mode 14 = mode 13's structure at N=8; its float64 golden chain
-            # costs ~2 min — constructibility is covered by mode 13.
+        if isinstance(cfg, (BackboneConfig, BasicNetConfig)) and cfg.batch > 1:
+            # Batched model modes (14/18/26/27/28) reuse a batch-1 twin's
+            # structure; their float64 golden chains cost minutes each —
+            # constructibility is covered by the batch-1 mode.
             continue
         case = make_case(mode, seed=mode)
         assert "golden" in case and np.isfinite(case["golden"]).all()

@@ -219,3 +219,48 @@ def test_int8_direct_3x3_matches_golden():
         )
         rel = np.abs(out - case["golden"]).max() / np.abs(case["golden"]).max()
         assert rel < 5e-2, (mode, rel)
+
+
+def test_int8_winograd_3x3_matches_golden():
+    """The int8 Winograd F(2,3) kernel (round-4: makes int8 pay on the
+    standalone 3x3 modes — no im2col staging) stays inside the 8-bit bound
+    on both reference geometries, with and without ReLU, and at batch."""
+    from winograd_tpu.datagen.generate import make_case
+    from winograd_tpu.kernels.quantized import (
+        conv3x3_bn_winograd_int8_pallas,
+        quantize_winograd_filter,
+    )
+    from winograd_tpu.ops import reference
+
+    for mode in (0, 1):
+        case = make_case(mode, seed=mode)
+        uq, su = quantize_winograd_filter(np.asarray(case["u2"]))
+        out = np.asarray(
+            conv3x3_bn_winograd_int8_pallas(
+                case["x"], uq, su, case["scale"], case["bias"]
+            )
+        )
+        rel = np.abs(out - case["golden"]).max() / np.abs(case["golden"]).max()
+        assert rel < 5e-2, (mode, rel)
+
+    # no-ReLU asymmetry + batched (nb auto-select exercises the grid path)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, 14, 14, 128), dtype=np.float32)
+    w = (rng.random((128, 128, 3, 3), dtype=np.float32) - 0.5) * 0.2
+    scale = rng.random(128, dtype=np.float32) + 0.5
+    bias = rng.standard_normal(128, dtype=np.float32) * 0.1
+    from winograd_tpu.kernels.transforms import transform_filter
+
+    uq, su = quantize_winograd_filter(np.asarray(transform_filter(w, m=2)))
+    out = np.asarray(
+        conv3x3_bn_winograd_int8_pallas(x, uq, su, scale, bias, relu=False)
+    )
+    gold = np.stack(
+        [
+            reference.conv3x3_bn_relu(xi, w, scale, bias, relu=False)
+            for xi in x
+        ]
+    )
+    rel = np.abs(out - gold).max() / np.abs(gold).max()
+    assert rel < 5e-2, rel
+    assert out.min() < 0  # ReLU really off

@@ -424,19 +424,33 @@ def run_case(
         # the reference's own F(4,3) algebra.
         core_direct = lambda x_: conv3x3_bn_direct_pallas(x_, w9, s, b, relu=cfg.relu)
         core_wino4 = lambda x_: conv3x3_bn_winograd_pallas(x_, u, s, b, relu=cfg.relu)
-        # Int8 serving tier (direct im2col — the Winograd algebra is not
-        # quantized; kernels/quantized.py::conv3x3_bn_int8_pallas).
+        # Int8 serving tier, geometry-routed: the int8 Winograd F(2,3)
+        # kernel (per-position weight scales, no im2col staging) when the
+        # output fits ONE lane tile (cout <= 128: no V stash, measured
+        # mode 0 2.04 us vs direct's 3.13); the direct im2col kernel
+        # otherwise (cout > 128 pays the V stash/reload and loses: mode 1
+        # wino 4.30 vs direct 3.40 in-run).
         from winograd_tpu.kernels.quantized import (
             conv3x3_bn_int8_pallas,
+            conv3x3_bn_winograd_int8_pallas,
             quantize_weights,
+            quantize_winograd_filter,
         )
 
-        w9q_np, sw9 = quantize_weights(np.asarray(w9))
-        w9q = jax.device_put(jnp.asarray(w9q_np), dev)
-        sw9 = jax.device_put(jnp.asarray(sw9), dev)
-        core_int8 = lambda x_: conv3x3_bn_int8_pallas(
-            x_, w9q, sw9, s, b, relu=cfg.relu
-        )
+        if cfg.cout <= 128:
+            uq_np, su_np = quantize_winograd_filter(np.asarray(case["u2"]))
+            uq = jax.device_put(jnp.asarray(uq_np), dev)
+            su = jax.device_put(jnp.asarray(su_np), dev)
+            core_int8 = lambda x_: conv3x3_bn_winograd_int8_pallas(
+                x_, uq, su, s, b, relu=cfg.relu
+            )
+        else:
+            w9q_np, sw9 = quantize_weights(np.asarray(w9))
+            w9q = jax.device_put(jnp.asarray(w9q_np), dev)
+            sw9 = jax.device_put(jnp.asarray(sw9), dev)
+            core_int8 = lambda x_: conv3x3_bn_int8_pallas(
+                x_, w9q, sw9, s, b, relu=cfg.relu
+            )
         # bf16 weight-storage tier on the F(2,3) algebra (its +-1 transforms
         # do not amplify the offline weight rounding; kernels/winograd.py).
         core_bf16w = lambda x_: conv3x3_bn_winograd_pallas(

@@ -41,6 +41,10 @@ Extensions beyond the reference:
     25: ONE ResNet-18 train step (fwd+bwd through the serving kernels vs
         the all-XLA autodiff step — the basic-family twin of mode 19)
     26: ResNet-18 at batch 8 (the basic-family twin of mode 18)
+    27/28: ResNet-50 / ResNet-18 at batch 32 — the serving-SCALE regime
+        (steady-state images/s + MFU; the reference fixed N=1,
+        report.pdf section 1, so batch scaling is the TPU-native
+        capability its scope left open; bench-only artifacts)
 """
 
 from __future__ import annotations
@@ -351,10 +355,29 @@ class BasicNetB8Config(BasicNetConfig):
     batch: int = 8
 
 
+@dataclasses.dataclass(frozen=True)
+class ResNet50B32Config(ResNet50Config):
+    """Serving-SCALE batch: the COMPLETE ResNet-50 classifier at N=32.
+    The float64 golden chain at this batch is minutes of numpy, so the
+    case is bench-only (regenerated in memory like modes 20/21)."""
+
+    batch: int = 32
+    on_disk = False
+
+
+@dataclasses.dataclass(frozen=True)
+class BasicNetB32Config(BasicNetConfig):
+    """Serving-SCALE batch: the COMPLETE ResNet-18 classifier at N=32."""
+
+    batch: int = 32
+
+
 CASES[23] = BasicNetConfig("resnet18_full")
 CASES[24] = ResNet34Config("resnet34_full")
 CASES[25] = BasicTrainConfig("resnet18_trainstep")
 CASES[26] = BasicNetB8Config("resnet18_full_b8")
+CASES[27] = ResNet50B32Config("resnet50_full_b32")
+CASES[28] = BasicNetB32Config("resnet18_full_b32")
 
 
 def stem_entry_flops(img: int, stem_c: int, c_mid0: int, c_io0: int) -> int:

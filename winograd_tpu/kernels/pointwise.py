@@ -181,7 +181,12 @@ def conv1x1_bn_pallas(
 
     # Tile selection: MXU-aligned, sized so a (tile_p, tile_k) + (tile_k,
     # tile_n) + (tile_p, tile_n) working set stays a few MB of VMEM.
-    tp = tile_p or min(_round_up(p, 128), 512)
+    # When all rows fit one tile, the block row dim is p ITSELF (legal for
+    # Mosaic: equal-to-dim needs no 8-multiple) — the XLA pad before the
+    # kernel and the out[:p] slice after it both disappear, and the kernel
+    # touches only live rows (measured on the reference's 196-row cases:
+    # mode 2 1.68 -> 1.47 us, mode 3 2.14 -> 2.08 us).
+    tp = tile_p or (p if p <= 512 else min(_round_up(p, 128), 512))
     tn = tile_n or mxu_lane_divisor(cout, 512)
     tk = tile_k or mxu_lane_divisor(cin, 512)
     assert cout % tn == 0 and cin % tk == 0, (cin, cout, tn, tk)

@@ -161,33 +161,19 @@ def winograd_gemm_inverse(v_groups, u_ref, *, m: int, cg: int, precision: str):
     return _apply_separable(np.asarray(transforms.matrices(m)[2], np.float64), mm)
 
 
-def _winograd_kernel(
-    x_ref,       # (NB, H, W, Cin)    dense input, NB images per grid step
-    u_ref,       # (a2, Cin, TILE_CO) transformed filter slice
-    scale_ref,   # (1, TILE_CO)
-    bias_ref,    # (1, TILE_CO)
-    out_ref,     # (NB, H, W, TILE_CO)
-    *scratch,    # G xpad buffers (NB, mTh+2, mTw'+2, CG) + optional v_ref
-    m: int,
-    nb: int,
-    tiles_h: int,
-    tiles_w: int,
-    tw_pad: int,
-    h: int,
-    w: int,
-    cin: int,
-    cg: int,
-    relu: bool,
-    precision: str,
-    has_vref: bool,
+def winograd_stage_input(
+    x_ref, xpads, v_ref, *, m: int, nb: int, tiles_h: int, tw_pad: int,
+    h: int, w: int, cg: int
 ):
+    """Phases 0+1 shared by the f32 and int8 standalone kernels: pad the
+    dense input into VMEM scratch once per image block (grid axis 1 must be
+    the output-channel axis — the pad/stash run at j == 0), transform, and
+    when output channels are tiled (v_ref given) stash/reload V so later j
+    steps skip the transform. Returns v_groups[g][pi][pj] f32 values."""
     a = m + 2
     side_h = m * tiles_h
     side_w = m * tw_pad
-    n_groups = cin // cg
     j = pl.program_id(1)
-    xpads = scratch[:n_groups]
-    v_ref = scratch[n_groups] if has_vref else None
 
     # Phase 0 — pad into VMEM once per image block (border strips zeroed,
     # interior copied; the reference instead doubles + zeroes its global
@@ -209,40 +195,42 @@ def _winograd_kernel(
             xp[:, 1 : h + 1, 1 : w + 1, :] = x_ref[:, :, :, gsl]
 
     if v_ref is None:
-        v_groups = winograd_input_transform(
+        return winograd_input_transform(
             xpads, m=m, tiles_h=tiles_h, tw_pad=tw_pad, nb=nb
         )
-    else:
-        # Output-channel slicing revisits the same image block: stash V in
-        # scratch at j == 0, reload on later j steps.
-        @pl.when(j == 0)
-        def _stash():
-            vv_groups = winograd_input_transform(
-                xpads, m=m, tiles_h=tiles_h, tw_pad=tw_pad, nb=nb
-            )
-            for g, vv in enumerate(vv_groups):
-                for pi in range(a):
-                    for pj in range(a):
-                        v_ref[pi * a + pj, :, g * cg : (g + 1) * cg] = vv[pi][pj]
 
-        v_groups = [
+    # Output-channel slicing revisits the same image block: stash V in
+    # scratch at j == 0, reload on later j steps.
+    @pl.when(j == 0)
+    def _stash():
+        vv_groups = winograd_input_transform(
+            xpads, m=m, tiles_h=tiles_h, tw_pad=tw_pad, nb=nb
+        )
+        for g, vv in enumerate(vv_groups):
+            for pi in range(a):
+                for pj in range(a):
+                    v_ref[pi * a + pj, :, g * cg : (g + 1) * cg] = vv[pi][pj]
+
+    return [
+        [
             [
-                [
-                    v_ref[pi * a + pj, :, g * cg : (g + 1) * cg]
-                    for pj in range(a)
-                ]
-                for pi in range(a)
+                v_ref[pi * a + pj, :, g * cg : (g + 1) * cg]
+                for pj in range(a)
             ]
-            for g in range(n_groups)
+            for pi in range(a)
         ]
+        for g in range(len(xpads))
+    ]
 
-    # Phases 2+3 — per-position MXU tile GEMMs (the hot loop, contraction
-    # split over channel groups) + separable At inverse; then the BN FMA
-    # (+ReLU) epilogue and strided stores with static edge clipping.
-    y = winograd_gemm_inverse(v_groups, u_ref, m=m, cg=cg, precision=precision)
+
+def winograd_store_epilogue(
+    y, out_ref, scale, bias, *, relu: bool, m: int, nb: int, tiles_h: int,
+    tiles_w: int, tw_pad: int, h: int, w: int
+):
+    """Folded-BN FMA (+ReLU) epilogue and ONE strided-slice store per output
+    position, edge overhang clipped statically (replaces the reference's
+    per-tile branch masking, Kernel128_winograd.cu:155,171,177)."""
     tile_co = out_ref.shape[-1]
-    scale = scale_ref[:]
-    bias = bias_ref[:]
     for oi in range(m):
         th_v = min(tiles_h, (h - 1 - oi) // m + 1)
         for oj in range(m):
@@ -254,6 +242,45 @@ def _winograd_kernel(
             out_ref[
                 :, pl.Slice(oi, th_v, m), pl.Slice(oj, tw_v, m), :
             ] = yy[:, :th_v, :tw_v, :]
+
+
+def _winograd_kernel(
+    x_ref,       # (NB, H, W, Cin)    dense input, NB images per grid step
+    u_ref,       # (a2, Cin, TILE_CO) transformed filter slice
+    scale_ref,   # (1, TILE_CO)
+    bias_ref,    # (1, TILE_CO)
+    out_ref,     # (NB, H, W, TILE_CO)
+    *scratch,    # G xpad buffers (NB, mTh+2, mTw'+2, CG) + optional v_ref
+    m: int,
+    nb: int,
+    tiles_h: int,
+    tiles_w: int,
+    tw_pad: int,
+    h: int,
+    w: int,
+    cin: int,
+    cg: int,
+    relu: bool,
+    precision: str,
+    has_vref: bool,
+):
+    n_groups = cin // cg
+    xpads = scratch[:n_groups]
+    v_ref = scratch[n_groups] if has_vref else None
+
+    v_groups = winograd_stage_input(
+        x_ref, xpads, v_ref, m=m, nb=nb, tiles_h=tiles_h, tw_pad=tw_pad,
+        h=h, w=w, cg=cg,
+    )
+
+    # Phases 2+3 — per-position MXU tile GEMMs (the hot loop, contraction
+    # split over channel groups) + separable At inverse; then the BN FMA
+    # (+ReLU) epilogue and strided stores with static edge clipping.
+    y = winograd_gemm_inverse(v_groups, u_ref, m=m, cg=cg, precision=precision)
+    winograd_store_epilogue(
+        y, out_ref, scale_ref[:], bias_ref[:], relu=relu, m=m, nb=nb,
+        tiles_h=tiles_h, tiles_w=tiles_w, tw_pad=tw_pad, h=h, w=w,
+    )
 
 
 @functools.partial(
