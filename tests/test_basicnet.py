@@ -112,6 +112,17 @@ def test_tiny_basicnet_all_tiers():
         basicnet_forward_int8(x, quantize_basicnet(params)), gold
     ) < INT8_RTOL_BACKBONE
 
+    # Preprocessed-input contract == raw-image route exactly.
+    from winograd_tpu.kernels.stem import stem_prepare_input
+    from winograd_tpu.models.basic import basicnet_forward_pre
+
+    out_pre = np.asarray(
+        basicnet_forward_pre(
+            stem_prepare_input(x), params, h=cfg.img, w=cfg.img
+        )
+    ).reshape(np.asarray(gold).shape)
+    np.testing.assert_array_equal(out_pre, out)
+
 
 def test_tiny_basicnet_train_step():
     """The training path: fused-kernel forward matches the golden, and a

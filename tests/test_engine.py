@@ -93,6 +93,12 @@ def test_resnet50_engine_tiers_and_dp():
     rel = np.abs(out8 - gold).max() / max(np.abs(gold).max(), 1.0)
     assert rel < 5e-2 and np.corrcoef(out8.ravel(), gold.ravel())[0, 1] > 0.98
 
+    # Preprocessed-input serving contract: prepare on the host, serve from
+    # the prepared operand — identical logits to the raw-image route.
+    xpre = engine.prepare_input(case["x"])
+    out_pre = np.asarray(engine.serve_pre(xpre, img=cfg.img))[0]
+    np.testing.assert_array_equal(out_pre, out)
+
     xb = np.stack([case["x"]] * 8) * np.linspace(0.5, 1.5, 8)[:, None, None, None]
     xb = xb.astype(np.float32)
     single = np.asarray(engine(xb))

@@ -74,6 +74,14 @@ def test_stem_matches_golden():
     assert np.abs(out_im2col - gold).max() < PARITY_ATOL
     out_xla = np.asarray(jnp_ops.stem(jnp.asarray(x), params))
     assert np.abs(out_xla - gold).max() < PARITY_ATOL
+    # The preprocessed-input contract: stem_prepare_input on the host side
+    # + stem_pallas_pre on the device side == the fused route exactly.
+    from winograd_tpu.kernels.stem import stem_prepare_input
+    from winograd_tpu.models.resnet50 import stem_pallas_pre
+
+    xpre = stem_prepare_input(jnp.asarray(x))
+    out_pre = np.asarray(stem_pallas_pre(xpre, params, h=32, w=32))[0]
+    np.testing.assert_array_equal(out_pre, out)
     # Batched.
     xb = np.stack([x, 0.5 * x])
     outb = np.asarray(stem_pallas(jnp.asarray(xb), params))
@@ -201,6 +209,17 @@ def test_tiny_resnet50_all_tiers():
     qparams = quantize_resnet50(params)
     out_i8 = np.asarray(resnet50_forward_int8(x, qparams))
     assert _rel(out_i8, gold) < INT8_RTOL_BACKBONE
+
+    # Preprocessed-input contract: prepare on the "host", forward from the
+    # prepared operand — identical logits to the raw-image route.
+    from winograd_tpu.kernels.stem import stem_prepare_input
+    from winograd_tpu.models.resnet50 import resnet50_forward_pre
+
+    xpre = stem_prepare_input(x)
+    out_pre = np.asarray(
+        resnet50_forward_pre(xpre, params, h=cfg.img, w=cfg.img)
+    ).reshape(gold.shape)
+    np.testing.assert_array_equal(out_pre, out)
 
 
 def test_tiny_resnet50_train_step():

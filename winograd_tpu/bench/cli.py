@@ -102,6 +102,12 @@ def run_case(
     core_wino4 = None
     core_int8 = None
     core_bf16w = None
+    # Preprocessed-input contract (kernels/stem.py::stem_prepare_input):
+    # the host input pipeline delivers the stem's s2d patch operand, the
+    # device skips the gather relayout. Reported alongside the raw-image
+    # number — both are honest end-to-end figures for their contract.
+    core_pre = None
+    x_pre = None
     # Train modes: the parity fns run the FORWARD (checked vs the golden);
     # pallas_fn/baseline_fn and the device cores all time the full train
     # STEP, so every timing field in the row describes the same thing.
@@ -247,6 +253,16 @@ def run_case(
         core_bf16w = jax.jit(
             lambda x_: basicnet_forward_pallas(x_, params, precision="bf16w")
         )
+        from winograd_tpu.kernels.stem import stem_prepare_input
+        from winograd_tpu.models.basic import basicnet_forward_pre
+
+        hw_img = (int(x.shape[-3]), int(x.shape[-2]))
+        x_pre = jax.block_until_ready(stem_prepare_input(x))
+        core_pre = jax.jit(
+            lambda xb_: basicnet_forward_pre(
+                xb_, params, h=hw_img[0], w=hw_img[1]
+            )
+        )
     elif isinstance(cfg, ResNet50Config):
         from winograd_tpu.models.resnet50 import (
             quantize_resnet50,
@@ -268,6 +284,16 @@ def run_case(
         core_int8 = jax.jit(lambda x_: resnet50_forward_int8(x_, qparams))
         core_bf16w = jax.jit(
             lambda x_: resnet50_forward_pallas(x_, params, precision="bf16w")
+        )
+        from winograd_tpu.kernels.stem import stem_prepare_input
+        from winograd_tpu.models.resnet50 import resnet50_forward_pre
+
+        hw_img = (int(x.shape[-3]), int(x.shape[-2]))
+        x_pre = jax.block_until_ready(stem_prepare_input(x))
+        core_pre = jax.jit(
+            lambda xb_: resnet50_forward_pre(
+                xb_, params, h=hw_img[0], w=hw_img[1]
+            )
         )
     elif isinstance(cfg, BackboneConfig):
         from winograd_tpu.datagen.generate import backbone_stages
@@ -395,6 +421,14 @@ def run_case(
         core_bf16w = jax.jit(
             lambda x_: stem_pallas(x_, params, precision="bf16w")
         )
+        from winograd_tpu.kernels.stem import stem_prepare_input
+        from winograd_tpu.models.resnet50 import stem_pallas_pre
+
+        hw_img = (int(x.shape[-3]), int(x.shape[-2]))
+        x_pre = jax.block_until_ready(stem_prepare_input(x))
+        core_pre = jax.jit(
+            lambda xb_: stem_pallas_pre(xb_, params, h=hw_img[0], w=hw_img[1])
+        )
     elif cfg.kind == "winograd3x3":
         from winograd_tpu.kernels import transforms
         from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
@@ -497,6 +531,13 @@ def run_case(
     check_wino4 = None
     if core_wino4 is not None:
         check_wino4 = _check(f"{cfg.name}/winograd_f43", core_wino4(x), golden, strict)
+    if core_pre is not None:
+        _check(
+            f"{cfg.name}/pre",
+            np.asarray(core_pre(x_pre)).reshape(golden.shape),
+            golden,
+            strict,
+        )
     # Reduced-precision serving tiers: hard-fail on each tier's own bound.
     # Composed backbones compound per-layer error -> one notch looser.
     is_backbone = isinstance(cfg, BackboneConfig)
@@ -532,6 +573,10 @@ def run_case(
     if core_wino4 is not None:
         wino4_device_us = bench_scan(core_wino4, x, scan_len=scan_len)
         print(f"  {cfg.name}/winograd_f43: device {wino4_device_us:.1f} us", file=sys.stderr)
+    pre_device_us = None
+    if core_pre is not None:
+        pre_device_us = bench_scan(core_pre, x_pre, scan_len=scan_len)
+        print(f"  {cfg.name}/pre: device {pre_device_us:.1f} us", file=sys.stderr)
     int8_device_us = None
     if core_int8 is not None:
         int8_device_us = bench_scan(core_int8, x, scan_len=scan_len)
@@ -581,6 +626,7 @@ def run_case(
         "xla_device_us": r_baseline.device_us,
         "direct_device_us": direct_device_us,
         "winograd_f43_device_us": wino4_device_us,
+        "pre_device_us": pre_device_us,
         "int8_device_us": int8_device_us,
         "int8_rel_error": int8_rel_error,
         "bf16w_device_us": bf16w_device_us,

@@ -372,10 +372,49 @@ class ResNet50Engine:
         """Argmax class id(s) for image(s) x."""
         return jnp.argmax(self(x), axis=-1)
 
+    def prepare_input(self, x: jax.Array) -> jax.Array:
+        """The preprocessed-input serving contract, host side: raw
+        image(s) -> the stem's s2d patch operand (kernels/stem.py::
+        stem_prepare_input). Run this in the input pipeline (CPU) and
+        serve via serve_pre — the device then never pays the ~50-65 us
+        stem gather relayout. The offline-transform philosophy (the
+        reference ships pre-transformed filters, data_generator.py:63-78)
+        applied to the input side."""
+        return _prepare_input(self.tier, x)
+
+    def serve_pre(self, xb: jax.Array, img: int = 224) -> jax.Array:
+        """Logits from a PREPARED operand (see prepare_input). Plain
+        single-host serving only (f32/bf16w tiers; mesh partitions and
+        the int8 tier take the raw-image route)."""
+        from winograd_tpu.models.resnet50 import resnet50_forward_pre
+
+        return _serve_pre(self, resnet50_forward_pre, xb, img)
+
     def throughput(self, batch: int, iters: int = 20, img: int = 224) -> Dict:
         """img must match the deployment image side (224 for the standard
         model) — the compiled program is shape-specific."""
         return _throughput(self, batch, 3, iters, img)
+
+
+def _prepare_input(tier: str, x: jax.Array) -> jax.Array:
+    from winograd_tpu.kernels.stem import stem_prepare_input
+
+    prec = {"f32": "bf16x3", "bf16w": "bf16w", "int8": "bf16"}[tier]
+    return stem_prepare_input(jnp.asarray(x, jnp.float32), precision=prec)
+
+
+def _serve_pre(engine, forward_pre, xb: jax.Array, img: int) -> jax.Array:
+    assert engine.mesh is None and engine.tier != "int8", (
+        "serve_pre: plain f32/bf16w serving only"
+    )
+    key = (forward_pre.__name__, img)
+    if getattr(engine, "_pre_key", None) != key:
+        prec = "bf16w" if engine.tier == "bf16w" else None
+        engine._pre_fn = jax.jit(
+            lambda xb_, p: forward_pre(xb_, p, precision=prec, h=img, w=img)
+        )
+        engine._pre_key = key
+    return engine._pre_fn(xb, engine._params)
 
 
 class ResNetBasicEngine:
@@ -494,6 +533,17 @@ class ResNetBasicEngine:
     def classify(self, x: jax.Array) -> jax.Array:
         """Argmax class id(s) for image(s) x."""
         return jnp.argmax(self(x), axis=-1)
+
+    def prepare_input(self, x: jax.Array) -> jax.Array:
+        """Preprocessed-input contract, host side (see
+        ResNet50Engine.prepare_input)."""
+        return _prepare_input(self.tier, x)
+
+    def serve_pre(self, xb: jax.Array, img: int = 224) -> jax.Array:
+        """Logits from a PREPARED operand (see prepare_input)."""
+        from winograd_tpu.models.basic import basicnet_forward_pre
+
+        return _serve_pre(self, basicnet_forward_pre, xb, img)
 
     def throughput(self, batch: int, iters: int = 20, img: int = 224) -> Dict:
         """img must match the deployment image side (224 for the standard

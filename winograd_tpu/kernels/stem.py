@@ -127,39 +127,22 @@ def _stem_kernel(
     out_ref[0] = jnp.maximum(jnp.maximum(ev, od), left)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("precision", "interpret")
-)
-def stem_fused_pallas(
-    x: jax.Array,
-    w192: jax.Array,
-    scale: jax.Array,
-    bias: jax.Array,
-    *,
-    precision: str = "bf16x3",
-    interpret: bool | None = None,
-) -> jax.Array:
-    """Whole stem, (..., H, W, Cin) -> (..., ceil(H/4), ceil(W/4), C).
-
-    w192: (64*Cin, C) = models/resnet50.py::stem_filter_s2d(w7) — rows
-    ordered (a, b, u, v, c) so the kernel's per-height-shift slice a is the
-    contiguous row range [16*Cin*a, 16*Cin*(a+1)).
-    precision: a split_dot mode — "bf16x3" (the f32 tier), "bf16w" (bf16
-    weight storage), "bf16" (the int8-tier stem: bf16 end to end),
-    "highest" (6-pass exact; differential checks).
-    """
-    squeeze = x.ndim == 3
-    if squeeze:
+@functools.partial(jax.jit, static_argnames=("precision",))
+def stem_prepare_input(x: jax.Array, *, precision: str = "bf16x3") -> jax.Array:
+    """The stem's input-layout producer: raw image(s) (..., H, W, Cin) ->
+    the (N, 16*nb+4, wo_pad, ceil(16*Cin/128)*128) halo-ready s2d patch
+    operand the kernel DMAs from. Jittable on device (the served default),
+    but ALSO the engine's host-side preprocessed-input contract: run it on
+    CPU in the input pipeline (the offline-transform philosophy applied to
+    layout, like the reference ships pre-transformed filters,
+    data_generator.py:63-78) and serve via stem_fused_pallas_pre, and the
+    device never pays the ~50-65 us gather-emission relayout."""
+    if x.ndim == 3:
         x = x[None]
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     n, h, w, cin = x.shape
-    c = w192.shape[1]
-    assert w192.shape[0] == 64 * cin, (w192.shape, cin)
     ho, wo = -(-h // 2), -(-w // 2)
-    po, qo = -(-ho // 2), -(-wo // 2)
+    po = -(-ho // 2)
     wo_pad = _cdiv(wo, 8) * 8
-    qo_pad = wo_pad // 2
     nb = _cdiv(po, 8)
     k = 16 * cin
 
@@ -192,9 +175,43 @@ def stem_fused_pallas(
     # lanes the 48-wide array's physical tiles contained anyway, with the
     # cheap 12-channel gather pattern untouched. Weight rows pad to match.
     kp = _cdiv(k, 128) * 128
-    xb = jnp.pad(
+    return jnp.pad(
         xb, ((0, 0), (1, rows_tot - 1 - (ho + 3)), (0, 0), (0, kp - k))
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "precision", "interpret")
+)
+def stem_fused_pallas_pre(
+    xb: jax.Array,
+    w192: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    h: int,
+    w: int,
+    precision: str = "bf16x3",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """The stem kernel on a PREPARED operand (stem_prepare_input) —
+    the preprocessed-input serving contract: (N, rows, wo_pad, kp) ->
+    (N, ceil(H/4), ceil(W/4), C). h/w are the ORIGINAL image dims (static;
+    they set the valid-region masks)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = xb.shape[0]
+    c = w192.shape[1]
+    cin = w192.shape[0] // 64
+    ho, wo = -(-h // 2), -(-w // 2)
+    po, qo = -(-ho // 2), -(-wo // 2)
+    wo_pad = _cdiv(wo, 8) * 8
+    qo_pad = wo_pad // 2
+    nb = _cdiv(po, 8)
+    k = 16 * cin
+    kp = _cdiv(k, 128) * 128
+    assert xb.shape[1:] == (16 * nb + 4, wo_pad, kp), (xb.shape, nb, wo_pad, kp)
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     wk = w192.reshape(4, k, c)
     wk = jnp.pad(wk, ((0, 0), (0, kp - k), (0, 0))).reshape(4 * kp, c)
@@ -236,5 +253,37 @@ def stem_fused_pallas(
         scale.reshape(1, c).astype(jnp.float32),
         bias.reshape(1, c).astype(jnp.float32),
     )
-    out = out[:, :po, :qo]
+    return out[:, :po, :qo]
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def stem_fused_pallas(
+    x: jax.Array,
+    w192: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    precision: str = "bf16x3",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Whole stem, (..., H, W, Cin) -> (..., ceil(H/4), ceil(W/4), C):
+    the layout producer (stem_prepare_input) + the halo-DMA kernel
+    (stem_fused_pallas_pre) fused under one jit.
+
+    w192: (64*Cin, C) = models/resnet50.py::stem_filter_s2d(w7) — rows
+    ordered (a, b, u, v, c) so the kernel's per-height-shift slice a is the
+    contiguous row range [16*Cin*a, 16*Cin*(a+1)).
+    precision: a split_dot mode — "bf16x3" (the f32 tier), "bf16w" (bf16
+    weight storage), "bf16" (the int8-tier stem: bf16 end to end),
+    "highest" (6-pass exact; differential checks).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    h, w = x.shape[1], x.shape[2]
+    xb = stem_prepare_input(x, precision=precision)
+    out = stem_fused_pallas_pre(
+        xb, w192, scale, bias, h=h, w=w, precision=precision,
+        interpret=interpret,
+    )
     return out[0] if squeeze else out

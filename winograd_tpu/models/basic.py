@@ -106,6 +106,19 @@ def basicnet_forward_pallas(
     return head_pallas(h, params["head"], precision)
 
 
+def basicnet_forward_pre(
+    xb: jax.Array, params: Dict, precision: str | None = None,
+    *, h: int = 224, w: int = 224,
+) -> jax.Array:
+    """Full ResNet-18/34 forward from a PREPARED stem operand (the
+    preprocessed-input contract, models/resnet50.py::stem_pallas_pre)."""
+    from winograd_tpu.models.resnet50 import stem_pallas_pre
+
+    hh = stem_pallas_pre(xb, params["stem"], precision, h=h, w=w)
+    hh = basicnet_stages(hh, params["stages"], precision)
+    return head_pallas(hh, params["head"], precision)
+
+
 def basicnet_forward_xla(x: jax.Array, params: Dict) -> jax.Array:
     """The same network through jitted XLA ops (the vendor-baseline role)."""
     h = jnp_ops.stem(x, params["stem"])

@@ -221,6 +221,37 @@ def resnet50_forward_pallas(
     return head_pallas(h, params["head"], precision)
 
 
+def stem_pallas_pre(
+    xb: jax.Array, params: Dict, precision: str | None = None,
+    *, h: int = 224, w: int = 224,
+) -> jax.Array:
+    """The stem on a PREPARED input operand (kernels/stem.py::
+    stem_prepare_input) — the preprocessed-input serving contract: the
+    host input pipeline pays the layout once, the device never pays the
+    ~50-65 us s2d/concat gather relayout. The offline-transform philosophy
+    (reference data_generator.py:63-78) applied to the input side."""
+    from winograd_tpu.kernels.stem import stem_fused_pallas_pre
+
+    prec = {None: "bf16x3", "bf16w": "bf16w", "int8": "bf16"}[precision]
+    return stem_fused_pallas_pre(
+        xb, params["w192_stem"], params["s_stem"], params["b_stem"],
+        h=h, w=w, precision=prec,
+    )
+
+
+def resnet50_forward_pre(
+    xb: jax.Array, params: Dict, precision: str | None = None,
+    *, h: int = 224, w: int = 224,
+) -> jax.Array:
+    """Full ResNet-50 forward from a PREPARED stem operand (the
+    preprocessed-input contract; see stem_pallas_pre). Everything after
+    the stem is identical to resnet50_forward_pallas."""
+    hh = stem_pallas_pre(xb, params["stem"], precision, h=h, w=w)
+    hh = projection_bottleneck_block_pallas(hh, params["proj"], precision)
+    hh = resnet50_stages(hh, params["stages"], precision=precision)
+    return head_pallas(hh, params["head"], precision)
+
+
 def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     """Differentiable COMPLETE-classifier forward whose every conv runs the
     SAME fused Pallas kernels serving uses (mode 19's subject): the fused
