@@ -41,7 +41,12 @@ def run(name: str, c_io: int, c_mid: int, hw: int, blocks: int, batch: int):
     print(f"=== {name} N={batch} ===", file=sys.stderr)
     for vname, kw in variants.items():
         fn = lambda x_, kw=kw: resnet_stage_fused_pallas(x_, stacked, **kw)
-        y = np.asarray(jax.block_until_ready(fn(x))).reshape(golden.shape)
+        try:
+            y = np.asarray(jax.block_until_ready(fn(x))).reshape(golden.shape)
+        except Exception as e:  # resident layouts can VMEM-OOM at batch
+            msg = str(e).splitlines()[0][:120]
+            print(f"  {name} {vname}: FAILED ({msg})", file=sys.stderr)
+            continue
         err = float(np.max(np.abs(y - golden)))
         rel = err / max(float(np.abs(golden).max()), 1.0)
         bound = 1e-4 if vname.startswith("f32") else 5e-3
