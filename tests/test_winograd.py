@@ -69,3 +69,47 @@ def test_batched_and_no_relu():
     assert out.shape == (2, 14, 14, 128)
     assert (np.asarray(out) < 0).any(), "no-ReLU output should have negatives"
     np.testing.assert_allclose(out, gold, atol=PARITY_ATOL)
+
+
+@pytest.mark.parametrize("shape", [(1, 56, 56), (1, 8, 8), (2, 14, 16)])
+def test_lane_packed_64ch(shape):
+    """The lane-packed tile-pair path for 64-channel F(2,3) convs
+    (ResNet-18/34 conv2_x): two tile columns share one 128-lane tile with a
+    block-diag packed filter. Parity vs the golden AND vs the unpacked
+    kernel, plus the no-ReLU variant."""
+    n, h, w = shape
+    rng = np.random.default_rng(h + w + n)
+    x = (rng.random((n, h, w, 64), dtype=np.float32) - 0.5)
+    wt = (rng.random((64, 64, 3, 3), dtype=np.float32) - 0.5) * 0.2
+    s = (rng.random(64, dtype=np.float32) - 0.5)
+    b = (rng.random(64, dtype=np.float32) - 0.5)
+    u = transforms.transform_filter(wt, m=2)
+    for relu in (True, False):
+        gold = reference.conv3x3_bn_relu(x, wt, s, b, relu=relu)
+        outp = np.asarray(
+            conv3x3_bn_winograd_pallas(x, u, s, b, relu=relu, packed=True)
+        )
+        outu = np.asarray(
+            conv3x3_bn_winograd_pallas(x, u, s, b, relu=relu, packed=False)
+        )
+        np.testing.assert_allclose(outp, gold, atol=PARITY_ATOL)
+        np.testing.assert_allclose(outp, outu, atol=PARITY_ATOL)
+
+
+def test_lane_packed_64ch_bf16w():
+    """bf16 weight-storage tier through the packed path stays inside the
+    tier bound (offline weight rounding only)."""
+    rng = np.random.default_rng(3)
+    x = (rng.random((1, 56, 56, 64), dtype=np.float32) - 0.5)
+    wt = (rng.random((64, 64, 3, 3), dtype=np.float32) - 0.5) * 0.2
+    s = (rng.random(64, dtype=np.float32) - 0.5)
+    b = (rng.random(64, dtype=np.float32) - 0.5)
+    u = transforms.transform_filter(wt, m=2)
+    gold = reference.conv3x3_bn_relu(x, wt, s, b, relu=True)
+    out = np.asarray(
+        conv3x3_bn_winograd_pallas(
+            x, u, s, b, relu=True, packed=True, precision="bf16w"
+        )
+    )
+    rel = np.abs(out - gold).max() / max(np.abs(gold).max(), 1.0)
+    assert rel < 5e-3, rel

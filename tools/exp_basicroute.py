@@ -62,7 +62,12 @@ def run(hw: int, c: int):
     }
     print(f"=== {hw}x{hw}x{c} ===", file=sys.stderr)
     for name, fn in variants.items():
-        y = np.asarray(jax.block_until_ready(fn(xd)))
+        try:  # whole-image VMEM staging can OOM the direct kernel at 56x56
+            y = np.asarray(jax.block_until_ready(fn(xd)))
+        except Exception as e:
+            msg = str(e).splitlines()[0][:120]
+            print(f"  {hw}x{hw}x{c} {name}: FAILED ({msg})", file=sys.stderr)
+            continue
         err = float(np.abs(y - gold).max())
         rel = err / max(float(np.abs(gold).max()), 1.0)
         if name.endswith("f32"):

@@ -91,11 +91,14 @@ def run(mode: int):
     t_xla = bench_scan(step_xla, x, scan_len=None)
     print(f"mode {mode} xla_autodiff: device {t_xla:.1f} us", file=sys.stderr)
 
-    for prec_name, prec in (
-        ("HIGH", jax.lax.Precision.HIGH),
-        ("DEFAULT", jax.lax.Precision.DEFAULT),
+    for prec_name, prec, dw_prec in (
+        ("HIGH", jax.lax.Precision.HIGH, None),
+        ("DEFAULT", jax.lax.Precision.DEFAULT, None),
+        ("MIXED(dx=DEFAULT,dw=HIGH)", jax.lax.Precision.DEFAULT,
+         jax.lax.Precision.HIGH),
     ):
         vjp.BWD_PRECISION = prec
+        vjp.DW_PRECISION = dw_prec
         step_fused = build_step(fwd_fused, params)
         gp = float(jax.block_until_ready(step_fused(x)))
         rel = abs(gp - gx) / max(abs(gx), 1.0)
@@ -106,6 +109,7 @@ def run(mode: int):
             file=sys.stderr,
         )
     vjp.BWD_PRECISION = jax.lax.Precision.HIGH
+    vjp.DW_PRECISION = None
 
 
 if __name__ == "__main__":

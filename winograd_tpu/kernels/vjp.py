@@ -43,6 +43,20 @@ _HI = jax.lax.Precision.HIGHEST
 # stays the strict serving path (1e-4 parity) in both steps.
 BWD_PRECISION = jax.lax.Precision.HIGH
 
+# Weight-gradient (dw) accumulation precision; None means "follow
+# BWD_PRECISION". Split out because the measured precision ladder (v5e
+# mode 17, tools/exp_gradleaf.py) shows the dw reductions are where
+# single-pass bf16 hurts: all-DEFAULT backward's worst per-leaf grad error
+# is 4.3e-3 (at a 1x1 dw leaf) vs 2.6e-4 all-HIGH, while the step is only
+# ~11% faster (915 vs 1071 us) — the scalar train_grad_rel_error aggregate
+# (~5e-6 both) hides it. HIGH everywhere is the accuracy/speed point we
+# ship; the knobs stay for measurement.
+DW_PRECISION: jax.lax.Precision | None = None
+
+
+def _dw_prec():
+    return BWD_PRECISION if DW_PRECISION is None else DW_PRECISION
+
 
 def filter_transform_jnp(w: jax.Array, m: int = 4) -> jax.Array:
     """Differentiable G g G^T: (Cout, Cin, 3, 3) -> (a^2, Cin, Cout)."""
@@ -101,7 +115,7 @@ def _pw_bwd(relu, res, g):
     lead = tuple(range(x.ndim - 1))
     dx = jnp.dot(gs, w.T, preferred_element_type=jnp.float32, precision=BWD_PRECISION)
     dw = jnp.tensordot(
-        x, gs, axes=(lead, lead), precision=BWD_PRECISION
+        x, gs, axes=(lead, lead), precision=_dw_prec()
     ).astype(w.dtype)
     dscale = jnp.sum(z * g, axis=lead)
     dbias = jnp.sum(g, axis=lead)
@@ -131,6 +145,31 @@ def _wg_fwd(x, w, scale, bias, relu, m):
     return y, (x, w, scale, bias, y)
 
 
+def _conv3x3_dw(x, gs):
+    """dw[o,c,r,s] = sum_{n,i,j} gs[n,i,j,o] * xpad[n,i+r,j+s,c] — nine
+    shifted-patch einsums at the dw precision; returns (O, C, 3, 3)."""
+    x4 = x if x.ndim == 4 else x[None]
+    g4 = gs if gs.ndim == 4 else gs[None]
+    h, wd = x4.shape[1], x4.shape[2]
+    xpad = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw_parts = []
+    for r in range(3):
+        row = []
+        for s in range(3):
+            patch = xpad[:, r : r + h, s : s + wd, :]
+            row.append(
+                jnp.einsum("nijo,nijc->oc", g4, patch, precision=_dw_prec())
+            )
+        dw_parts.append(row)
+    return jnp.stack([jnp.stack(row, axis=-1) for row in dw_parts], axis=-2)
+
+
+def _bn_grads(y, scale, bias, g):
+    z = _recover_z(y, scale, bias)
+    lead = tuple(range(g.ndim - 1))
+    return jnp.sum(z * g, axis=lead), jnp.sum(g, axis=lead)
+
+
 def _wg_bwd(relu, m, res, g):
     x, w, scale, bias, y = res
     if relu:
@@ -149,29 +188,56 @@ def _wg_bwd(relu, m, res, g):
         jnp.zeros((cin,), jnp.float32),
         relu=False,
     )
-    # dw[o,c,r,s] = sum_{n,i,j} gs[n,i,j,o] * xpad[n,i+r,j+s,c]
-    x4 = x if x.ndim == 4 else x[None]
-    g4 = gs if gs.ndim == 4 else gs[None]
-    h, wd = x4.shape[1], x4.shape[2]
-    xpad = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dw_parts = []
-    for r in range(3):
-        row = []
-        for s in range(3):
-            patch = xpad[:, r : r + h, s : s + wd, :]
-            row.append(
-                jnp.einsum("nijo,nijc->oc", g4, patch, precision=BWD_PRECISION)
-            )
-        dw_parts.append(row)
-    dw = jnp.stack([jnp.stack(row, axis=-1) for row in dw_parts], axis=-2)  # (O,C,3,3)
-    z = _recover_z(y, scale, bias)
-    lead = tuple(range(g.ndim - 1))
-    dscale = jnp.sum(z * g, axis=lead)
-    dbias = jnp.sum(g, axis=lead)
+    dw = _conv3x3_dw(x, gs)
+    dscale, dbias = _bn_grads(y, scale, bias, g)
     return dx, dw.astype(w.dtype), dscale, dbias
 
 
 conv3x3_bn_winograd_train.defvjp(_wg_fwd, _wg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def conv3x3_bn_direct_train(x, w, scale, bias, relu: bool = True):
+    """Differentiable fused 3x3 conv + BN (+ReLU) through the DIRECT
+    im2col-GEMM Pallas kernel (kernels/direct.py) — the train twin of the
+    small-map serving route (models/basic.py::_conv3x3): at 7x7x512 the
+    F(2,3) filter layout is 16/9x the direct layout's bytes (16.8 vs
+    9.4 MB streamed per step), so winograd LOSES there (measured 27.5 vs
+    16.2 us f32, tools/exp_basicroute.py). w is the RAW (Cout, Cin, 3, 3)
+    filter; the im2col layout is built in-trace (direct_filter) so
+    gradients flow to the raw filter."""
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
+
+    return conv3x3_bn_direct_pallas(x, direct_filter(w), scale, bias, relu)
+
+
+def _dg_fwd(x, w, scale, bias, relu):
+    y = conv3x3_bn_direct_train(x, w, scale, bias, relu)
+    return y, (x, w, scale, bias, y)
+
+
+def _dg_bwd(relu, res, g):
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
+
+    x, w, scale, bias, y = res
+    if relu:
+        g = jnp.where(y > 0, g, 0.0)
+    gs = g * scale
+    w_t = jnp.transpose(w[:, :, ::-1, ::-1], (1, 0, 2, 3))  # (Cin, Cout, 3, 3)
+    cin = w.shape[1]
+    dx = conv3x3_bn_direct_pallas(
+        gs,
+        direct_filter(w_t),
+        jnp.ones((cin,), jnp.float32),
+        jnp.zeros((cin,), jnp.float32),
+        relu=False,
+    )
+    dw = _conv3x3_dw(x, gs)
+    dscale, dbias = _bn_grads(y, scale, bias, g)
+    return dx, dw.astype(w.dtype), dscale, dbias
+
+
+conv3x3_bn_direct_train.defvjp(_dg_fwd, _dg_bwd)
 
 
 # --- fused stem ----------------------------------------------------------------

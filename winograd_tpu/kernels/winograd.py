@@ -244,6 +244,138 @@ def winograd_store_epilogue(
             ] = yy[:, :th_v, :tw_v, :]
 
 
+def _winograd_kernel_p64(
+    x_ref,       # (NB, H, W, 64)     dense input
+    u_ref,       # (16, 64, 64)       transformed filter, F(2,3)
+    scale_ref,   # (1, 128)           folded BN scale, tiled x2 over lanes
+    bias_ref,    # (1, 128)
+    out_ref,     # (NB, H, W, 64)
+    z_even,      # scratch (NB, H+2, 2*NPP, 128) packed staging, qj even
+    z_odd,       # scratch (NB, H+2, 2*NPP, 128) packed staging, qj odd
+    up_ref,      # scratch (16, 128, 128)        block-diag packed filter
+    *,
+    nb: int,
+    tiles_h: int,
+    npp: int,
+    h: int,
+    w: int,
+    relu: bool,
+    precision: str,
+):
+    """Lane-packed F(2,3) kernel for 64-channel convs (ResNet-18/34
+    conv2_x): TWO adjacent tile columns share one 128-lane tile, so every
+    transform value runs at full lane width and the per-position GEMM is
+    (rows, 128) x (128, 128) block-diag instead of the quarter-utilized
+    (2*rows, 64) x (64, 64) — the MXU array is 128x128, so a 64-channel
+    dot wastes 3/4 of it. Measured 9.0 -> 6.2 us at 56x56x64 f32
+    (bf16w 6.6 -> 5.2; tools/exp_basicroute.py, 2026-08-19).
+
+    Packing: tile pair T = tile columns (2T, 2T+1). The d-read for
+    position (qi, qj) needs padded input column 4T+qj (left tile) and
+    4T+2+qj (right). Staging buffer z_p (p = qj mod 2) holds at column u
+    the lane-concat [padded col 2u+p | padded col 2u+2+p], so the read is
+    ONE strided slice z_p[:, qi::2, s::2, :] with s = qj//2 — both tiles'
+    d arrive pre-packed, no per-position lane concat ever happens.
+    """
+    a = 4
+    i = pl.program_id(0)
+    wdt = up_ref.dtype
+
+    # One-time setup: block-diag packed filter; zero the z borders (the
+    # interior is fully rewritten per grid step, borders stay zero).
+    @pl.when(i == 0)
+    def _setup():
+        up_ref[:, 0:64, 0:64] = u_ref[:].astype(wdt)
+        up_ref[:, 64:128, 64:128] = u_ref[:].astype(wdt)
+        up_ref[:, 0:64, 64:128] = jnp.zeros((16, 64, 64), wdt)
+        up_ref[:, 64:128, 0:64] = jnp.zeros((16, 64, 64), wdt)
+        for z in (z_even, z_odd):
+            z[:] = jnp.zeros(z.shape, jnp.float32)
+
+    # Stage: 4 strided-slice reads of x, written at the two lane halves.
+    # Left halves take padded cols 2u+p (x cols 2u+p-1), right 2u+2+p.
+    k2 = w // 2
+    z_even[:, 1 : h + 1, 1:k2, 0:64] = x_ref[:, :, pl.Slice(1, k2 - 1, 2), :]
+    z_even[:, 1 : h + 1, 0:k2, 64:128] = x_ref[:, :, pl.Slice(1, k2, 2), :]
+    z_odd[:, 1 : h + 1, 0:k2, 0:64] = x_ref[:, :, pl.Slice(0, k2, 2), :]
+    z_odd[:, 1 : h + 1, 0 : k2 - 1, 64:128] = x_ref[:, :, pl.Slice(2, k2 - 1, 2), :]
+
+    rows = nb * tiles_h * npp
+    d = [
+        [
+            (z_even if qj % 2 == 0 else z_odd)[
+                :, pl.Slice(qi, tiles_h, 2), pl.Slice(qj // 2, npp, 2), :
+            ].reshape(rows, 128)
+            for qj in range(a)
+        ]
+        for qi in range(a)
+    ]
+    bt = np.asarray(transforms.matrices(2)[0], np.float64)
+    v = _apply_separable(bt, d)
+    mm = [
+        [split_dot(v[pi][pj], up_ref[pi * a + pj], precision) for pj in range(a)]
+        for pi in range(a)
+    ]
+    y = _apply_separable(np.asarray(transforms.matrices(2)[2], np.float64), mm)
+
+    scale, bias = scale_ref[:], bias_ref[:]
+    for oi in range(2):
+        th_v = min(tiles_h, (h - 1 - oi) // 2 + 1)
+        for oj in range(2):
+            yy = y[oi][oj] * scale + bias
+            if relu:
+                yy = jnp.maximum(yy, 0.0)
+            yy = yy.reshape(nb, tiles_h, npp, 128)
+            tw_l = (w - 1 - oj) // 4 + 1       # left tiles: output col 4T+oj
+            tw_r = (w - 3 - oj) // 4 + 1       # right tiles: col 4T+2+oj
+            out_ref[:, pl.Slice(oi, th_v, 2), pl.Slice(oj, tw_l, 4), :] = (
+                yy[:, :th_v, :tw_l, 0:64]
+            )
+            out_ref[:, pl.Slice(oi, th_v, 2), pl.Slice(oj + 2, tw_r, 4), :] = (
+                yy[:, :th_v, :tw_r, 64:128]
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "nb", "tiles_h", "npp", "interpret", "precision")
+)
+def _winograd_dense_p64(
+    x, u, scale2d, bias2d, relu, nb, tiles_h, npp, interpret, precision
+):
+    n, h, w, _ = x.shape
+    wdt = jnp.bfloat16 if precision == "bf16w" else jnp.float32
+    kernel = functools.partial(
+        _winograd_kernel_p64, nb=nb, tiles_h=tiles_h, npp=npp, h=h, w=w,
+        relu=relu, precision=precision,
+    )
+    flops = n * (2 * 16 * (h // 2) * (w // 2) * 64 * 64 + 2 * (h // 2) * (w // 2) * 16 * (16 * 64 + 4 * 64))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, h, w, 64), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 64, 64), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, h, w, 64), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, 64), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nb, h + 2, 2 * npp, 128), jnp.float32),
+            pltpu.VMEM((nb, h + 2, 2 * npp, 128), jnp.float32),
+            pltpu.VMEM((16, 128, 128), wdt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * n * h * w * 64 + 16 * 64 * 64),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, u.astype(wdt), scale2d, bias2d)
+
+
 def _winograd_kernel(
     x_ref,       # (NB, H, W, Cin)    dense input, NB images per grid step
     u_ref,       # (a2, Cin, TILE_CO) transformed filter slice
@@ -384,9 +516,21 @@ def _vmem_bytes(
     return 4 * (nb * pad_hw * cin + values + blocks + stash)
 
 
+def _vmem_bytes_p64(nb: int, h: int, w: int, npp: int) -> int:
+    """Packed-64 kernel VMEM: two packed staging buffers + the a^2 V and M
+    values (full 128-lane) + double-buffered in/out blocks + packed U."""
+    rows = nb * (h // 2) * npp
+    return 4 * (
+        2 * nb * (h + 2) * 2 * npp * 128
+        + 16 * rows * 128 * 2
+        + 2 * nb * h * w * 128
+        + 16 * 128 * 128
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "nb", "tile_co", "interpret", "precision"),
+    static_argnames=("relu", "nb", "tile_co", "interpret", "precision", "packed"),
 )
 def conv3x3_bn_winograd_pallas(
     x: jax.Array,
@@ -399,6 +543,7 @@ def conv3x3_bn_winograd_pallas(
     tile_co: int | None = None,
     interpret: bool | None = None,
     precision: str | None = None,
+    packed: bool | None = None,
 ) -> jax.Array:
     """Fused 3x3 conv (pad 1, stride 1) + BN + ReLU via Winograd F(m,3).
 
@@ -430,6 +575,35 @@ def conv3x3_bn_winograd_pallas(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    # Lane-packed tile-pair path for 64-channel F(2,3) convs (ResNet-18/34
+    # conv2_x): two tile columns share one 128-lane tile, block-diag packed
+    # filter — full lane width through transform, GEMM, and epilogue.
+    if packed is None:
+        packed = (
+            m == 2 and cin == 64 and cout == 64
+            and h % 2 == 0 and w % 4 == 0 and h * w >= 32 * 32
+        )
+    if packed:
+        assert m == 2 and cin == 64 and cout == 64, (m, cin, cout)
+        assert h % 2 == 0 and w % 4 == 0, (h, w)
+        npp = _pad_tiles_w(w // 4)
+        if nb is None:
+            nb = 1
+            while (
+                nb * 2 <= n
+                and n % (nb * 2) == 0
+                and _vmem_bytes_p64(nb * 2, h, w, npp) <= 14 * 2**20
+            ):
+                nb *= 2
+        assert n % nb == 0, (n, nb)
+        sc2 = jnp.tile(scale.reshape(1, cout).astype(jnp.float32), (1, 2))
+        bi2 = jnp.tile(bias.reshape(1, cout).astype(jnp.float32), (1, 2))
+        out = _winograd_dense_p64(
+            x.astype(jnp.float32), u, sc2, bi2, relu,
+            nb, h // 2, npp, interpret, precision,
+        )
+        return out[0] if squeeze else out
 
     # Output-channel slicing: capped at one lane tile (128) — Mosaic's
     # strided stores need a single-tile minor dim on the output block — and

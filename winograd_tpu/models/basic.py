@@ -37,10 +37,20 @@ BasicParams = Dict[str, jax.Array]
 
 
 def _conv3x3(x, p, leg: str, relu: bool, precision):
-    """Stride-1 3x3 + BN (+ReLU) through the fused Winograd kernel (u2_*
-    artifact) or the direct im2col kernel (w9_* only)."""
+    """Stride-1 3x3 + BN (+ReLU), geometry-routed between the fused F(2,3)
+    Winograd kernel (u2_* artifact) and the direct im2col kernel (w9_*).
+
+    Measured per-layer on v5e (tools/exp_basicroute.py, 2026-08-19):
+    Winograd wins every stride-1 geometry down to 14x14 (56x56x64: 9.0;
+    28x28x128: 4.7 vs 8.2; 14x14x256: 7.9 vs 10.1 f32) EXCEPT 7x7x512,
+    where the F(2,3) artifact streams 16/9x the direct layout's bytes over
+    a map too small to amortize (f32 27.5 vs 16.2, bf16w 12.9 vs 9.6) —
+    the small-map half of the same weight-stream bound that routes the
+    bottleneck megakernels' mid conv direct below 28x28 (kernels/stage.py).
+    """
     kw = {} if precision is None else {"precision": precision}
-    if f"u2_{leg}" in p:
+    small_map = x.shape[-2] * x.shape[-3] <= 8 * 8
+    if f"u2_{leg}" in p and not (small_map and f"w9_{leg}" in p):
         return conv3x3_bn_winograd_pallas(
             x, p[f"u2_{leg}"], p[f"s_{leg}"], p[f"b_{leg}"], relu=relu, **kw
         )
@@ -140,9 +150,18 @@ def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     from winograd_tpu.kernels.direct import direct_filter
     from winograd_tpu.kernels.vjp import (
         conv1x1_bn_train,
+        conv3x3_bn_direct_train,
         conv3x3_bn_winograd_train,
         stem_train_fused,
     )
+
+    def conv3x3_train(x_, w, s, b, relu):
+        # Same geometry routing as serving (_conv3x3): direct im2col on
+        # small maps (7x7x512 — the winograd layout streams 16/9x the
+        # bytes), F(2,3) winograd everywhere else.
+        if x_.shape[-2] * x_.shape[-3] <= 8 * 8:
+            return conv3x3_bn_direct_train(x_, w, s, b, relu)
+        return conv3x3_bn_winograd_train(x_, w, s, b, relu, 2)
 
     h = stem_train_fused(x, params["stem"])
     for st in params["stages"]:
@@ -152,14 +171,14 @@ def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
             g = conv1x1_bn_train(
                 cols, direct_filter(e["w_a"]), e["s_a"], e["b_a"], True
             )
-            g = conv3x3_bn_winograd_train(g, e["w_b"], e["s_b"], e["b_b"], False, 2)
+            g = conv3x3_train(g, e["w_b"], e["s_b"], e["b_b"], False)
             skip = conv1x1_bn_train(
                 _subsample(h), e["w_proj"], e["s_proj"], e["b_proj"], False
             )
             h = jnp.maximum(g + skip, 0.0)
         for b in st["blocks"]:
-            g = conv3x3_bn_winograd_train(h, b["w_a"], b["s_a"], b["b_a"], True, 2)
-            g = conv3x3_bn_winograd_train(g, b["w_b"], b["s_b"], b["b_b"], False, 2)
+            g = conv3x3_train(h, b["w_a"], b["s_a"], b["b_a"], True)
+            g = conv3x3_train(g, b["w_b"], b["s_b"], b["b_b"], False)
             h = jnp.maximum(g + h, 0.0)
     return head_pallas(
         h,
