@@ -124,6 +124,72 @@ def test_tiny_basicnet_all_tiers():
     np.testing.assert_array_equal(out_pre, out)
 
 
+def test_basic_stage_fused_kernel_matches_xla_chain():
+    """The fused basic-stage kernel (one weight-streaming pallas_call for a
+    run of identity blocks) vs the chained XLA basic blocks, f32 + bf16w."""
+    from winograd_tpu.kernels.basic_stage import (
+        basic_stage_fused_pallas,
+        stack_basic_stage_params,
+    )
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.ops import jnp_ops
+
+    rng = np.random.default_rng(17)
+    c, h, w = 32, 8, 8
+    blocks = []
+    for _ in range(2):
+        b = {}
+        for leg in ("a", "b"):
+            wf = rng.standard_normal((c, c, 3, 3), np.float32) * 0.2
+            b[f"w_{leg}"] = jnp.asarray(wf)
+            b[f"w9_{leg}"] = direct_filter(wf)
+            b[f"s_{leg}"] = jnp.asarray(rng.standard_normal(c, np.float32) * 0.1 + 1)
+            b[f"b_{leg}"] = jnp.asarray(rng.standard_normal(c, np.float32) * 0.1)
+        blocks.append(b)
+    x = jnp.asarray(rng.standard_normal((h, w, c), np.float32))
+
+    want = x
+    for b in blocks:
+        want = jnp_ops.basic_block(want, b)
+    want = np.asarray(want)
+
+    stacked = stack_basic_stage_params(blocks)
+    got = np.asarray(basic_stage_fused_pallas(x, stacked))
+    # Two chained blocks amplify magnitudes (|y| ~ 1e2 here), so the bar is
+    # relative: 1e-5 distinguishes a real defect from f32 reassociation.
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+    got_b = np.asarray(basic_stage_fused_pallas(x, stacked, precision="bf16w"))
+    assert np.abs(got_b - want).max() / np.abs(want).max() < 5e-3
+
+    # Batched input: image-outer grid, same per-image results.
+    xb = jnp.stack([x, x * 0.5])
+    got2 = np.asarray(basic_stage_fused_pallas(xb, stacked))
+    np.testing.assert_allclose(got2[0], got, atol=1e-5)
+
+
+def test_basicnet_fused_stage_route_end_to_end():
+    """attach_fused_stage_artifacts + the trace-time small-map gate: the
+    tiny classifier's 8x8 stage runs through the fused basic-stage kernel
+    and the logits still meet golden parity (f32 and bf16w)."""
+    from winograd_tpu.models.basic import attach_fused_stage_artifacts
+
+    cfg = _Tiny("tiny_basic_fusedstage")
+    case = make_basicnet_case(cfg, seed=21)
+    params = attach_fused_stage_artifacts(
+        basicnet_params(case, cfg), min_channels=0
+    )
+    # The 8x8 stage now carries the stacked artifact (the 16x16 stage's
+    # map is above the small-map gate, so stacking it is harmless).
+    assert "fused" in params["stages"][1]
+    x = jnp.asarray(case["x"])
+    gold = case["golden"]
+    out = np.asarray(basicnet_forward_pallas(x, params))
+    assert np.abs(out - gold).max() < 10 * PARITY_ATOL
+    assert _rel(
+        basicnet_forward_pallas(x, params, precision="bf16w"), gold
+    ) < BF16W_RTOL_BACKBONE
+
+
 def test_tiny_basicnet_train_step():
     """The training path: fused-kernel forward matches the golden, and a
     train step's loss+grad-norm scalar agrees with all-XLA autodiff."""

@@ -26,8 +26,14 @@ def test_render_row_cells():
     assert cells == [
         "0", "winograd3x3_128",
         "**3.13** (direct 4.0; F(4,3) 5.9)",
-        "—", "3.1", "9.4%", "4.20", "59", "1.6e-05", "—",
+        "—", "—", "3.1", "9.4%", "4.20", "59", "1.6e-05", "—",
     ]
+
+
+def test_render_row_pre_column():
+    r = dict(ROW, mode=16, name="resnet50_full", pre_device_us=186.73)
+    cells = [c.strip() for c in render_row(r).strip("|").split("|")]
+    assert cells[3] == "186.7"
 
 
 def test_render_row_grad_error_column():
@@ -45,9 +51,9 @@ def test_render_row_no_alts_no_ref():
              mfu_pallas=None)
     cells = [c.strip() for c in render_row(r).strip("|").split("|")]
     assert cells[2] == "**1301.4**"   # >=1ms renders 1 decimal, no alts
-    assert cells[3] == "104.8"
-    assert cells[5] == "—"            # missing MFU
-    assert cells[7] == "—"            # no reference CUDA number
+    assert cells[4] == "104.8"
+    assert cells[6] == "—"            # missing MFU
+    assert cells[8] == "—"            # no reference CUDA number
 
 def test_render_sorts_and_headers():
     rows = [dict(ROW, mode=5, name="b"), dict(ROW, mode=2, name="a")]

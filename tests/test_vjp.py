@@ -172,8 +172,9 @@ def test_transition_train_forward_is_the_serving_kernel():
 def test_backbone_train_end_to_end():
     """resnet50_stages_train: one grad step through a 3-stage backbone
     (identity blocks + stride-2 transitions); the first stage's 32x32 maps
-    take the per-layer train path (the >28x28 VMEM gate), the rest the
-    megakernel VJPs; grads finite and matching the all-XLA autodiff."""
+    take the weight-streaming stage-kernel train path (the >28x28 VMEM
+    gate), the rest the block-megakernel VJPs; grads finite and matching
+    the all-XLA autodiff."""
     from winograd_tpu.config import BackboneConfig
     from winograd_tpu.datagen.generate import backbone_stages, make_backbone_case
     from winograd_tpu.models.downsample import resnet50_stages_train
@@ -219,6 +220,70 @@ def test_backbone_train_end_to_end():
     for g, w_ in zip(jax.tree.leaves(gs), jax.tree.leaves(ws)):
         assert np.isfinite(np.asarray(g)).all()
         np.testing.assert_allclose(np.asarray(g), np.asarray(w_), rtol=5e-4, atol=1e-2)
+
+
+@pytest.mark.parametrize("hw", [28, 8])
+def test_stage_streamed_grads_match_xla_autodiff(hw):
+    """resnet_stage_train_streamed (weight-streaming stage-kernel forward —
+    the train path for the block megakernel's VMEM-gated geometries):
+    grads == jax.grad of the XLA block chain, on BOTH mid routes (28x28
+    auto-selects the F(2,3) winograd2 mid, 8x8 the direct im2col mid)."""
+    from winograd_tpu.models.resnet import init_bottleneck_params
+
+    blocks = []
+    for i in range(2):
+        p = init_bottleneck_params(10 + i, c_io=64, c_mid=16)
+        p.pop("u_mid")
+        p.pop("w9_mid")
+        blocks.append(p)
+    x = _rand(6, hw, hw, 64)
+
+    def loss_fused(x_, bs_):
+        return jnp.sum(vjp.resnet_stage_train_streamed(x_, bs_) ** 2)
+
+    def loss_xla(x_, bs_):
+        h = x_
+        for p_ in bs_:
+            h = jnp_ops.bottleneck_block(h, p_)
+        return jnp.sum(h**2)
+
+    gx, gp = jax.grad(loss_fused, argnums=(0, 1))(x, blocks)
+    wx, wp = jax.grad(loss_xla, argnums=(0, 1))(x, blocks)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), rtol=2e-4, atol=5e-3)
+    for bi, (g, w_) in enumerate(zip(gp, wp)):
+        for k in g:
+            np.testing.assert_allclose(
+                np.asarray(g[k]), np.asarray(w_[k]),
+                rtol=2e-4, atol=5e-3, err_msg=f"block{bi}/{k}",
+            )
+
+
+def test_stage_streamed_forward_is_the_serving_kernel():
+    """The streamed train forward equals the served weight-streaming stage
+    kernel exactly: both run kernels/stage.py on the same derived
+    artifacts."""
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.kernels.stage import (
+        resnet_stage_fused_pallas,
+        stack_stage_params,
+    )
+    from winograd_tpu.models.resnet import init_bottleneck_params
+
+    blocks = []
+    for i in range(2):
+        p = init_bottleneck_params(20 + i, c_io=64, c_mid=16)
+        p.pop("u_mid")
+        p.pop("w9_mid")
+        blocks.append(p)
+    x = _rand(7, 8, 8, 64)
+    got = vjp.resnet_stage_train_streamed(x, blocks)
+    kps = []
+    for b in blocks:
+        kp = dict(b)
+        kp["w9_mid"] = direct_filter(b["w_mid"])
+        kps.append(kp)
+    want = resnet_stage_fused_pallas(x, stack_stage_params(kps))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_filter_transform_jnp_matches_numpy():

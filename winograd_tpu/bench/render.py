@@ -52,9 +52,9 @@ TABLE_START = "<!-- BENCH_TABLE_START -->"
 TABLE_END = "<!-- BENCH_TABLE_END -->"
 
 HEADER = (
-    "| Mode | Case | Pallas f32 (µs) | bf16w (µs) | int8 (µs) | MFU "
+    "| Mode | Case | Pallas f32 (µs) | pre (µs) | bf16w (µs) | int8 (µs) | MFU "
     "| XLA f32 (µs) | ref CUDA (µs) | max err | grad err |\n"
-    "|---|---|---|---|---|---|---|---|---|---|"
+    "|---|---|---|---|---|---|---|---|---|---|---|"
 )
 
 
@@ -87,6 +87,9 @@ def render_row(r: dict) -> str:
         str(mode),
         name,
         f32,
+        # The preprocessed-input serving contract (stem_prepare_input):
+        # the same model skipping the host-relayout tax, where measured.
+        _us(r.get("pre_device_us"), 1),
         _us(r.get("bf16w_device_us"), 1),
         _us(r.get("int8_device_us"), 1),
         f"{mfu * 100:.1f}%" if mfu is not None else "—",

@@ -469,3 +469,77 @@ def _projection_bwd(res, g):
 
 
 projection_block_train_fused.defvjp(_projection_fwd, _projection_bwd)
+
+
+# --- weight-streaming stage (the megakernel's VMEM-gated geometries) -----------
+
+
+@jax.custom_vjp
+def resnet_stage_train_streamed(x, blocks):
+    """Differentiable stack of IDENTITY bottleneck blocks whose FORWARD is
+    the weight-STREAMING stage megakernel (kernels/stage.py) — the same
+    kernel serving uses at these geometries. Covers the blocks the
+    whole-block megakernel cannot train (conv2_x's 56x56 maps and
+    conv5_x's 2048-wide io overrun its scoped-VMEM budget inside a train
+    step — models/downsample.py::resnet50_stages_train): the stage kernel
+    streams each block's weights instead of staging them whole, so its
+    footprint is bounded, and the activation stays in VMEM between blocks
+    where the per-layer fallback pays ~5 HBM activation round trips per
+    block. blocks carry the RAW w_mid (Cmid, Cmid/4-style, 3, 3); both
+    offline filter layouts are fixed linear maps derived in-trace, so the
+    stage kernel's mid-algo auto-select (winograd2 on large maps, direct
+    im2col otherwise) applies to the training forward exactly as in
+    serving. BACKWARD differentiates the per-layer train composition per
+    block (the same math as _block_bwd, chained)."""
+    return _stage_streamed_forward(x, blocks)
+
+
+def _stage_streamed_forward(x, blocks):
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.kernels.stage import (
+        resnet_stage_fused_pallas,
+        stack_stage_params,
+    )
+
+    large_map = x.shape[-3] * x.shape[-2] >= 28 * 28
+    kps = []
+    for b in blocks:
+        kp = dict(b)
+        kp["w9_mid"] = direct_filter(b["w_mid"])
+        if large_map:
+            # Only stacked when the kernel will route the mid through the
+            # F(2,3) algebra (h*w >= 784) — at small maps the direct
+            # layout is used and the transform would be dead weight.
+            kp["u2_mid"] = filter_transform_jnp(b["w_mid"], m=2)
+        kps.append(kp)
+    return resnet_stage_fused_pallas(x, stack_stage_params(kps))
+
+
+def _stage_streamed_fwd(x, blocks):
+    return _stage_streamed_forward(x, blocks), (x, blocks)
+
+
+def _stage_streamed_bwd(res, g):
+    # Chain the per-block per-layer train composition (winograd-algebra mid
+    # remat + data gradient, algebraic z recovery) — identical math to
+    # _block_bwd applied block by block.
+    def math(x_, bs_):
+        for p_ in bs_:
+            h = conv1x1_bn_train(
+                x_, p_["w_reduce"], p_["s_reduce"], p_["b_reduce"], True
+            )
+            h = conv3x3_bn_winograd_train(
+                h, p_["w_mid"], p_["s_mid"], p_["b_mid"], True, 2
+            )
+            h = conv1x1_bn_train(
+                h, p_["w_expand"], p_["s_expand"], p_["b_expand"], False
+            )
+            x_ = jnp.maximum(h + x_, 0.0)
+        return x_
+
+    x, blocks = res
+    _, vjp_fn = jax.vjp(math, x, blocks)
+    return vjp_fn(g)
+
+
+resnet_stage_train_streamed.defvjp(_stage_streamed_fwd, _stage_streamed_bwd)

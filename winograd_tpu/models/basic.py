@@ -92,16 +92,51 @@ def downsample_basic_block_pallas(
     return jnp.maximum(h + skip, 0.0)
 
 
+def attach_fused_stage_artifacts(params: Dict, min_channels: int = 512) -> Dict:
+    """Offline step: attach the stacked weight-streaming artifact
+    ("fused", kernels/basic_stage.py::stack_basic_stage_params) to every
+    stage whose identity blocks will serve through the fused basic-stage
+    kernel — the small-map direct-route geometries (7x7x512 in the
+    ImageNet family, hence the min_channels proxy; the actual route gate
+    is the trace-time map size in basicnet_stages). Mutates and returns
+    params."""
+    from winograd_tpu.kernels.basic_stage import stack_basic_stage_params
+
+    for st in params["stages"]:
+        blocks = st["blocks"]
+        if (
+            blocks
+            and all("w9_a" in b and "w9_b" in b for b in blocks)
+            and blocks[0]["w9_a"].shape[-1] >= min_channels
+            and len({b["w9_a"].shape for b in blocks}) == 1
+        ):
+            st["fused"] = stack_basic_stage_params(blocks)
+    return params
+
+
 def basicnet_stages(
     x: jax.Array, stages: List[Dict], precision: str | None = None
 ) -> jax.Array:
     """Run the basic-block trunk: each stage dict has optional "entry" (the
-    stride-2 downsample block) and "blocks" (identity blocks)."""
+    stride-2 downsample block) and "blocks" (identity blocks). A stage
+    carrying the offline-stacked "fused" artifact runs its identity run as
+    ONE weight-streaming kernel on small maps (kernels/basic_stage.py —
+    act stays in VMEM across both convs and all blocks; the per-layer
+    route pays an HBM round trip per conv on a weight-bound shape)."""
     for st in stages:
         if st.get("entry") is not None:
             x = downsample_basic_block_pallas(x, st["entry"], precision)
-        for b in st["blocks"]:
-            x = basic_block_pallas(x, b, precision)
+        fused = st.get("fused")
+        if fused is not None and 0 < x.shape[-2] * x.shape[-3] <= 8 * 8:
+            from winograd_tpu.kernels.basic_stage import basic_stage_fused_pallas
+
+            x = basic_stage_fused_pallas(
+                x, fused,
+                precision="bf16x3" if precision is None else precision,
+            )
+        else:
+            for b in st["blocks"]:
+                x = basic_block_pallas(x, b, precision)
     return x
 
 
@@ -304,7 +339,7 @@ def basicnet_params(case: Dict[str, np.ndarray], cfg) -> Dict:
             blocks.append(sub(f"s{si}_b{bi}_"))
             bi += 1
         stages.append({"entry": entry, "blocks": blocks})
-    return {
+    return attach_fused_stage_artifacts({
         "stem": {
             "w49_stem": case["stem_w49"],
             "w7_stem": case["stem_w7"],
@@ -314,4 +349,4 @@ def basicnet_params(case: Dict[str, np.ndarray], cfg) -> Dict:
         },
         "stages": stages,
         "head": {"w_fc": case["head_wfc"], "b_fc": case["head_bfc"]},
-    }
+    })

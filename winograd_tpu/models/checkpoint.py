@@ -160,7 +160,9 @@ def prepare_basicnet_serving(train_params: Dict) -> Dict:
     w7 = np.asarray(stem["w7_stem"])
     stem["w49_stem"] = stem_filter(w7)
     stem["w192_stem"] = stem_filter_s2d(w7)
-    return {
+    from winograd_tpu.models.basic import attach_fused_stage_artifacts
+
+    return attach_fused_stage_artifacts({
         "stem": stem,
         "stages": [
             {
@@ -173,7 +175,7 @@ def prepare_basicnet_serving(train_params: Dict) -> Dict:
             for st in train_params["stages"]
         ],
         "head": dict(train_params["head"]),
-    }
+    })
 
 
 def export_artifacts(params: Dict, outdir: str, m: int = 4) -> None:

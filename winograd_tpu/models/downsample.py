@@ -151,37 +151,36 @@ def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
     in-trace); BN stays folded (scale, bias), matching the training
     parameterization of models/resnet.py::bottleneck_block_train.
 
-    VMEM-heavy blocks run the PER-LAYER fused train kernels instead of the
-    whole-block megakernel: under autodiff the megakernel's working set
-    exceeds the 16 MB scoped-vmem limit at conv2_x geometry (56x56x256:
-    17.0 MB, measured mode-19 compile OOM) and sits within noise of it at
-    conv5_x (7x7x2048 stages 17.4 MB of whole weight matrices; 16.62 MB
-    accounted — over by 632 KB once the surrounding train step's copies
-    land). Serving streams both geometries through the stage kernel for
-    the same reason."""
+    VMEM-heavy blocks run the weight-STREAMING stage megakernel as their
+    forward (kernels/vjp.py::resnet_stage_train_streamed) instead of the
+    whole-block megakernel: under autodiff the block megakernel's working
+    set exceeds the 16 MB scoped-vmem limit at conv2_x geometry
+    (56x56x256: 17.0 MB, measured mode-19 compile OOM) and sits within
+    noise of it at conv5_x (7x7x2048 stages 17.4 MB of whole weight
+    matrices; 16.62 MB accounted — over by 632 KB once the surrounding
+    train step's copies land). The stage kernel streams weights so its
+    footprint is bounded — and it is what serving runs at these
+    geometries, so the trained forward matches the served forward on
+    EVERY block (the per-layer fallback it replaces paid ~5 HBM
+    activation round trips per block)."""
     from winograd_tpu.kernels.vjp import (
         bottleneck_block_train_fused,
-        conv1x1_bn_train,
-        conv3x3_bn_winograd_train,
+        resnet_stage_train_streamed,
         transition_block_train_fused,
     )
 
     for stage in stages:
         if stage.get("transition") is not None:
             x = transition_block_train_fused(x, stage["transition"])
-        for b in stage["blocks"]:
-            if x.shape[-2] > 28 or b["w_reduce"].shape[0] >= 2048:
-                h = conv1x1_bn_train(
-                    x, b["w_reduce"], b["s_reduce"], b["b_reduce"], True
-                )
-                h = conv3x3_bn_winograd_train(
-                    h, b["w_mid"], b["s_mid"], b["b_mid"], True, 2
-                )
-                h = conv1x1_bn_train(
-                    h, b["w_expand"], b["s_expand"], b["b_expand"], False
-                )
-                x = jnp.maximum(h + x, 0.0)
-            else:
+        blocks = stage["blocks"]
+        if not blocks:
+            continue
+        # Identity blocks in a stage share geometry, so the gate is a
+        # per-stage decision.
+        if x.shape[-2] > 28 or blocks[0]["w_reduce"].shape[0] >= 2048:
+            x = resnet_stage_train_streamed(x, blocks)
+        else:
+            for b in blocks:
                 x = bottleneck_block_train_fused(x, b)
     return x
 
