@@ -166,6 +166,17 @@ def test_basic_stage_fused_kernel_matches_xla_chain():
     got2 = np.asarray(basic_stage_fused_pallas(xb, stacked))
     np.testing.assert_allclose(got2[0], got, atol=1e-5)
 
+    # int8 twin: per-channel weight + per-row activation scales.
+    from winograd_tpu.kernels.basic_stage import (
+        basic_stage_int8_pallas,
+        quantize_basic_stage_params,
+    )
+
+    got_q = np.asarray(
+        basic_stage_int8_pallas(x, quantize_basic_stage_params(blocks))
+    )
+    assert np.abs(got_q - want).max() / np.abs(want).max() < 5e-2
+
 
 def test_basicnet_fused_stage_route_end_to_end():
     """attach_fused_stage_artifacts + the trace-time small-map gate: the
@@ -188,6 +199,11 @@ def test_basicnet_fused_stage_route_end_to_end():
     assert _rel(
         basicnet_forward_pallas(x, params, precision="bf16w"), gold
     ) < BF16W_RTOL_BACKBONE
+    # int8 tier: quantize_basicnet mirrors the attached artifact, so the
+    # same stage runs through the fused int8 stage kernel.
+    qparams = quantize_basicnet(params)
+    assert "fused" in qparams["stages"][1]
+    assert _rel(basicnet_forward_int8(x, qparams), gold) < INT8_RTOL_BACKBONE
 
 
 def test_tiny_basicnet_train_step():

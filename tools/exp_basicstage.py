@@ -23,6 +23,8 @@ import numpy as np
 from winograd_tpu.datagen.generate import _bn_params, _rand
 from winograd_tpu.kernels.basic_stage import (
     basic_stage_fused_pallas,
+    basic_stage_int8_pallas,
+    quantize_basic_stage_params,
     stack_basic_stage_params,
 )
 from winograd_tpu.kernels.direct import direct_filter
@@ -64,6 +66,7 @@ def run(hw: int, c: int, nb: int):
     xd = jax.device_put(jnp.asarray(x), dev)
     blocks = jax.device_put(blocks, dev)
     stacked = jax.device_put(stack_basic_stage_params(blocks), dev)
+    qstacked = jax.device_put(quantize_basic_stage_params(blocks), dev)
 
     def per_layer(x_, precision=None):
         for b in blocks:
@@ -88,6 +91,7 @@ def run(hw: int, c: int, nb: int):
             x_, stacked, precision="bf16w"
         ),
         "perlayer_bf16w": lambda x_: per_layer(x_, "bf16w"),
+        "fused_int8": lambda x_: basic_stage_int8_pallas(x_, qstacked),
     }
     print(f"=== {hw}x{hw}x{c} x{nb} blocks ===", file=sys.stderr)
     for name, fn in variants.items():
@@ -98,7 +102,7 @@ def run(hw: int, c: int, nb: int):
             print(f"  {name}: FAILED ({msg})", file=sys.stderr)
             continue
         rel = float(np.abs(y - gold).max()) / max(float(np.abs(gold).max()), 1.0)
-        bound = 5e-3 if "bf16w" in name else 1e-4
+        bound = 5e-2 if "int8" in name else 5e-3 if "bf16w" in name else 1e-4
         assert rel <= bound, (name, rel)
         t = bench_scan(fn, xd, scan_len=None)
         print(f"  {name}: device {t:.2f} us (rel {rel:.1e})", file=sys.stderr)

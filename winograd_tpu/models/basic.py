@@ -255,15 +255,22 @@ def quantize_basicnet(params: Dict) -> Dict:
         return out
 
     wq, sw = quantize_weights(np.asarray(params["head"]["w_fc"]))
+    from winograd_tpu.kernels.basic_stage import quantize_basic_stage_params
+
+    def q_stage(st):
+        out = {
+            "entry": None if st.get("entry") is None else q_block(st["entry"]),
+            "blocks": [q_block(b) for b in st["blocks"]],
+        }
+        # Mirror attach_fused_stage_artifacts: stages that serve through
+        # the fused basic-stage kernel get the stacked int8 artifact too.
+        if "fused" in st:
+            out["fused"] = quantize_basic_stage_params(st["blocks"])
+        return out
+
     return {
         "stem": params["stem"],
-        "stages": [
-            {
-                "entry": None if st.get("entry") is None else q_block(st["entry"]),
-                "blocks": [q_block(b) for b in st["blocks"]],
-            }
-            for st in params["stages"]
-        ],
+        "stages": [q_stage(st) for st in params["stages"]],
         "head": {
             "w_fc_q": jnp.asarray(wq),
             "w_fc_s": jnp.asarray(sw),
@@ -314,10 +321,16 @@ def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
                 e["s_proj"], e["b_proj"], relu=False,
             )
             h = jnp.maximum(g + skip, 0.0)
-        for b in st["blocks"]:
-            g = _conv3x3_int8(h, b, "a", relu=True)
-            g = _conv3x3_int8(g, b, "b", relu=False)
-            h = jnp.maximum(g + h, 0.0)
+        fused = st.get("fused")
+        if fused is not None and 0 < h.shape[-2] * h.shape[-3] <= 8 * 8:
+            from winograd_tpu.kernels.basic_stage import basic_stage_int8_pallas
+
+            h = basic_stage_int8_pallas(h, fused)
+        else:
+            for b in st["blocks"]:
+                g = _conv3x3_int8(h, b, "a", relu=True)
+                g = _conv3x3_int8(g, b, "b", relu=False)
+                h = jnp.maximum(g + h, 0.0)
     return _head_int8(h, qparams["head"])
 
 
