@@ -543,3 +543,59 @@ def _stage_streamed_bwd(res, g):
 
 
 resnet_stage_train_streamed.defvjp(_stage_streamed_fwd, _stage_streamed_bwd)
+
+
+# --- basic-family streamed stage (ResNet-18/34 small-map identity runs) --------
+
+
+@jax.custom_vjp
+def basic_stage_train_streamed(x, blocks):
+    """Differentiable run of IDENTITY basic blocks whose FORWARD is the
+    fused weight-streaming basic-stage kernel (kernels/basic_stage.py) —
+    the same kernel serving routes on small maps (7x7x512), so the trained
+    forward matches the served forward there instead of paying per-conv
+    per-layer kernels. blocks carry the RAW w_a/w_b (OIHW); the direct
+    im2col layout is a fixed permutation derived in-trace so gradients
+    flow to the raw filters. BACKWARD differentiates the per-layer train
+    composition (the direct-conv wrappers, matching
+    models/basic.py::basicnet_forward_train's small-map route)."""
+    return _basic_streamed_forward(x, blocks)
+
+
+def _basic_streamed_forward(x, blocks):
+    from winograd_tpu.kernels.basic_stage import (
+        basic_stage_fused_pallas,
+        stack_basic_stage_params,
+    )
+    from winograd_tpu.kernels.direct import direct_filter
+
+    kps = [
+        {
+            "w9_a": direct_filter(b["w_a"]),
+            "s_a": b["s_a"], "b_a": b["b_a"],
+            "w9_b": direct_filter(b["w_b"]),
+            "s_b": b["s_b"], "b_b": b["b_b"],
+        }
+        for b in blocks
+    ]
+    return basic_stage_fused_pallas(x, stack_basic_stage_params(kps))
+
+
+def _basic_streamed_fwd(x, blocks):
+    return _basic_streamed_forward(x, blocks), (x, blocks)
+
+
+def _basic_streamed_bwd(res, g):
+    def math(x_, bs_):
+        for p_ in bs_:
+            h = conv3x3_bn_direct_train(x_, p_["w_a"], p_["s_a"], p_["b_a"], True)
+            h = conv3x3_bn_direct_train(h, p_["w_b"], p_["s_b"], p_["b_b"], False)
+            x_ = jnp.maximum(h + x_, 0.0)
+        return x_
+
+    x, blocks = res
+    _, vjp_fn = jax.vjp(math, x, blocks)
+    return vjp_fn(g)
+
+
+basic_stage_train_streamed.defvjp(_basic_streamed_fwd, _basic_streamed_bwd)

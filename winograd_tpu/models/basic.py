@@ -184,6 +184,7 @@ def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     raw w_a/w_b filters + folded BN (no offline layouts)."""
     from winograd_tpu.kernels.direct import direct_filter
     from winograd_tpu.kernels.vjp import (
+        basic_stage_train_streamed,
         conv1x1_bn_train,
         conv3x3_bn_direct_train,
         conv3x3_bn_winograd_train,
@@ -211,10 +212,17 @@ def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
                 _subsample(h), e["w_proj"], e["s_proj"], e["b_proj"], False
             )
             h = jnp.maximum(g + skip, 0.0)
-        for b in st["blocks"]:
-            g = conv3x3_train(h, b["w_a"], b["s_a"], b["b_a"], True)
-            g = conv3x3_train(g, b["w_b"], b["s_b"], b["b_b"], False)
-            h = jnp.maximum(g + h, 0.0)
+        blocks = st["blocks"]
+        if blocks and 0 < h.shape[-2] * h.shape[-3] <= 8 * 8:
+            # Small-map identity runs train through the fused basic-stage
+            # kernel (the serving route) — one weight-streaming forward
+            # instead of per-conv per-layer kernels.
+            h = basic_stage_train_streamed(h, blocks)
+        else:
+            for b in blocks:
+                g = conv3x3_train(h, b["w_a"], b["s_a"], b["b_a"], True)
+                g = conv3x3_train(g, b["w_b"], b["s_b"], b["b_b"], False)
+                h = jnp.maximum(g + h, 0.0)
     return head_pallas(
         h,
         params["head"],
