@@ -354,3 +354,78 @@ def test_tp_full_classifier_int8(mesh):
     single_i8 = np.asarray(ResNet50Engine(params, tier="int8")(x))
     rel2 = np.abs(i8 - single_i8).max() / np.abs(single_i8).max()
     assert rel2 < 2e-2, rel2
+
+
+def _tiny_basic_case(name, seed):
+    """Tiny BASIC-family classifier for multi-chip tests: channel widths
+    (16/32) and lane-padded classes divide model_axis 2 and 4."""
+    import dataclasses
+
+    from winograd_tpu.config import BasicNetConfig
+    from winograd_tpu.datagen.generate import make_basicnet_case
+    from winograd_tpu.models.basic import basicnet_params
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyB(BasicNetConfig):
+        stages = ((16, 16, 2), (32, 8, 2))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    cfg = _TinyB(name)
+    case = make_basicnet_case(cfg, seed=seed)
+    return case, basicnet_params(case, cfg)
+
+
+def test_tp_basicnet_matches(mesh):
+    """basicnet_forward_tp: the WHOLE basic-block classifier with every
+    block's 3x3 weights sharded over "model" (column-parallel conv a,
+    row-parallel conv b, one psum per block) must match the single-device
+    fused forward AND the float64 golden."""
+    from winograd_tpu.models.basic import basicnet_forward_pallas
+    from winograd_tpu.parallel import basicnet_forward_tp
+
+    case, params = _tiny_basic_case("tp_basic", seed=51)
+    x = jnp.stack([
+        jnp.asarray(case["x"]) * s for s in (1.0, 0.5, -0.25, 2.0)
+    ])
+    want = np.asarray(basicnet_forward_pallas(x, params))
+    got = np.asarray(basicnet_forward_tp(mesh, params, x))
+    assert got.shape == (4, 16), got.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert np.abs(got[0] - case["golden"]).max() < 2e-4
+
+
+def test_tp_basicnet_model_axis_4():
+    """4-way model sharding of the basic family (data=2 x model=4)."""
+    from winograd_tpu.models.basic import basicnet_forward_pallas
+    from winograd_tpu.parallel import basicnet_forward_tp, make_mesh
+
+    case, params = _tiny_basic_case("tp4_basic", seed=52)
+    mesh4 = make_mesh(8, model_axis=4)
+    x = jnp.stack([jnp.asarray(case["x"]), jnp.asarray(case["x"]) * -0.5])
+    want = np.asarray(basicnet_forward_pallas(x, params))
+    got = np.asarray(basicnet_forward_tp(mesh4, params, x))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_basic_engine_model_partition_tiers(mesh):
+    """ResNetBasicEngine(partition='model') at all three tiers: f32
+    matches the data-parallel engine; bf16w/int8 stay inside their tier
+    bounds of the f32 TP logits."""
+    from winograd_tpu.config import BF16W_RTOL_BACKBONE, INT8_RTOL_BACKBONE
+    from winograd_tpu.engine import ResNetBasicEngine
+
+    case, params = _tiny_basic_case("engine_tp_basic", seed=53)
+    x = jax.random.normal(jax.random.PRNGKey(21), (4, 32, 32, 3), jnp.float32)
+    dp = np.asarray(ResNetBasicEngine(params, mesh=mesh)(x))
+    f32 = np.asarray(ResNetBasicEngine(params, mesh=mesh, partition="model")(x))
+    np.testing.assert_allclose(f32, dp, atol=2e-4)
+    bf = np.asarray(
+        ResNetBasicEngine(params, tier="bf16w", mesh=mesh, partition="model")(x)
+    )
+    assert np.abs(bf - f32).max() / np.abs(f32).max() < BF16W_RTOL_BACKBONE
+    i8 = np.asarray(
+        ResNetBasicEngine(params, tier="int8", mesh=mesh, partition="model")(x)
+    )
+    assert np.abs(i8 - f32).max() / np.abs(f32).max() < INT8_RTOL_BACKBONE

@@ -295,3 +295,57 @@ def test_pipelined_classifier_int8_two_ranks_coalesced():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pipelined_basicnet_matches_single_device():
+    """The BASIC-block classifier as a FLOP-balanced GPipe pipeline (2 and
+    3 ranks) matches the single-device fused forward at f32, and the int8
+    pipeline matches single-device int8 serving."""
+    from winograd_tpu.models.basic import (
+        basicnet_forward_int8,
+        basicnet_forward_pallas,
+        quantize_basicnet,
+    )
+    from winograd_tpu.parallel import make_pipe_mesh, pipelined_basicnet_inference
+    from tests.test_parallel import _tiny_basic_case
+
+    case, params = _tiny_basic_case("pipe_basic", seed=61)
+    x = jnp.stack([
+        jnp.asarray(case["x"]) * s for s in (1.0, 0.5, -0.25, 2.0)
+    ])
+    want = np.asarray(basicnet_forward_pallas(x, params))
+    for ranks in (2, 3):
+        got = np.asarray(
+            pipelined_basicnet_inference(
+                make_pipe_mesh(ranks), params, x, microbatch=2
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(ranks))
+    q = quantize_basicnet(params)
+    want_i8 = np.asarray(basicnet_forward_int8(x, q))
+    got_i8 = np.asarray(
+        pipelined_basicnet_inference(
+            make_pipe_mesh(2), q, x, microbatch=2, precision="int8"
+        )
+    )
+    np.testing.assert_allclose(got_i8, want_i8, atol=2e-5)
+
+
+def test_basic_engine_pipe_partition():
+    """ResNetBasicEngine(partition='pipe') serves through the GPipe path
+    at f32 and bf16w, matching the single-device engine."""
+    from winograd_tpu.engine import ResNetBasicEngine
+    from tests.test_parallel import _tiny_basic_case
+
+    case, params = _tiny_basic_case("engine_pipe_basic", seed=62)
+    x = jax.random.normal(jax.random.PRNGKey(23), (4, 32, 32, 3), jnp.float32)
+    mesh = make_pipe_mesh(3)
+    for tier in ("f32", "bf16w"):
+        single = ResNetBasicEngine(params, tier=tier)
+        piped = ResNetBasicEngine(
+            params, tier=tier, mesh=mesh, partition="pipe", microbatch=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(piped(x)), np.asarray(single(x)), atol=2e-5,
+            err_msg=tier,
+        )

@@ -425,16 +425,46 @@ class ResNetBasicEngine:
     params: the models/basic.py forward structure ({"stem", "stages",
     "head"}, e.g. from basicnet_params(case, cfg)). tier selects the
     serving precision (f32 strict / bf16w / int8). With a mesh, inputs are
-    batch-sharded over the "data" axis with weights replicated on every
-    chip (the basic family's largest weight stream — conv 512x512x3x3,
-    9.4 MB f32 — is an order of magnitude under the bottleneck family's
-    HBM-bound stages, so data parallelism is the scaling path that pays;
-    the Megatron/TP and pipeline partitioners stay bottleneck-only)."""
+    batch-sharded over the "data" axis; partition="data" (default)
+    replicates weights on every chip (the basic family's largest weight
+    stream — conv 512x512x3x3, 9.4 MB f32 — is an order of magnitude under
+    the bottleneck family's HBM-bound stages, so data parallelism is the
+    scaling path that usually pays), partition="model" shards every
+    block's 3x3 weights over the "model" axis (the per-BASIC-block
+    Megatron recipe: column-parallel conv a, row-parallel conv b, ONE
+    psum per block — parallel/tensor_parallel.py::make_basicnet_tp_fn),
+    partition="pipe" runs the FLOP-balanced GPipe schedule over a
+    ("pipe",) mesh. Every tier serves under every partition."""
 
-    def __init__(self, params, tier: str = "f32", mesh=None):
+    def __init__(self, params, tier: str = "f32", mesh=None, partition="data",
+                 microbatch: int = 1):
         assert tier in ("f32", "bf16w", "int8"), tier
+        assert partition in ("data", "model", "pipe"), partition
         self.tier = tier
         self.mesh = mesh
+        if partition == "pipe":
+            assert mesh is not None and "pipe" in mesh.axis_names, mesh
+            from winograd_tpu.parallel import pipelined_basicnet_inference
+
+            if tier == "int8":
+                from winograd_tpu.models.basic import quantize_basicnet
+
+                params = quantize_basicnet(params)
+            prec = None if tier == "f32" else tier
+            self._params = jax.tree.map(jnp.asarray, params)
+            self._fn = lambda x, p: pipelined_basicnet_inference(
+                mesh, p, x, microbatch=microbatch, precision=prec
+            )
+            return
+        if partition == "model":
+            assert mesh is not None, "partition='model' needs a mesh"
+            from winograd_tpu.parallel import make_basicnet_tp_fn
+
+            prec = None if tier == "f32" else tier
+            tp_fn = make_basicnet_tp_fn(mesh, params, precision=prec)
+            self._params = None
+            self._fn = lambda x, p: tp_fn(x)
+            return
         if mesh is None:
             dest = jax.devices()[0]
         else:

@@ -9,6 +9,8 @@ from winograd_tpu.parallel.tensor_parallel import (
     resnet_stage_tp,
     make_resnet50_tp_fn,
     resnet50_forward_tp,
+    make_basicnet_tp_fn,
+    basicnet_forward_tp,
 )
 from winograd_tpu.parallel.data_parallel import (
     sharded_block_inference,
@@ -18,6 +20,7 @@ from winograd_tpu.parallel.data_parallel import (
 )
 from winograd_tpu.parallel.pipeline import (
     make_pipe_mesh,
+    pipelined_basicnet_inference,
     pipelined_resnet50_inference,
     pipelined_stage_inference,
 )
@@ -36,7 +39,10 @@ __all__ = [
     "resnet_stage_tp",
     "make_resnet50_tp_fn",
     "resnet50_forward_tp",
+    "make_basicnet_tp_fn",
+    "basicnet_forward_tp",
     "make_pipe_mesh",
     "pipelined_stage_inference",
     "pipelined_resnet50_inference",
+    "pipelined_basicnet_inference",
 ]

@@ -343,14 +343,184 @@ def pipelined_resnet50_inference(
     for precision="int8" pass quantize_resnet50(params) instead (the int8
     kernels run per segment; stem stays f32 as in single-device serving).
     x: (N, H, W, 3) with N % microbatch == 0."""
+    segs, run_builder, head_fn, nc = _classifier_segments(
+        params, x.shape[1], precision
+    )
+    return _pipelined_classifier(
+        mesh, params, x, microbatch, num_classes or nc, precision,
+        segs, run_builder, head_fn, "r50",
+    )
+
+
+def pipelined_basicnet_inference(
+    mesh: Mesh,
+    params: dict,
+    x: jax.Array,
+    microbatch: int,
+    num_classes: Optional[int] = None,
+    precision: Optional[str] = None,
+) -> jax.Array:
+    """The COMPLETE BASIC-block classifier (ResNet-18/34) as the same
+    heterogeneous block-granular GPipe pipeline (see
+    pipelined_resnet50_inference): segments are [stem], each stride-2
+    entry block, each identity block, partitioned into contiguous rank
+    groups by the FLOP-balancing DP; contiguous identity runs landing on
+    one rank coalesce (and a WHOLE small-map stage carrying the offline
+    "fused" artifact runs the weight-streaming basic-stage kernel, exactly
+    as single-device serving routes it).
+
+    params: the models/basic.py forward structure; for precision="int8"
+    pass quantize_basicnet(params). x: (N, H, W, 3), N % microbatch == 0."""
+    segs, run_builder, head_fn, nc = _basicnet_segments(
+        params, x.shape[1], precision
+    )
+    return _pipelined_classifier(
+        mesh, params, x, microbatch, num_classes or nc, precision,
+        segs, run_builder, head_fn, "basic",
+    )
+
+
+def _basicnet_segments(params, img_hw: int, precision=None):
+    """Pipeline-segment decomposition of the BASIC-block classifier —
+    the models/basic.py twin of _classifier_segments. Returns
+    (segs, run_builder, head_fn, nc); segs carry
+    meta ("stem",) / ("tr", si) [the stride-2 entry block] / ("blk", si, bi)
+    with nominal FLOPs and static boundary shapes derived from weight
+    shapes (no tracing)."""
+    from winograd_tpu.models.basic import basicnet_stages
+    from winograd_tpu.models.resnet50 import head_pallas, stem_pallas
+
+    assert img_hw % 4 == 0, img_hw
+    hw = img_hw // 4
+    int8 = precision == "int8"
+    stem_c = params["stem"]["s_stem"].shape[0]
+
+    if int8:
+        from winograd_tpu.models.basic import (
+            basic_block_int8,
+            downsample_basic_block_int8,
+        )
+        from winograd_tpu.models.resnet50 import _head_int8
+
+        def stem_seg(a, prm):
+            return stem_pallas(a, prm["stem"], "int8")
+
+        def entry_builder(si):
+            def entry(a, prm, si=si):
+                return downsample_basic_block_int8(
+                    a, prm["stages"][si]["entry"]
+                )
+
+            return entry
+
+        def run_builder(si, bi, bj):
+            def run(a, prm):
+                st = prm["stages"][si]
+                fused = st.get("fused")
+                if (
+                    fused is not None
+                    and bi == 0
+                    and bj == len(st["blocks"]) - 1
+                    and 0 < a.shape[-2] * a.shape[-3] <= 8 * 8
+                ):
+                    from winograd_tpu.kernels.basic_stage import (
+                        basic_stage_int8_pallas,
+                    )
+
+                    return basic_stage_int8_pallas(a, fused)
+                for b in st["blocks"][bi:bj + 1]:
+                    a = basic_block_int8(a, b)
+                return a
+
+            return run
+
+        def head_fn(a, prm):
+            return _head_int8(a, prm["head"])
+
+        nc = params["head"]["w_fc_q"].shape[1]
+    else:
+
+        def stem_seg(a, prm):
+            return stem_pallas(a, prm["stem"], precision)
+
+        def entry_builder(si):
+            def entry(a, prm, si=si):
+                from winograd_tpu.models.basic import (
+                    downsample_basic_block_pallas,
+                )
+
+                return downsample_basic_block_pallas(
+                    a, prm["stages"][si]["entry"], precision
+                )
+
+            return entry
+
+        def run_builder(si, bi, bj):
+            def run(a, prm):
+                st = prm["stages"][si]
+                sub = {"blocks": st["blocks"][bi:bj + 1]}
+                if "fused" in st and bi == 0 and bj == len(st["blocks"]) - 1:
+                    sub["fused"] = st["fused"]
+                return basicnet_stages(a, [sub], precision)
+
+            return run
+
+        def head_fn(a, prm):
+            return head_pallas(a, prm["head"], precision)
+
+        nc = params["head"]["w_fc"].shape[1]
+
+    hs = img_hw // 2
+    segs = [(
+        stem_seg,
+        2 * hs * hs * 49 * 3 * stem_c,
+        (hw, hw, stem_c),
+        ("stem",),
+    )]
+    prev = stem_c
+    for si, st in enumerate(params["stages"]):
+        if st.get("entry") is not None:
+            c = st["entry"]["s_b"].shape[0]
+            hw = -(-hw // 2)
+            segs.append((
+                entry_builder(si),
+                2 * hw * hw * (9 * prev * c + 9 * c * c + prev * c),
+                (hw, hw, c),
+                ("tr", si),
+            ))
+            prev = c
+        for bi in range(len(st["blocks"])):
+            c = prev
+            segs.append((
+                None,
+                2 * hw * hw * 2 * 9 * c * c,
+                (hw, hw, c),
+                ("blk", si, bi),
+            ))
+    return segs, run_builder, head_fn, nc
+
+
+def _pipelined_classifier(
+    mesh: Mesh,
+    params: dict,
+    x: jax.Array,
+    microbatch: int,
+    nc: int,
+    precision,
+    segs,
+    run_builder,
+    head_fn,
+    cache_tag: str,
+) -> jax.Array:
+    """Generic heterogeneous block-granular GPipe driver shared by the
+    bottleneck and basic families: FLOP-balanced contiguous rank groups,
+    flat padded inter-rank buffers, lax.switch rank dispatch, replicated
+    params, memoized jitted program."""
     n_stages = mesh.shape["pipe"]
     n, h, w, c = x.shape
     assert n % microbatch == 0, (n, microbatch)
     m = n // microbatch
     mb = microbatch
-
-    segs, run_builder, head_fn, nc = _classifier_segments(params, h, precision)
-    nc = num_classes or nc
     assert n_stages <= len(segs), (
         f"{n_stages}-rank pipe needs >= {n_stages} segments, model has "
         f"{len(segs)}"
@@ -454,6 +624,7 @@ def pipelined_resnet50_inference(
         )
 
     key = (
+        cache_tag,
         mesh,
         (n, h, w, c),
         mb,

@@ -562,3 +562,267 @@ def resnet50_forward_tp(mesh, params, x, precision=None):
     serving form: it converts the weight arrays once and returns a fn(x)
     that does no per-call host->device re-upload)."""
     return make_resnet50_tp_fn(mesh, params, precision)(x)
+
+
+_BASIC_TP_CACHE: dict = {}
+
+
+def _basic_tp_arrays(p, int8: bool):
+    """Lay one BASIC block's arrays out for TP: w9_a stays (9*Cin, Cout)
+    (column-sharded on the output), w9_b reshaped to (9, C, C) so its
+    contraction dim row-shards per tap (matching the local im2col of a
+    channel-sharded activation). int8 quantizes offline (per-out-channel
+    scales ride with each matrix)."""
+    c = p["s_b"].shape[0]
+    out = {}
+    if int8:
+        from winograd_tpu.kernels.quantized import quantize_weights
+
+        for key in ("w9_a", "w9_b") + (("w_proj",) if "w_proj" in p else ()):
+            wq, sw = quantize_weights(np.asarray(p[key]))
+            out[f"{key}_q"] = jnp.asarray(wq)
+            out[f"{key}_s"] = jnp.asarray(sw)
+        out["w9_b_q"] = out["w9_b_q"].reshape(9, c, c)
+    else:
+        out["w9_a"] = jnp.asarray(p["w9_a"])
+        out["w9_b"] = jnp.asarray(p["w9_b"]).reshape(9, c, c)
+        if "w_proj" in p:
+            out["w_proj"] = jnp.asarray(p["w_proj"])
+    for key in ("s_a", "b_a", "s_b", "b_b") + (
+        ("s_proj", "b_proj") if "w_proj" in p else ()
+    ):
+        out[key] = jnp.asarray(p[key], jnp.float32)
+    return out
+
+
+def _basic_tp_specs(p, n_model, int8: bool):
+    """PartitionSpec tree for one BASIC block under the Megatron recipe:
+    conv a column-parallel (output-sharded, BN rides the shard), conv b
+    row-parallel (ONE psum per block; BN post-psum), projection shortcut
+    replicated (Cin*Cout words — an order under the 9*C^2 3x3s)."""
+    c = p["s_b"].shape[0]
+    assert c % n_model == 0, (c, n_model)
+    if int8:
+        specs = {
+            "w9_a_q": P(None, "model"), "w9_a_s": P("model"),
+            "s_a": P("model"), "b_a": P("model"),
+            "w9_b_q": P(None, "model", None), "w9_b_s": P(None),
+            "s_b": P(None), "b_b": P(None),
+        }
+        if "w_proj" in p:
+            specs.update(
+                w_proj_q=P(), w_proj_s=P(), s_proj=P(), b_proj=P()
+            )
+    else:
+        specs = {
+            "w9_a": P(None, "model"),
+            "s_a": P("model"), "b_a": P("model"),
+            "w9_b": P(None, "model", None),
+            "s_b": P(None), "b_b": P(None),
+        }
+        if "w_proj" in p:
+            specs.update(w_proj=P(), s_proj=P(), b_proj=P())
+    return specs
+
+
+def make_basicnet_tp_fn(mesh, params, precision=None):
+    """Build a serving fn(x) for the COMPLETE BASIC-block classifier
+    (ResNet-18/34) with every block's 3x3 weights sharded over "model" —
+    the basic-family twin of make_resnet50_tp_fn. The Megatron recipe per
+    BASIC block is the two-GEMM pair itself:
+
+    * conv a (3x3, or strided im2col GEMM on entry blocks): COLUMN-parallel
+      — w9_a output-sharded, BN+ReLU epilogue rides the shard, h1 lands
+      C/p-sharded with NO collective;
+    * conv b (3x3): ROW-parallel — each rank im2cols its h1 channel shard
+      locally and contracts against its (9, C/p, C) row block of w9_b;
+      ONE psum per block reconstitutes the contraction, BN runs post-psum;
+    * skip add + final ReLU on the replicated sum — the block output is
+      already replicated, so unlike the bottleneck recipe there is NO
+      all_gather anywhere;
+    * stride-2 entry blocks: the projection shortcut (Cin*Cout words, an
+      order of magnitude under the 9*C^2 3x3s) computes replicated;
+    * stem replicated per rank (37 KB); head column-parallel when the
+      lane-padded class dim divides the model axis (one tiled all_gather
+      of logits), replicated otherwise.
+
+    Per-rank 3x3 weight bytes drop to 1/p; collective traffic is one
+    activation-sized psum per block over ICI. precision="bf16w" halves the
+    streamed bytes (local kernels run the bf16 weight-storage tier);
+    precision="int8" quantizes offline and runs the int8 kernels locally —
+    the row-parallel conv b dequantizes per shard BEFORE the psum, so
+    partial sums compose exactly. params is the models/basic.py forward
+    structure; weight arrays convert ONCE here."""
+    from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas
+    from winograd_tpu.models.downsample import _strided_im2col, _subsample
+    from winograd_tpu.models.resnet50 import _class_pad, stem_pallas
+
+    int8 = precision == "int8"
+    if int8:
+        from winograd_tpu.kernels.quantized import (
+            conv1x1_bn_int8_pallas,
+            conv3x3_bn_int8_pallas,
+            quantize_weights,
+        )
+    kprec = "bf16w" if precision == "bf16w" else "bf16x3"
+    n_model = mesh.shape["model"]
+    nc = params["head"]["w_fc"].shape[1]
+    pad = _class_pad(nc)
+    ncp = nc + pad
+    shard_head = ncp % n_model == 0 and not int8
+
+    blocks, specs, strides = [], [], []
+    for st in params["stages"]:
+        if st.get("entry") is not None:
+            blocks.append(_basic_tp_arrays(st["entry"], int8))
+            specs.append(_basic_tp_specs(st["entry"], n_model, int8))
+            strides.append(2)
+        for b in st["blocks"]:
+            blocks.append(_basic_tp_arrays(b, int8))
+            specs.append(_basic_tp_specs(b, n_model, int8))
+            strides.append(0)
+
+    stem_arrays = {k: jnp.asarray(v) for k, v in params["stem"].items()}
+    if int8:
+        wq, sw = quantize_weights(np.asarray(params["head"]["w_fc"]))
+        head_arrays = {
+            "w_fc_q": jnp.pad(jnp.asarray(wq), ((0, 0), (0, pad))),
+            "w_fc_s": jnp.pad(jnp.asarray(sw), ((0, pad),), constant_values=1.0),
+            "s_fc": jnp.ones((ncp,), jnp.float32),
+            "b_fc": jnp.pad(
+                jnp.asarray(params["head"]["b_fc"], jnp.float32), ((0, pad),)
+            ),
+        }
+    else:
+        head_arrays = {
+            "w_fc": jnp.pad(
+                jnp.asarray(params["head"]["w_fc"], jnp.float32),
+                ((0, 0), (0, pad)),
+            ),
+            "s_fc": jnp.ones((ncp,), jnp.float32),
+            "b_fc": jnp.pad(
+                jnp.asarray(params["head"]["b_fc"], jnp.float32), ((0, pad),)
+            ),
+        }
+    stem_specs = {k: P() for k in stem_arrays}
+    head_specs = (
+        {"w_fc": P(None, "model"), "s_fc": P("model"), "b_fc": P("model")}
+        if shard_head
+        else {k: P() for k in head_arrays}
+    )
+
+    if int8:
+
+        def conv_a(a, bp, stride):
+            if stride == 2:
+                return conv1x1_bn_int8_pallas(
+                    _strided_im2col(a), bp["w9_a_q"], bp["w9_a_s"],
+                    bp["s_a"], bp["b_a"], True,
+                )
+            return conv3x3_bn_int8_pallas(
+                a, bp["w9_a_q"], bp["w9_a_s"], bp["s_a"], bp["b_a"], relu=True
+            )
+
+        def conv_b_partial(h1_l, bp, c):
+            return conv3x3_bn_int8_pallas(
+                h1_l, bp["w9_b_q"].reshape(-1, c), bp["w9_b_s"],
+                jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+                relu=False,
+            )
+
+        def conv_proj(a, bp):
+            return conv1x1_bn_int8_pallas(
+                a, bp["w_proj_q"], bp["w_proj_s"], bp["s_proj"], bp["b_proj"],
+                False,
+            )
+
+        def khead(pooled, head_p):
+            return conv1x1_bn_int8_pallas(
+                pooled, head_p["w_fc_q"], head_p["w_fc_s"],
+                head_p["s_fc"], head_p["b_fc"], False,
+            )
+    else:
+
+        def conv_a(a, bp, stride):
+            if stride == 2:
+                return conv1x1_bn_pallas(
+                    _strided_im2col(a), bp["w9_a"], bp["s_a"], bp["b_a"],
+                    relu=True, precision=kprec,
+                )
+            return conv3x3_bn_direct_pallas(
+                a, bp["w9_a"], bp["s_a"], bp["b_a"], relu=True, precision=kprec
+            )
+
+        def conv_b_partial(h1_l, bp, c):
+            return conv3x3_bn_direct_pallas(
+                h1_l, bp["w9_b"].reshape(-1, c),
+                jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+                relu=False, precision=kprec,
+            )
+
+        def conv_proj(a, bp):
+            return conv1x1_bn_pallas(
+                a, bp["w_proj"], bp["s_proj"], bp["b_proj"], relu=False,
+                precision=kprec,
+            )
+
+        def khead(pooled, head_p):
+            return conv1x1_bn_pallas(
+                pooled, head_p["w_fc"], head_p["s_fc"], head_p["b_fc"],
+                relu=False, precision=kprec,
+            )
+
+    proj_key = "w_proj_q" if int8 else "w_proj"
+
+    def local_fn(x_l, stem_p, blocks_p, head_p):
+        h = stem_pallas(x_l, stem_p, precision)
+        for bp, stride in zip(blocks_p, strides):
+            c = bp["s_b"].shape[0]
+            h1_l = conv_a(h, bp, stride)
+            h2 = jax.lax.psum(conv_b_partial(h1_l, bp, c), "model")
+            h2 = h2 * bp["s_b"] + bp["b_b"]
+            skip = conv_proj(_subsample(h), bp) if proj_key in bp else h
+            h = jnp.maximum(h2 + skip, 0.0)
+        pooled = h.mean(axis=(-3, -2))
+        logits = khead(pooled, head_p)
+        if shard_head:
+            logits = jax.lax.all_gather(logits, "model", axis=-1, tiled=True)
+        return logits[..., :nc]
+
+    key = (
+        mesh,
+        tuple(strides),
+        shard_head,
+        precision,
+        nc,
+        tuple(sorted(stem_arrays)),
+        tuple(
+            (tuple(sorted(b)),) + tuple(b[k].shape for k in sorted(b))
+            for b in blocks
+        ),
+    )
+    jitted = _BASIC_TP_CACHE.get(key)
+    if jitted is None:
+        jitted = _BASIC_TP_CACHE[key] = jax.jit(
+            shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None, None, None), stem_specs, specs, head_specs
+                ),
+                out_specs=P("data", None),
+                check_vma=False,
+            )
+        )
+
+    def fn(x):
+        return jitted(
+            jnp.asarray(x, jnp.float32), stem_arrays, blocks, head_arrays
+        )
+
+    return fn
+
+
+def basicnet_forward_tp(mesh, params, x, precision=None):
+    """One-shot convenience wrapper over make_basicnet_tp_fn."""
+    return make_basicnet_tp_fn(mesh, params, precision)(x)
