@@ -161,10 +161,15 @@ def test_basic_stage_fused_kernel_matches_xla_chain():
     got_b = np.asarray(basic_stage_fused_pallas(x, stacked, precision="bf16w"))
     assert np.abs(got_b - want).max() / np.abs(want).max() < 5e-3
 
-    # Batched input: image-outer grid, same per-image results.
+    # Batched input: image-outer grid, same per-image results. Image 1 is
+    # checked against its OWN single-image run — a scratch-carryover bug
+    # across the image grid axis (e.g. a broken b==0 act reload) would
+    # corrupt image 1 while leaving image 0 correct.
     xb = jnp.stack([x, x * 0.5])
     got2 = np.asarray(basic_stage_fused_pallas(xb, stacked))
     np.testing.assert_allclose(got2[0], got, atol=1e-5)
+    got_half = np.asarray(basic_stage_fused_pallas(x * 0.5, stacked))
+    np.testing.assert_allclose(got2[1], got_half, atol=1e-5)
 
     # int8 twin: per-channel weight + per-row activation scales.
     from winograd_tpu.kernels.basic_stage import (

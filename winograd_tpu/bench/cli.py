@@ -113,6 +113,10 @@ def run_case(
     # STEP, so every timing field in the row describes the same thing.
     parity_pallas_fn = None
     parity_xla_fn = None
+    # Train modes' bf16w tier checks its FORWARD vs the golden (same
+    # semantics as serving's bf16w_rel_error) while its timed core is the
+    # full train step; grad agreement is gated inside _train_setup.
+    parity_bf16w_fn = None
     extras: Dict = {}
     from winograd_tpu.config import (
         BasicNetConfig,
@@ -123,13 +127,19 @@ def run_case(
         TrainConfig,
     )
 
-    def _train_setup(fwd_fused, fwd_xla, params, x):
-        """Shared train-mode machinery (modes 17/19): jitted forward-parity
-        fns, ONE full train step per implementation (scalar loss, grads wrt
-        every param folded into one scalar so they all stay live under the
-        single-carry scan-timing protocol), and the hard grad-agreement
-        check — the reference's mine-vs-vendor differential pattern applied
-        to autodiff. fwd_*: (x, params) -> output."""
+    def _train_setup(fwd_fused, fwd_xla, params, x, fwd_bf16w=None):
+        """Shared train-mode machinery (modes 17/19/25): jitted
+        forward-parity fns, ONE full train step per implementation (scalar
+        loss, grads wrt every param folded into one scalar so they all stay
+        live under the single-carry scan-timing protocol), and the hard
+        grad-agreement check — the reference's mine-vs-vendor differential
+        pattern applied to autodiff. fwd_*: (x, params) -> output.
+
+        fwd_bf16w, when given, is the bf16 weight-STORAGE training tier
+        (f32 master params, bf16w serving kernels as the forward, f32/HIGH
+        backward): its step is timed like the others and its step scalar
+        (loss + grad norms) must agree with the all-XLA f32 step within
+        BF16W_TRAIN_GRAD_RTOL — the tier's documented grad bound."""
         fwd_p = jax.jit(lambda x_: fwd_fused(x_, params))
         fwd_b = jax.jit(lambda x_: fwd_xla(x_, params))
 
@@ -153,7 +163,30 @@ def run_case(
         if strict and not grad_rel < 1e-3:
             raise ParityError(f"{cfg.name}: train-step grad mismatch: {grad_rel}")
         extras["train_grad_rel_error"] = grad_rel
-        return (lambda: fwd_p(x)), (lambda: fwd_b(x)), step_fused, step_xla
+        step_bf16w = None
+        parity_bf16w_fn = None
+        if fwd_bf16w is not None:
+            from winograd_tpu.config import BF16W_TRAIN_GRAD_RTOL
+
+            fwd_bw = jax.jit(lambda x_: fwd_bf16w(x_, params))
+            parity_bf16w_fn = lambda: fwd_bw(x)
+            step_bf16w = _step(fwd_bf16w)
+            gb = float(step_bf16w(x))
+            bw_rel = abs(gb - gx) / max(abs(gx), 1.0)
+            print(
+                f"  [{cfg.name}/train_bf16w_grad] rel_error={bw_rel:.3e} "
+                f"(tier bound {BF16W_TRAIN_GRAD_RTOL:g})",
+                file=sys.stderr,
+            )
+            if strict and not bw_rel < BF16W_TRAIN_GRAD_RTOL:
+                raise ParityError(
+                    f"{cfg.name}: bf16w train-step grad breach: {bw_rel}"
+                )
+            extras["train_bf16w_grad_rel_error"] = bw_rel
+        return (
+            (lambda: fwd_p(x)), (lambda: fwd_b(x)),
+            step_fused, step_xla, step_bf16w, parity_bf16w_fn,
+        )
 
     if isinstance(cfg, FullTrainConfig):
         from winograd_tpu.models.resnet50 import (
@@ -170,8 +203,10 @@ def run_case(
             trainable_resnet50_params(resnet50_params(case, cfg)), dev
         )
         x = jax.device_put(jnp.asarray(case["x"]), dev)
-        parity_pallas_fn, parity_xla_fn, core_pallas, core_xla = _train_setup(
-            resnet50_forward_train, resnet50_forward_xla, params, x
+        (parity_pallas_fn, parity_xla_fn, core_pallas, core_xla,
+         core_bf16w, parity_bf16w_fn) = _train_setup(
+            resnet50_forward_train, resnet50_forward_xla, params, x,
+            fwd_bf16w=lambda x_, p_: resnet50_forward_train(x_, p_, "bf16w"),
         )
         pallas_fn = lambda: core_pallas(x)
         baseline_fn = lambda: core_xla(x)
@@ -209,8 +244,10 @@ def run_case(
                     x_ = jnp_ops.bottleneck_block(x_, b)
             return x_
 
-        parity_pallas_fn, parity_xla_fn, core_pallas, core_xla = _train_setup(
-            resnet50_stages_train, xla_forward, stages, x
+        (parity_pallas_fn, parity_xla_fn, core_pallas, core_xla,
+         core_bf16w, parity_bf16w_fn) = _train_setup(
+            resnet50_stages_train, xla_forward, stages, x,
+            fwd_bf16w=lambda x_, st: resnet50_stages_train(x_, st, "bf16w"),
         )
         pallas_fn = lambda: core_pallas(x)
         baseline_fn = lambda: core_xla(x)
@@ -226,8 +263,10 @@ def run_case(
             trainable_basicnet_params(basicnet_params(case, cfg)), dev
         )
         x = jax.device_put(jnp.asarray(case["x"]), dev)
-        parity_pallas_fn, parity_xla_fn, core_pallas, core_xla = _train_setup(
-            basicnet_forward_train, basicnet_forward_xla, params, x
+        (parity_pallas_fn, parity_xla_fn, core_pallas, core_xla,
+         core_bf16w, parity_bf16w_fn) = _train_setup(
+            basicnet_forward_train, basicnet_forward_xla, params, x,
+            fwd_bf16w=lambda x_, p_: basicnet_forward_train(x_, p_, "bf16w"),
         )
         pallas_fn = lambda: core_pallas(x)
         baseline_fn = lambda: core_xla(x)
@@ -458,33 +497,23 @@ def run_case(
         # the reference's own F(4,3) algebra.
         core_direct = lambda x_: conv3x3_bn_direct_pallas(x_, w9, s, b, relu=cfg.relu)
         core_wino4 = lambda x_: conv3x3_bn_winograd_pallas(x_, u, s, b, relu=cfg.relu)
-        # Int8 serving tier, geometry-routed: the int8 Winograd F(2,3)
-        # kernel (per-position weight scales, no im2col staging) when the
-        # output fits ONE lane tile (cout <= 128: no V stash, measured
-        # mode 0 2.04 us vs direct's 3.13); the direct im2col kernel
-        # otherwise (cout > 128 pays the V stash/reload and loses: mode 1
-        # wino 4.30 vs direct 3.40 in-run).
+        # Int8 serving tier: the int8 Winograd F(2,3) kernel (per-position
+        # weight scales, no im2col staging) at EVERY output width. cout <=
+        # 128 runs stash-free (measured mode 0: 2.04 us vs direct's 3.13);
+        # cout > 128 stashes V QUANTIZED (int8 + per-row scales — round 5),
+        # which flips the round-4 f32-stash loss (wino 4.30 vs direct 3.40)
+        # into a win: mode-1 geometry in-run 3.95/3.09 vs direct 5.14/4.53.
         from winograd_tpu.kernels.quantized import (
-            conv3x3_bn_int8_pallas,
             conv3x3_bn_winograd_int8_pallas,
-            quantize_weights,
             quantize_winograd_filter,
         )
 
-        if cfg.cout <= 128:
-            uq_np, su_np = quantize_winograd_filter(np.asarray(case["u2"]))
-            uq = jax.device_put(jnp.asarray(uq_np), dev)
-            su = jax.device_put(jnp.asarray(su_np), dev)
-            core_int8 = lambda x_: conv3x3_bn_winograd_int8_pallas(
-                x_, uq, su, s, b, relu=cfg.relu
-            )
-        else:
-            w9q_np, sw9 = quantize_weights(np.asarray(w9))
-            w9q = jax.device_put(jnp.asarray(w9q_np), dev)
-            sw9 = jax.device_put(jnp.asarray(sw9), dev)
-            core_int8 = lambda x_: conv3x3_bn_int8_pallas(
-                x_, w9q, sw9, s, b, relu=cfg.relu
-            )
+        uq_np, su_np = quantize_winograd_filter(np.asarray(case["u2"]))
+        uq = jax.device_put(jnp.asarray(uq_np), dev)
+        su = jax.device_put(jnp.asarray(su_np), dev)
+        core_int8 = lambda x_: conv3x3_bn_winograd_int8_pallas(
+            x_, uq, su, s, b, relu=cfg.relu
+        )
         # bf16 weight-storage tier on the F(2,3) algebra (its +-1 transforms
         # do not amplify the offline weight rounding; kernels/winograd.py).
         core_bf16w = lambda x_: conv3x3_bn_winograd_pallas(
@@ -550,8 +579,14 @@ def run_case(
         )
     bf16w_rel_error = None
     if core_bf16w is not None:
+        # Train modes: core_bf16w is the full train STEP (scalar), so the
+        # golden comparison runs on the jitted bf16w FORWARD instead.
         bf16w_rel_error = _check_tier(
-            f"{cfg.name}/bf16w", core_bf16w(x), golden, bf16w_tol, strict
+            f"{cfg.name}/bf16w",
+            (parity_bf16w_fn or (lambda: core_bf16w(x)))(),
+            golden,
+            bf16w_tol,
+            strict,
         )
 
     if profile_dir is not None:

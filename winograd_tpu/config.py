@@ -491,3 +491,13 @@ BF16W_RTOL = 5e-3
 BF16W_RTOL_BACKBONE = 5e-3
 INT8_RTOL = 5e-2
 INT8_RTOL_BACKBONE = 5e-2
+
+# bf16 weight-STORAGE training tier (f32 master weights, bf16w serving
+# kernels as the forward, f32/HIGH rematerializing backward): bound on the
+# train-step scalar (loss + per-leaf grad norms) agreement vs the all-XLA
+# f32 autodiff step. The forward's bf16 weight rounding (~2^-9 rel)
+# propagates into the loss and every gradient leaf, so the step scalar
+# differs from f32 at the same order as the forward tier bound — the gate
+# keeps a margin over the f32 train gate (1e-3) scaled by the measured
+# forward error (~2e-3 on the composed backbones).
+BF16W_TRAIN_GRAD_RTOL = 2e-2

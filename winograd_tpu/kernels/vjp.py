@@ -58,6 +58,17 @@ def _dw_prec():
     return BWD_PRECISION if DW_PRECISION is None else DW_PRECISION
 
 
+def _prec_kw(precision: str | None):
+    """Forward-tier plumbing: None = the serving kernel's own default (the
+    strict-parity f32 route); "bf16w" = the bf16 weight-STORAGE tier (the
+    kernels downcast the streamed weight matrices in-trace, so the f32
+    master weights stay the trainable leaves and the half-bytes forward is
+    exactly the bf16w kernel serving runs). The BACKWARD always runs the
+    f32/HIGH math — only the forward (and the saved y it masks/recovers z
+    from) changes tier."""
+    return {} if precision is None else {"precision": precision}
+
+
 def filter_transform_jnp(w: jax.Array, m: int = 4) -> jax.Array:
     """Differentiable G g G^T: (Cout, Cin, 3, 3) -> (a^2, Cin, Cout)."""
     g = jnp.asarray(transforms.matrices(m)[1], jnp.float32)
@@ -81,10 +92,12 @@ def stem_filter_s2d_jnp(w7: jax.Array) -> jax.Array:
 # --- pointwise ---------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def conv1x1_bn_train(x, w, scale, bias, relu: bool):
-    """Differentiable fused 1x1 conv + BN (+ReLU); Pallas forward."""
-    return conv1x1_bn_pallas(x, w, scale, bias, relu)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv1x1_bn_train(x, w, scale, bias, relu: bool, precision: str | None = None):
+    """Differentiable fused 1x1 conv + BN (+ReLU); Pallas forward.
+    precision="bf16w" runs the bf16 weight-storage serving tier as the
+    forward (f32 master w; the kernel downcasts the streamed copy)."""
+    return conv1x1_bn_pallas(x, w, scale, bias, relu, **_prec_kw(precision))
 
 
 def _recover_z(y, scale, bias):
@@ -101,12 +114,12 @@ def _recover_z(y, scale, bias):
     return (y - bias) / s
 
 
-def _pw_fwd(x, w, scale, bias, relu):
-    y = conv1x1_bn_pallas(x, w, scale, bias, relu)
+def _pw_fwd(x, w, scale, bias, relu, precision):
+    y = conv1x1_bn_pallas(x, w, scale, bias, relu, **_prec_kw(precision))
     return y, (x, w, scale, bias, y)
 
 
-def _pw_bwd(relu, res, g):
+def _pw_bwd(relu, precision, res, g):
     x, w, scale, bias, y = res
     if relu:
         g = jnp.where(y > 0, g, 0.0)
@@ -128,20 +141,23 @@ conv1x1_bn_train.defvjp(_pw_fwd, _pw_bwd)
 # --- 3x3 winograd ------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def conv3x3_bn_winograd_train(x, w, scale, bias, relu: bool = True, m: int = 4):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def conv3x3_bn_winograd_train(x, w, scale, bias, relu: bool = True, m: int = 4,
+                              precision: str | None = None):
     """Differentiable fused 3x3 Winograd conv + BN (+ReLU); Pallas forward.
 
     w is the RAW (Cout, Cin, 3, 3) filter; the Winograd transform runs
-    inside the trace (filter_transform_jnp).
+    inside the trace (filter_transform_jnp). precision="bf16w" downcasts
+    the transformed filter to bfloat16 in-trace — the exact bf16w serving
+    kernel as the training forward, f32 master w as the trainable leaf.
     """
     u = filter_transform_jnp(w, m)
-    return conv3x3_bn_winograd_pallas(x, u, scale, bias, relu)
+    return conv3x3_bn_winograd_pallas(x, u, scale, bias, relu, **_prec_kw(precision))
 
 
-def _wg_fwd(x, w, scale, bias, relu, m):
+def _wg_fwd(x, w, scale, bias, relu, m, precision):
     u = filter_transform_jnp(w, m)
-    y = conv3x3_bn_winograd_pallas(x, u, scale, bias, relu)
+    y = conv3x3_bn_winograd_pallas(x, u, scale, bias, relu, **_prec_kw(precision))
     return y, (x, w, scale, bias, y)
 
 
@@ -170,7 +186,7 @@ def _bn_grads(y, scale, bias, g):
     return jnp.sum(z * g, axis=lead), jnp.sum(g, axis=lead)
 
 
-def _wg_bwd(relu, m, res, g):
+def _wg_bwd(relu, m, precision, res, g):
     x, w, scale, bias, y = res
     if relu:
         g = jnp.where(y > 0, g, 0.0)
@@ -196,8 +212,9 @@ def _wg_bwd(relu, m, res, g):
 conv3x3_bn_winograd_train.defvjp(_wg_fwd, _wg_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def conv3x3_bn_direct_train(x, w, scale, bias, relu: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3x3_bn_direct_train(x, w, scale, bias, relu: bool = True,
+                            precision: str | None = None):
     """Differentiable fused 3x3 conv + BN (+ReLU) through the DIRECT
     im2col-GEMM Pallas kernel (kernels/direct.py) — the train twin of the
     small-map serving route (models/basic.py::_conv3x3): at 7x7x512 the
@@ -208,15 +225,17 @@ def conv3x3_bn_direct_train(x, w, scale, bias, relu: bool = True):
     gradients flow to the raw filter."""
     from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
 
-    return conv3x3_bn_direct_pallas(x, direct_filter(w), scale, bias, relu)
+    return conv3x3_bn_direct_pallas(
+        x, direct_filter(w), scale, bias, relu, **_prec_kw(precision)
+    )
 
 
-def _dg_fwd(x, w, scale, bias, relu):
-    y = conv3x3_bn_direct_train(x, w, scale, bias, relu)
+def _dg_fwd(x, w, scale, bias, relu, precision):
+    y = conv3x3_bn_direct_train(x, w, scale, bias, relu, precision)
     return y, (x, w, scale, bias, y)
 
 
-def _dg_bwd(relu, res, g):
+def _dg_bwd(relu, precision, res, g):
     from winograd_tpu.kernels.direct import conv3x3_bn_direct_pallas, direct_filter
 
     x, w, scale, bias, y = res
@@ -243,8 +262,8 @@ conv3x3_bn_direct_train.defvjp(_dg_fwd, _dg_bwd)
 # --- fused stem ----------------------------------------------------------------
 
 
-@jax.custom_vjp
-def stem_train_fused(x, params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def stem_train_fused(x, params, precision: str | None = None):
     """Differentiable ResNet stem whose FORWARD is the single fused Pallas
     stem kernel (kernels/stem.py: s2d patch GEMMs + BN + ReLU + row-pooled
     maxpool) — the trained forward IS the served forward. params carries
@@ -253,10 +272,10 @@ def stem_train_fused(x, params):
     flow to the OIHW filter. BACKWARD is XLA autodiff of the identical
     math (the s2d patch-matrix GEMM + maxpool), rematerialized at
     BWD_PRECISION."""
-    return _stem_fused_forward(x, params)
+    return _stem_fused_forward(x, params, precision)
 
 
-def _stem_fused_forward(x, params):
+def _stem_fused_forward(x, params, precision=None):
     from winograd_tpu.kernels.stem import stem_fused_pallas
 
     return stem_fused_pallas(
@@ -264,6 +283,7 @@ def _stem_fused_forward(x, params):
         stem_filter_s2d_jnp(params["w7_stem"]),
         params["s_stem"],
         params["b_stem"],
+        **_prec_kw(precision),
     )
 
 
@@ -281,11 +301,11 @@ def _stem_math(x, params):
     return jnp_ops.maxpool3x3_s2(h)
 
 
-def _stem_fwd(x, params):
-    return _stem_fused_forward(x, params), (x, params)
+def _stem_fwd(x, params, precision):
+    return _stem_fused_forward(x, params, precision), (x, params)
 
 
-def _stem_bwd(res, g):
+def _stem_bwd(precision, res, g):
     x, params = res
     _, vjp_fn = jax.vjp(_stem_math, x, params)
     return vjp_fn(g)
@@ -297,8 +317,8 @@ stem_train_fused.defvjp(_stem_fwd, _stem_bwd)
 # --- whole-block megakernel ---------------------------------------------------
 
 
-@jax.custom_vjp
-def bottleneck_block_train_fused(x, params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bottleneck_block_train_fused(x, params, precision: str | None = None):
     """Differentiable bottleneck block whose FORWARD is the single fused
     Pallas megakernel (kernels/block.py) — the trained forward IS the
     served forward. params carries the RAW w_mid (Cout, Cin, 3, 3); the
@@ -310,10 +330,10 @@ def bottleneck_block_train_fused(x, params):
     Pallas kernels — the mid conv's remat AND data gradient ride the
     F(2,3) algebra, z is recovered algebraically. Gradients match the
     XLA-baseline autodiff (tests/test_vjp.py asserts to 1e-4)."""
-    return _block_fused_forward(x, params)
+    return _block_fused_forward(x, params, precision)
 
 
-def _block_fused_forward(x, params):
+def _block_fused_forward(x, params, precision=None):
     from winograd_tpu.kernels.block import bottleneck_block_fused_pallas
     from winograd_tpu.kernels.direct import direct_filter
 
@@ -323,14 +343,14 @@ def _block_fused_forward(x, params):
     # so the megakernel's mid-algo auto-select (winograd2 on large maps)
     # applies to the training forward exactly as it does in serving.
     kp["u2_mid"] = filter_transform_jnp(params["w_mid"], m=2)
-    return bottleneck_block_fused_pallas(x, kp)
+    return bottleneck_block_fused_pallas(x, kp, **_prec_kw(precision))
 
 
-def _block_fwd(x, params):
-    return _block_fused_forward(x, params), (x, params)
+def _block_fwd(x, params, precision):
+    return _block_fused_forward(x, params, precision), (x, params)
 
 
-def _block_bwd(res, g):
+def _block_bwd(precision, res, g):
     # Differentiate the PER-LAYER train composition instead of the plain
     # XLA math: the layer wrappers' custom VJPs rematerialize the mid conv
     # through the fused F(2,3) Pallas kernel and run its data gradient
@@ -359,8 +379,8 @@ bottleneck_block_train_fused.defvjp(_block_fwd, _block_bwd)
 # --- stride-2 transition megakernel -------------------------------------------
 
 
-@jax.custom_vjp
-def transition_block_train_fused(x, params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def transition_block_train_fused(x, params, precision: str | None = None):
     """Differentiable stride-2 transition block whose FORWARD is the fused
     Pallas transition megakernel (kernels/transition.py) — with
     bottleneck_block_train_fused this makes the ENTIRE backbone trainable
@@ -369,23 +389,23 @@ def transition_block_train_fused(x, params):
     applied in-trace. BACKWARD differentiates the per-layer composition
     (GEMMs through the Pallas pointwise train wrapper; the strided mid —
     which has no winograd form — as im2col into the same wrapper)."""
-    return _transition_fused_forward(x, params)
+    return _transition_fused_forward(x, params, precision)
 
 
-def _transition_fused_forward(x, params):
+def _transition_fused_forward(x, params, precision=None):
     from winograd_tpu.kernels.direct import direct_filter
     from winograd_tpu.kernels.transition import transition_block_fused_pallas
 
     kp = dict(params)
     kp["w9_mid"] = direct_filter(params["w_mid"])
-    return transition_block_fused_pallas(x, kp)
+    return transition_block_fused_pallas(x, kp, **_prec_kw(precision))
 
 
-def _transition_fwd(x, params):
-    return _transition_fused_forward(x, params), (x, params)
+def _transition_fwd(x, params, precision):
+    return _transition_fused_forward(x, params, precision), (x, params)
 
 
-def _transition_bwd(res, g):
+def _transition_bwd(precision, res, g):
     # Per-layer composition: the three GEMMs (reduce, expand, projection)
     # remat through the Pallas pointwise train wrapper (fast backward,
     # algebraic z recovery); the STRIDED mid conv has no winograd form, so
@@ -422,30 +442,30 @@ transition_block_train_fused.defvjp(_transition_fwd, _transition_bwd)
 # --- stride-1 projection block (conv2_x's entry) -------------------------------
 
 
-@jax.custom_vjp
-def projection_block_train_fused(x, params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def projection_block_train_fused(x, params, precision: str | None = None):
     """Differentiable stride-1 PROJECTION bottleneck (conv2_x's entry in
     the full classifier) whose FORWARD runs the serving composition
     (models/downsample.py::projection_bottleneck_block_pallas, with the
     F(2,3) filter layout derived in-trace from the raw w_mid). BACKWARD
     differentiates the per-layer train composition (see _block_bwd)."""
-    return _projection_fused_forward(x, params)
+    return _projection_fused_forward(x, params, precision)
 
 
-def _projection_fused_forward(x, params):
+def _projection_fused_forward(x, params, precision=None):
     from winograd_tpu.models.downsample import projection_bottleneck_block_pallas
 
     kp = dict(params)
     # 56x56 map: the F(2,3) Winograd algebra is the measured winner there.
     kp["u2_mid"] = filter_transform_jnp(params["w_mid"], m=2)
-    return projection_bottleneck_block_pallas(x, kp)
+    return projection_bottleneck_block_pallas(x, kp, precision=precision)
 
 
-def _projection_fwd(x, params):
-    return _projection_fused_forward(x, params), (x, params)
+def _projection_fwd(x, params, precision):
+    return _projection_fused_forward(x, params, precision), (x, params)
 
 
-def _projection_bwd(res, g):
+def _projection_bwd(precision, res, g):
     # Same per-layer-composition backward as _block_bwd (winograd-algebra
     # mid remat + data gradient), plus the projection shortcut's GEMM.
     def math(x_, p_):
@@ -474,8 +494,8 @@ projection_block_train_fused.defvjp(_projection_fwd, _projection_bwd)
 # --- weight-streaming stage (the megakernel's VMEM-gated geometries) -----------
 
 
-@jax.custom_vjp
-def resnet_stage_train_streamed(x, blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def resnet_stage_train_streamed(x, blocks, precision: str | None = None):
     """Differentiable stack of IDENTITY bottleneck blocks whose FORWARD is
     the weight-STREAMING stage megakernel (kernels/stage.py) — the same
     kernel serving uses at these geometries. Covers the blocks the
@@ -491,10 +511,10 @@ def resnet_stage_train_streamed(x, blocks):
     im2col otherwise) applies to the training forward exactly as in
     serving. BACKWARD differentiates the per-layer train composition per
     block (the same math as _block_bwd, chained)."""
-    return _stage_streamed_forward(x, blocks)
+    return _stage_streamed_forward(x, blocks, precision)
 
 
-def _stage_streamed_forward(x, blocks):
+def _stage_streamed_forward(x, blocks, precision=None):
     from winograd_tpu.kernels.direct import direct_filter
     from winograd_tpu.kernels.stage import (
         resnet_stage_fused_pallas,
@@ -512,25 +532,38 @@ def _stage_streamed_forward(x, blocks):
             # layout is used and the transform would be dead weight.
             kp["u2_mid"] = filter_transform_jnp(b["w_mid"], m=2)
         kps.append(kp)
-    return resnet_stage_fused_pallas(x, stack_stage_params(kps))
+    return resnet_stage_fused_pallas(
+        x, stack_stage_params(kps), **_prec_kw(precision)
+    )
 
 
-def _stage_streamed_fwd(x, blocks):
-    return _stage_streamed_forward(x, blocks), (x, blocks)
+def _stage_streamed_fwd(x, blocks, precision):
+    return _stage_streamed_forward(x, blocks, precision), (x, blocks)
 
 
-def _stage_streamed_bwd(res, g):
+def _stage_streamed_bwd(precision, res, g):
     # Chain the per-block per-layer train composition (winograd-algebra mid
     # remat + data gradient, algebraic z recovery) — identical math to
-    # _block_bwd applied block by block.
+    # _block_bwd applied block by block. The mid recompute mirrors the
+    # forward kernel's geometry routing (winograd2 on large maps, direct
+    # im2col below 28x28 — the round-4 7x7 finding: winograd streams 16/9x
+    # the filter bytes there) so the backward pays the same algebra the
+    # served forward ran and the recompute value agrees exactly.
+    large_map = res[0].shape[-3] * res[0].shape[-2] >= 28 * 28
+
     def math(x_, bs_):
         for p_ in bs_:
             h = conv1x1_bn_train(
                 x_, p_["w_reduce"], p_["s_reduce"], p_["b_reduce"], True
             )
-            h = conv3x3_bn_winograd_train(
-                h, p_["w_mid"], p_["s_mid"], p_["b_mid"], True, 2
-            )
+            if large_map:
+                h = conv3x3_bn_winograd_train(
+                    h, p_["w_mid"], p_["s_mid"], p_["b_mid"], True, 2
+                )
+            else:
+                h = conv3x3_bn_direct_train(
+                    h, p_["w_mid"], p_["s_mid"], p_["b_mid"], True
+                )
             h = conv1x1_bn_train(
                 h, p_["w_expand"], p_["s_expand"], p_["b_expand"], False
             )
@@ -548,8 +581,8 @@ resnet_stage_train_streamed.defvjp(_stage_streamed_fwd, _stage_streamed_bwd)
 # --- basic-family streamed stage (ResNet-18/34 small-map identity runs) --------
 
 
-@jax.custom_vjp
-def basic_stage_train_streamed(x, blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def basic_stage_train_streamed(x, blocks, precision: str | None = None):
     """Differentiable run of IDENTITY basic blocks whose FORWARD is the
     fused weight-streaming basic-stage kernel (kernels/basic_stage.py) —
     the same kernel serving routes on small maps (7x7x512), so the trained
@@ -559,10 +592,10 @@ def basic_stage_train_streamed(x, blocks):
     flow to the raw filters. BACKWARD differentiates the per-layer train
     composition (the direct-conv wrappers, matching
     models/basic.py::basicnet_forward_train's small-map route)."""
-    return _basic_streamed_forward(x, blocks)
+    return _basic_streamed_forward(x, blocks, precision)
 
 
-def _basic_streamed_forward(x, blocks):
+def _basic_streamed_forward(x, blocks, precision=None):
     from winograd_tpu.kernels.basic_stage import (
         basic_stage_fused_pallas,
         stack_basic_stage_params,
@@ -578,14 +611,16 @@ def _basic_streamed_forward(x, blocks):
         }
         for b in blocks
     ]
-    return basic_stage_fused_pallas(x, stack_basic_stage_params(kps))
+    return basic_stage_fused_pallas(
+        x, stack_basic_stage_params(kps), **_prec_kw(precision)
+    )
 
 
-def _basic_streamed_fwd(x, blocks):
-    return _basic_streamed_forward(x, blocks), (x, blocks)
+def _basic_streamed_fwd(x, blocks, precision):
+    return _basic_streamed_forward(x, blocks, precision), (x, blocks)
 
 
-def _basic_streamed_bwd(res, g):
+def _basic_streamed_bwd(precision, res, g):
     def math(x_, bs_):
         for p_ in bs_:
             h = conv3x3_bn_direct_train(x_, p_["w_a"], p_["s_a"], p_["b_a"], True)

@@ -143,7 +143,9 @@ def resnet50_stages(
     return x
 
 
-def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
+def resnet50_stages_train(
+    x: jax.Array, stages: List[Dict], precision: str | None = None
+) -> jax.Array:
     """Differentiable multi-stage backbone whose FORWARD runs the SAME
     fused megakernels serving uses (block + transition custom VJPs,
     kernels/vjp.py) — trained forward == served forward, end to end.
@@ -171,17 +173,17 @@ def resnet50_stages_train(x: jax.Array, stages: List[Dict]) -> jax.Array:
 
     for stage in stages:
         if stage.get("transition") is not None:
-            x = transition_block_train_fused(x, stage["transition"])
+            x = transition_block_train_fused(x, stage["transition"], precision)
         blocks = stage["blocks"]
         if not blocks:
             continue
         # Identity blocks in a stage share geometry, so the gate is a
         # per-stage decision.
         if x.shape[-2] > 28 or blocks[0]["w_reduce"].shape[0] >= 2048:
-            x = resnet_stage_train_streamed(x, blocks)
+            x = resnet_stage_train_streamed(x, blocks, precision)
         else:
             for b in blocks:
-                x = bottleneck_block_train_fused(x, b)
+                x = bottleneck_block_train_fused(x, b, precision)
     return x
 
 

@@ -252,7 +252,9 @@ def resnet50_forward_pre(
     return head_pallas(hh, params["head"], precision)
 
 
-def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
+def resnet50_forward_train(
+    x: jax.Array, params: Dict, precision: str | None = None
+) -> jax.Array:
     """Differentiable COMPLETE-classifier forward whose every conv runs the
     SAME fused Pallas kernels serving uses (mode 19's subject): the fused
     stem kernel via stem_train_fused (w7 -> w192 layout derived in-trace so
@@ -261,7 +263,14 @@ def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     autodiff of the identical math, rematerialized (kernels/vjp.py).
 
     params carries the TRAINABLE set only: stem {w7_stem, s_stem, b_stem},
-    proj/stages with raw w_mid (no offline layouts), head {w_fc, b_fc}."""
+    proj/stages with raw w_mid (no offline layouts), head {w_fc, b_fc}.
+
+    precision="bf16w" is the bf16 weight-STORAGE training tier: the f32
+    master params stay the trainable leaves, the forward streams bf16
+    weight copies through the exact bf16w serving kernels (half the HBM
+    weight bytes of the step's dominant pass), the backward stays the
+    f32/HIGH rematerializing math. Gradients stay within
+    BF16W_TRAIN_GRAD_RTOL of the f32 step (config.py)."""
     from winograd_tpu.kernels.vjp import (
         conv1x1_bn_train,
         projection_block_train_fused,
@@ -269,13 +278,13 @@ def resnet50_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     )
     from winograd_tpu.models.downsample import resnet50_stages_train
 
-    h = stem_train_fused(x, params["stem"])
-    h = projection_block_train_fused(h, params["proj"])
-    h = resnet50_stages_train(h, params["stages"])
+    h = stem_train_fused(x, params["stem"], precision)
+    h = projection_block_train_fused(h, params["proj"], precision)
+    h = resnet50_stages_train(h, params["stages"], precision)
     return head_pallas(
         h,
         params["head"],
-        gemm=lambda p, w, s, b: conv1x1_bn_train(p, w, s, b, False),
+        gemm=lambda p, w, s, b: conv1x1_bn_train(p, w, s, b, False, precision),
     )
 
 
