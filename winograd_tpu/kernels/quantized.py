@@ -99,19 +99,33 @@ def conv1x1_bn_int8_pallas(
     x2d = x.reshape(p, cin).astype(jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    p_pad = -(-p // 8) * 8
+    # Row tiling: the per-row activation quant is row-local, so a row grid
+    # is exact. Small row counts run as ONE equal-to-dim block (no pad, no
+    # slice — the mode-2/3 no-pad finding); large ones (the N=32 serving
+    # modes put 100k+ rows through the conv2_x reduce) tile so the f32
+    # staging + output stay a few MB of VMEM instead of OOMing the 16 MB
+    # scoped limit (first seen at mode 27: 58.3 MB requested).
+    if p <= 1024:
+        tp = p
+    else:
+        tp = max(8, min(4096, (2 << 20) // max(cin + cout, 1) // 8 * 8))
+        tp = min(tp, -(-p // 8) * 8)  # never exceed the (8-padded) row count
+    p_pad = -(-p // tp) * tp
     if p_pad != p:
         x2d = jnp.pad(x2d, ((0, p_pad - p), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_quant_matmul_kernel, relu=relu),
+        grid=(p_pad // tp,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, cin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tp, cout), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((p_pad, cout), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * p_pad * cin * cout,
@@ -290,34 +304,84 @@ def _winograd_int8_kernel(
     a = m + 2
     n_groups = cin // cg
     xpads = scratch[:n_groups]
-    v_ref = scratch[n_groups] if has_vref else None
 
-    # Phases 0+1 in f32 (pure +-1 VPU adds for F(2,3)); V rows are then
-    # quantized per row per position — the dynamic per-row scale absorbs
-    # the Bt transform's range growth on the activation side.
-    v_groups = winograd_stage_input(
-        x_ref, xpads, v_ref, m=m, nb=nb, tiles_h=tiles_h, tw_pad=tw_pad,
-        h=h, w=w, cg=cg,
-    )
+    if not has_vref:
+        # Single output tile: transform in f32 (pure +-1 VPU adds for
+        # F(2,3)), quantize V per row per position inside the GEMM — the
+        # dynamic per-row scale absorbs the Bt transform's range growth.
+        v_groups = winograd_stage_input(
+            x_ref, xpads, None, m=m, nb=nb, tiles_h=tiles_h, tw_pad=tw_pad,
+            h=h, w=w, cg=cg,
+        )
+        mm = []
+        for pi in range(a):
+            row = []
+            for pj in range(a):
+                p = pi * a + pj
+                sw = su_ref[p : p + 1, :]
+                acc = None
+                for g in range(n_groups):
+                    part = _qdot(
+                        v_groups[g][pi][pj],
+                        uq_ref[p, g * cg : (g + 1) * cg, :],
+                        sw,
+                    )
+                    acc = part if acc is None else acc + part
+                row.append(acc)
+            mm.append(row)
+    else:
+        # Output-channel tiling revisits the same image block: stash V
+        # QUANTIZED (int8 + per-(position,row) scales over the full Cin) at
+        # j == 0 — later j steps reload 1/4 the bytes of the old f32 stash
+        # AND skip the per-step requantization (the measured round-4 loss
+        # at mode 1: f32 stash 4.30 us vs direct 3.40). The int32 partials
+        # accumulate ACROSS channel groups before one dequant, since the
+        # row scale is shared by every group.
+        j = pl.program_id(1)
+        vq_ref = scratch[n_groups]       # (a2, rows, Cin) int8
+        sv_ref = scratch[n_groups + 1]   # (rows, a2) f32 row scales
 
-    # Phase 2 — per-position int8 MXU GEMMs, dequantized per (row, position,
-    # column); channel groups contract in f32 after dequant.
-    mm = []
-    for pi in range(a):
-        row = []
-        for pj in range(a):
-            p = pi * a + pj
-            sw = su_ref[p : p + 1, :]
-            acc = None
-            for g in range(n_groups):
-                part = _qdot(
-                    v_groups[g][pi][pj],
-                    uq_ref[p, g * cg : (g + 1) * cg, :],
-                    sw,
+        @pl.when(j == 0)
+        def _stash():
+            vv_groups = winograd_stage_input(
+                x_ref, xpads, None, m=m, nb=nb, tiles_h=tiles_h,
+                tw_pad=tw_pad, h=h, w=w, cg=cg, j=j,
+            )
+            for pi in range(a):
+                for pj in range(a):
+                    p = pi * a + pj
+                    s = None
+                    for vv in vv_groups:
+                        gmax = jnp.max(
+                            jnp.abs(vv[pi][pj]), axis=-1, keepdims=True
+                        )
+                        s = gmax if s is None else jnp.maximum(s, gmax)
+                    s = jnp.where(s == 0, 1.0, s) / 127.0
+                    sv_ref[:, p : p + 1] = s
+                    for g, vv in enumerate(vv_groups):
+                        vq_ref[p, :, g * cg : (g + 1) * cg] = jnp.clip(
+                            jnp.round(vv[pi][pj] / s), -127, 127
+                        ).astype(jnp.int8)
+
+        mm = []
+        for pi in range(a):
+            row = []
+            for pj in range(a):
+                p = pi * a + pj
+                acc = None
+                for g in range(n_groups):
+                    part = jax.lax.dot_general(
+                        vq_ref[p, :, g * cg : (g + 1) * cg],
+                        uq_ref[p, g * cg : (g + 1) * cg, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = part if acc is None else acc + part
+                row.append(
+                    acc.astype(jnp.float32)
+                    * (sv_ref[:, p : p + 1] * su_ref[p : p + 1, :])
                 )
-                acc = part if acc is None else acc + part
-            row.append(acc)
-        mm.append(row)
+            mm.append(row)
 
     # Phase 3 — separable At inverse + epilogue, all f32.
     at = np.asarray(transforms.matrices(m)[2], np.float64)
@@ -400,9 +464,11 @@ def conv3x3_bn_winograd_int8_pallas(
         for _ in range(n_groups)
     ]
     if n_j > 1:
-        scratch_shapes.append(
-            pltpu.VMEM((a2, nb * tiles_h * tw_pad, cin), jnp.float32)
-        )
+        # Quantized V stash: int8 rows + per-(position,row) f32 scales —
+        # 1/4 the reload bytes of an f32 stash, quantized ONCE at j == 0.
+        rows = nb * tiles_h * tw_pad
+        scratch_shapes.append(pltpu.VMEM((a2, rows, cin), jnp.int8))
+        scratch_shapes.append(pltpu.VMEM((rows, a2), jnp.float32))
     nt = tiles_h * tiles_w
     flops = n * (2 * a2 * nt * cin * cout + 2 * nt * a2 * (a2 * cin + m * m * cout))
 

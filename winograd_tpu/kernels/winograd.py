@@ -163,17 +163,22 @@ def winograd_gemm_inverse(v_groups, u_ref, *, m: int, cg: int, precision: str):
 
 def winograd_stage_input(
     x_ref, xpads, v_ref, *, m: int, nb: int, tiles_h: int, tw_pad: int,
-    h: int, w: int, cg: int
+    h: int, w: int, cg: int, j=None
 ):
     """Phases 0+1 shared by the f32 and int8 standalone kernels: pad the
     dense input into VMEM scratch once per image block (grid axis 1 must be
     the output-channel axis — the pad/stash run at j == 0), transform, and
     when output channels are tiled (v_ref given) stash/reload V so later j
-    steps skip the transform. Returns v_groups[g][pi][pj] f32 values."""
+    steps skip the transform. Returns v_groups[g][pi][pj] f32 values.
+
+    j: the output-channel grid index, passed in by callers that invoke this
+    from INSIDE a pl.when body (pl.program_id cannot be bound inside the
+    lowered cond on the interpret backend); defaults to program_id(1)."""
     a = m + 2
     side_h = m * tiles_h
     side_w = m * tw_pad
-    j = pl.program_id(1)
+    if j is None:
+        j = pl.program_id(1)
 
     # Phase 0 — pad into VMEM once per image block (border strips zeroed,
     # interior copied; the reference instead doubles + zeroes its global

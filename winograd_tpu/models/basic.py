@@ -92,25 +92,55 @@ def downsample_basic_block_pallas(
     return jnp.maximum(h + skip, 0.0)
 
 
-def attach_fused_stage_artifacts(params: Dict, min_channels: int = 512) -> Dict:
+# Channel threshold below which a stage's identity run is NOT worth fusing
+# into the weight-streaming basic-stage kernel (the 7x7x512 conv5 run is the
+# winning geometry; smaller widths at small maps lose the streaming setup).
+# Shared by the offline artifact attach AND the training-route gate so the
+# "trained forward == served forward" invariant can't drift between them.
+FUSED_STAGE_MIN_CHANNELS = 512
+
+
+def fused_stage_eligible(blocks: List[Dict], wkey: str = "w9_a",
+                         min_channels: int = FUSED_STAGE_MIN_CHANNELS) -> bool:
+    """True when a stage's identity blocks qualify for the fused
+    weight-streaming basic-stage kernel: uniform shapes at or above the
+    channel threshold. wkey selects the filter key to inspect: "w9_a"
+    (9*C, C) on serving params, "w_a" raw OIHW (C, C, 3, 3) on trainable
+    params — the output-channel count is the last axis of the former and
+    the first of the latter."""
+    if not blocks or not all(
+        wkey in b and wkey.replace("_a", "_b") in b for b in blocks
+    ):
+        return False
+    w = blocks[0][wkey]
+    channels = w.shape[-1] if w.ndim == 2 else w.shape[0]
+    return channels >= min_channels and len(
+        {tuple(b[wkey].shape) for b in blocks}
+    ) == 1
+
+
+def attach_fused_stage_artifacts(params: Dict, min_channels: int = FUSED_STAGE_MIN_CHANNELS) -> Dict:
     """Offline step: attach the stacked weight-streaming artifact
     ("fused", kernels/basic_stage.py::stack_basic_stage_params) to every
     stage whose identity blocks will serve through the fused basic-stage
     kernel — the small-map direct-route geometries (7x7x512 in the
     ImageNet family, hence the min_channels proxy; the actual route gate
     is the trace-time map size in basicnet_stages). Mutates and returns
-    params."""
+    params.
+
+    The stacked artifact COPIES each block's w9_a/w9_b: any later rewrite
+    of st["blocks"] (e.g. loading fresh weights into an existing params
+    dict) must re-run this function, or basicnet_stages would serve the
+    stale stack. To make that failure-mode impossible to hit silently,
+    stages that no longer qualify get their "fused" entry DELETED here, so
+    re-attaching after any weight mutation is always safe and idempotent."""
     from winograd_tpu.kernels.basic_stage import stack_basic_stage_params
 
     for st in params["stages"]:
-        blocks = st["blocks"]
-        if (
-            blocks
-            and all("w9_a" in b and "w9_b" in b for b in blocks)
-            and blocks[0]["w9_a"].shape[-1] >= min_channels
-            and len({b["w9_a"].shape for b in blocks}) == 1
-        ):
-            st["fused"] = stack_basic_stage_params(blocks)
+        if fused_stage_eligible(st["blocks"], min_channels=min_channels):
+            st["fused"] = stack_basic_stage_params(st["blocks"])
+        else:
+            st.pop("fused", None)
     return params
 
 
@@ -175,13 +205,17 @@ def basicnet_forward_xla(x: jax.Array, params: Dict) -> jax.Array:
     return jnp_ops.head(h, params["head"])
 
 
-def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
+def basicnet_forward_train(
+    x: jax.Array, params: Dict, precision: str | None = None
+) -> jax.Array:
     """Differentiable forward whose convs run the SAME fused Pallas kernels
     serving uses (custom VJPs, kernels/vjp.py): the fused stem kernel, the
     F(2,3) Winograd train kernel for stride-1 3x3s, the fused GEMM for the
     strided convs (w9 layout derived in-trace so gradients flow to the raw
     OIHW filter), and the head FC. params carries the TRAINABLE set only:
-    raw w_a/w_b filters + folded BN (no offline layouts)."""
+    raw w_a/w_b filters + folded BN (no offline layouts).
+    precision="bf16w" is the bf16 weight-storage training tier (f32 master
+    weights, bf16w serving kernels as the forward, f32/HIGH backward)."""
     from winograd_tpu.kernels.direct import direct_filter
     from winograd_tpu.kernels.vjp import (
         basic_stage_train_streamed,
@@ -196,28 +230,36 @@ def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
         # small maps (7x7x512 — the winograd layout streams 16/9x the
         # bytes), F(2,3) winograd everywhere else.
         if x_.shape[-2] * x_.shape[-3] <= 8 * 8:
-            return conv3x3_bn_direct_train(x_, w, s, b, relu)
-        return conv3x3_bn_winograd_train(x_, w, s, b, relu, 2)
+            return conv3x3_bn_direct_train(x_, w, s, b, relu, precision)
+        return conv3x3_bn_winograd_train(x_, w, s, b, relu, 2, precision)
 
-    h = stem_train_fused(x, params["stem"])
+    h = stem_train_fused(x, params["stem"], precision)
     for st in params["stages"]:
         e = st.get("entry")
         if e is not None:
             cols = _strided_im2col(h)
             g = conv1x1_bn_train(
-                cols, direct_filter(e["w_a"]), e["s_a"], e["b_a"], True
+                cols, direct_filter(e["w_a"]), e["s_a"], e["b_a"], True, precision
             )
             g = conv3x3_train(g, e["w_b"], e["s_b"], e["b_b"], False)
             skip = conv1x1_bn_train(
-                _subsample(h), e["w_proj"], e["s_proj"], e["b_proj"], False
+                _subsample(h), e["w_proj"], e["s_proj"], e["b_proj"], False,
+                precision,
             )
             h = jnp.maximum(g + skip, 0.0)
         blocks = st["blocks"]
-        if blocks and 0 < h.shape[-2] * h.shape[-3] <= 8 * 8:
+        if (
+            blocks
+            and 0 < h.shape[-2] * h.shape[-3] <= 8 * 8
+            and fused_stage_eligible(blocks, wkey="w_a")
+        ):
             # Small-map identity runs train through the fused basic-stage
             # kernel (the serving route) — one weight-streaming forward
-            # instead of per-conv per-layer kernels.
-            h = basic_stage_train_streamed(h, blocks)
+            # instead of per-conv per-layer kernels. Gated on the SAME
+            # eligibility predicate serving's artifact attach uses (map
+            # size + channel width), so trained forward == served forward
+            # holds at every geometry, not just the ImageNet ones.
+            h = basic_stage_train_streamed(h, blocks, precision)
         else:
             for b in blocks:
                 g = conv3x3_train(h, b["w_a"], b["s_a"], b["b_a"], True)
@@ -226,7 +268,7 @@ def basicnet_forward_train(x: jax.Array, params: Dict) -> jax.Array:
     return head_pallas(
         h,
         params["head"],
-        gemm=lambda p, w, s, b: conv1x1_bn_train(p, w, s, b, False),
+        gemm=lambda p, w, s, b: conv1x1_bn_train(p, w, s, b, False, precision),
     )
 
 
@@ -246,16 +288,21 @@ def quantize_basicnet(params: Dict) -> Dict:
         }
         out.update(q(p["w9_a"], "w9_a"))
         out.update(q(p["w9_b"], "w9_b"))
-        # Stride-1 3x3s also carry the F(2,3) filter as BFLOAT16: on large
-        # maps the bf16-weight winograd2 kernel beats int8 direct im2col
-        # (and is more accurate), so the int8 forward routes there by
-        # geometry — the basic-family twin of the bottleneck stage
-        # kernel's winograd2 mid (kernels/quantized.py).
+        # Stride-1 3x3s also carry the F(2,3) filter in BOTH low-precision
+        # forms: per-position int8 (quantize_winograd_filter — the fastest
+        # route on 28x28/14x14 maps since the round-5 quantized V stash)
+        # and bfloat16 (the 64-ch lane-packed bf16w kernel still wins the
+        # 56x56x64 geometry). _conv3x3_int8 routes by geometry.
+        from winograd_tpu.kernels.quantized import quantize_winograd_filter
+
         for leg in ("a", "b"):
             if f"u2_{leg}" in p:
                 out[f"u2_{leg}_bf16"] = jnp.asarray(
                     p[f"u2_{leg}"], jnp.float32
                 ).astype(jnp.bfloat16)
+                uq, su = quantize_winograd_filter(np.asarray(p[f"u2_{leg}"]))
+                out[f"u2_{leg}_q"] = jnp.asarray(uq)
+                out[f"u2_{leg}_s"] = jnp.asarray(su)
         if "w_proj" in p:
             out.update(q(p["w_proj"], "w_proj"))
             out["s_proj"] = jnp.asarray(p["s_proj"], jnp.float32)
@@ -289,22 +336,64 @@ def quantize_basicnet(params: Dict) -> Dict:
 
 def _conv3x3_int8(x: jax.Array, p: Dict, leg: str, relu: bool) -> jax.Array:
     """Geometry-routed stride-1 3x3 of the int8 tier. Measured per-layer
-    on v5e (2026-08-18): bf16-weight F(2,3) winograd beats int8 direct
-    im2col on large maps (56x56x64: 6.6 vs 8.1 us; 28x28x128: 2.1 vs 5.2)
-    and is more accurate, while the weight-bound small maps keep int8
-    weights (7x7x512: 7.1 vs 12.8 — half the streamed bytes wins); 14x14
-    is a tie (4.7 vs 4.8) and stays int8 for the byte savings."""
-    from winograd_tpu.kernels.quantized import conv3x3_bn_int8_pallas
+    on v5e (round 5, tools logs 2026-08-20, same-run ladders):
 
-    if x.shape[-2] >= 16 and f"u2_{leg}_bf16" in p:
-        return conv3x3_bn_winograd_pallas(
-            x, p[f"u2_{leg}_bf16"], p[f"s_{leg}"], p[f"b_{leg}"],
-            relu=relu, precision="bf16w",
-        )
+    * 56x56x64: the LANE-PACKED bf16w F(2,3) kernel wins (4.98 us vs
+      int8-wino 11.61 / int8-direct 7.98) — at 64 channels the int8 path
+      runs half-lane while the packed bf16w kernel fills the MXU;
+    * 28x28x128 / 14x14x256: the int8 F(2,3) winograd kernel wins
+      (3.17 / 3.45 us vs bf16w 3.31 / 4.53 and direct 5.14 / 4.59) —
+      the round-5 quantized V stash removed the old cout>128 loss;
+    * 7x7x512: int8 direct im2col wins (6.78 vs wino 9.29) — the F(2,3)
+      artifact streams 16/9x the direct layout's bytes over a map too
+      small to amortize (the same rule as the f32 route)."""
+    from winograd_tpu.kernels.quantized import (
+        conv3x3_bn_int8_pallas,
+        conv3x3_bn_winograd_int8_pallas,
+    )
+
+    if x.shape[-2] * x.shape[-3] > 8 * 8:
+        cout = p[f"s_{leg}"].shape[0]
+        if cout <= 64 and f"u2_{leg}_bf16" in p:
+            return conv3x3_bn_winograd_pallas(
+                x, p[f"u2_{leg}_bf16"], p[f"s_{leg}"], p[f"b_{leg}"],
+                relu=relu, precision="bf16w",
+            )
+        if f"u2_{leg}_q" in p:
+            return conv3x3_bn_winograd_int8_pallas(
+                x, p[f"u2_{leg}_q"], p[f"u2_{leg}_s"],
+                p[f"s_{leg}"], p[f"b_{leg}"], relu=relu,
+            )
     return conv3x3_bn_int8_pallas(
         x, p[f"w9_{leg}_q"], p[f"w9_{leg}_s"], p[f"s_{leg}"], p[f"b_{leg}"],
         relu=relu,
     )
+
+
+def downsample_basic_block_int8(h: jax.Array, e: Dict) -> jax.Array:
+    """Stride-2 entry BASIC block at the int8 tier (quantize_basicnet's
+    q_block layout): strided conv + projection through the int8 pointwise
+    kernel, the b-leg geometry-routed (_conv3x3_int8)."""
+    from winograd_tpu.kernels.quantized import conv1x1_bn_int8_pallas
+
+    cols = _strided_im2col(h)
+    g = conv1x1_bn_int8_pallas(
+        cols, e["w9_a_q"], e["w9_a_s"], e["s_a"], e["b_a"], relu=True
+    )
+    g = _conv3x3_int8(g, e, "b", relu=False)
+    skip = conv1x1_bn_int8_pallas(
+        _subsample(h), e["w_proj_q"], e["w_proj_s"],
+        e["s_proj"], e["b_proj"], relu=False,
+    )
+    return jnp.maximum(g + skip, 0.0)
+
+
+def basic_block_int8(h: jax.Array, b: Dict) -> jax.Array:
+    """Identity BASIC block at the int8 tier (per-block route; the fused
+    weight-streaming run is basic_stage_int8_pallas)."""
+    g = _conv3x3_int8(h, b, "a", relu=True)
+    g = _conv3x3_int8(g, b, "b", relu=False)
+    return jnp.maximum(g + h, 0.0)
 
 
 def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
@@ -312,23 +401,13 @@ def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
     projection shortcuts through the int8 pointwise kernel, stride-1 3x3s
     geometry-routed (_conv3x3_int8) between the int8 direct kernel and the
     bf16-weight winograd2 kernel, int8 head FC."""
-    from winograd_tpu.kernels.quantized import conv1x1_bn_int8_pallas
     from winograd_tpu.models.resnet50 import _head_int8
 
     h = stem_pallas(x, qparams["stem"], precision="int8")
     for st in qparams["stages"]:
         e = st.get("entry")
         if e is not None:
-            cols = _strided_im2col(h)
-            g = conv1x1_bn_int8_pallas(
-                cols, e["w9_a_q"], e["w9_a_s"], e["s_a"], e["b_a"], relu=True
-            )
-            g = _conv3x3_int8(g, e, "b", relu=False)
-            skip = conv1x1_bn_int8_pallas(
-                _subsample(h), e["w_proj_q"], e["w_proj_s"],
-                e["s_proj"], e["b_proj"], relu=False,
-            )
-            h = jnp.maximum(g + skip, 0.0)
+            h = downsample_basic_block_int8(h, e)
         fused = st.get("fused")
         if fused is not None and 0 < h.shape[-2] * h.shape[-3] <= 8 * 8:
             from winograd_tpu.kernels.basic_stage import basic_stage_int8_pallas
@@ -336,9 +415,7 @@ def basicnet_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
             h = basic_stage_int8_pallas(h, fused)
         else:
             for b in st["blocks"]:
-                g = _conv3x3_int8(h, b, "a", relu=True)
-                g = _conv3x3_int8(g, b, "b", relu=False)
-                h = jnp.maximum(g + h, 0.0)
+                h = basic_block_int8(h, b)
     return _head_int8(h, qparams["head"])
 
 
