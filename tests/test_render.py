@@ -67,10 +67,14 @@ def test_render_r02_artifact_roundtrip():
     with open(path) as f:
         rows = json.load(f)
     out = render(rows).splitlines()
-    assert len(out) == 2 + len(rows)
+    # rows + header(2) + the HBM-floor-tie footnote (blank line + prose,
+    # present because the artifact covers modes 11/12).
+    assert len(out) == 2 + len(rows) + 2
+    assert out[-1].startswith("†")
     # Spot-check a known row against the artifact's values.
     mode12 = next(l for l in out if l.startswith("| 12 |"))
     assert "**56.41**" in mode12 and "55.31" in mode12
+    assert "†" in mode12  # the annotated HBM-floor tie
 
 
 def test_update_readme_roundtrip(tmp_path):
