@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--train-tier", default="f32", choices=("f32", "bf16w"),
+        help="bf16w trains through the bf16 weight-storage serving kernels "
+             "(f32 master weights; half the forward's streamed HBM bytes)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -58,7 +63,10 @@ def main(argv=None) -> int:
 
     params = trainable_resnet50_params(init_resnet50_params(cfg, seed=0))
     momentum = jax.tree.map(jnp.zeros_like, params)
-    step = make_resnet50_train_step(lr=1e-2)
+    step = make_resnet50_train_step(
+        lr=1e-2,
+        precision=None if args.train_tier == "f32" else args.train_tier,
+    )
 
     key = jax.random.PRNGKey(0)
     images = jax.random.normal(key, (4, cfg.img, cfg.img, 3), jnp.float32)

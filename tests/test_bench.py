@@ -79,3 +79,31 @@ def test_cli_json_output():
     assert proc.returncode == 0, proc.stderr
     results = json.loads(proc.stdout)
     assert results[0]["mode"] == 3 and results[0]["parity_ok"]
+
+
+def test_run_case_train_quick():
+    """The train-mode branch of run_case (modes 17/19/25's machinery) on a
+    tiny injected config: grad-agreement gate, the round-5 bf16w train
+    tier (step timed into bf16w_device_us; forward golden-checked), and
+    the forward-parity fields."""
+    import dataclasses
+
+    from winograd_tpu.config import CASES, BasicTrainConfig
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyT(BasicTrainConfig):
+        stages = ((16, 8, 2),)
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    CASES[990] = _TinyT("tiny_trainstep_bench")
+    try:
+        r = run_case(990, iterations=3, warmup=1)
+    finally:
+        del CASES[990]
+    assert r["parity_ok"]
+    assert r["train_grad_rel_error"] < 1e-3
+    assert r["train_bf16w_grad_rel_error"] < 2e-2
+    assert r["bf16w_device_us"] is not None
+    assert r["bf16w_rel_error"] is not None and r["bf16w_rel_error"] < 5e-3

@@ -22,12 +22,17 @@ import jax
 import jax.numpy as jnp
 
 
-def resnet50_loss(params: Dict, x: jax.Array, labels: jax.Array) -> jax.Array:
+def resnet50_loss(
+    params: Dict, x: jax.Array, labels: jax.Array,
+    precision: str | None = None,
+) -> jax.Array:
     """Mean softmax cross-entropy of the fused-kernel forward.
-    x: (N, H, W, 3) or (H, W, 3); labels: int class ids, shape (N,) or ()."""
+    x: (N, H, W, 3) or (H, W, 3); labels: int class ids, shape (N,) or ().
+    precision="bf16w" trains through the bf16 weight-storage tier (f32
+    master params, bf16w serving kernels as the forward)."""
     from winograd_tpu.models.resnet50 import resnet50_forward_train
 
-    logits = resnet50_forward_train(x, params)
+    logits = resnet50_forward_train(x, params, precision)
     logp = jax.nn.log_softmax(logits, axis=-1)
     picked = jnp.take_along_axis(
         jnp.atleast_2d(logp), jnp.atleast_1d(labels)[:, None], axis=-1
@@ -35,21 +40,29 @@ def resnet50_loss(params: Dict, x: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.mean(picked)
 
 
-def make_resnet50_train_step(lr: float = 1e-2, beta: float = 0.9, mesh=None):
+def make_resnet50_train_step(lr: float = 1e-2, beta: float = 0.9, mesh=None,
+                             precision: str | None = None):
     """Jitted SGD-with-momentum step over the full classifier:
     (params, momentum, x, labels) -> (params, momentum, loss).
     Initialize momentum with jax.tree.map(jnp.zeros_like, params).
+    precision="bf16w" runs the bf16 weight-storage training tier (half the
+    forward's streamed weight bytes; grads bounded by
+    config.BF16W_TRAIN_GRAD_RTOL vs the f32 step).
 
     With a mesh, the step is DATA-parallel: the batch shards over the
     "data" axis, every chip runs the fused-kernel fwd+bwd on its shard
     inside shard_map (Pallas custom calls cannot be auto-partitioned by
     jit), and gradients/loss are pmean'd over the axis — identical math to
     the single-chip step because the loss is a mean over the batch."""
+
+    def loss_fn(params, x, labels):
+        return resnet50_loss(params, x, labels, precision)
+
     if mesh is None:
 
         @jax.jit
         def step(params, momentum, x, labels) -> Tuple:
-            loss, grads = jax.value_and_grad(resnet50_loss)(params, x, labels)
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, labels)
             momentum = jax.tree.map(lambda m, g: beta * m + g, momentum, grads)
             params = jax.tree.map(lambda p, m: p - lr * m, params, momentum)
             return params, momentum, loss
@@ -70,7 +83,7 @@ def make_resnet50_train_step(lr: float = 1e-2, beta: float = 0.9, mesh=None):
             p_spec = jax.tree.map(lambda _: P(), params)
 
             def local(params_, momentum_, x_, labels_):
-                loss, grads = jax.value_and_grad(resnet50_loss)(
+                loss, grads = jax.value_and_grad(loss_fn)(
                     params_, x_, labels_
                 )
                 grads = jax.lax.pmean(grads, "data")
