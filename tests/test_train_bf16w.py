@@ -100,3 +100,47 @@ def test_basicnet_train_bf16w_tier():
     out = np.asarray(basicnet_forward_train(x, params, "bf16w"))
     g = np.asarray(case["golden"])
     assert np.abs(out - g).max() / np.abs(g).max() < BF16W_RTOL_BACKBONE
+
+
+def test_basicnet_streamed_stage_train_route():
+    """The fused basic-stage TRAIN route (basic_stage_train_streamed) on a
+    tiny model: fused_min_channels=0 opts the small-map stage into the
+    weight-streaming forward exactly as a custom
+    attach_fused_stage_artifacts(min_channels=0) serving deployment would,
+    keeping the trained forward == served forward invariant testable on
+    CPU (ImageNet-width thresholds would otherwise leave this path
+    TPU-bench-only). Checks the f32 and bf16w tiers' step scalars against
+    the all-XLA autodiff step."""
+    from winograd_tpu.datagen.generate import make_basicnet_case
+    from winograd_tpu.models.basic import (
+        basicnet_forward_train,
+        basicnet_forward_xla,
+        basicnet_params,
+    )
+    from winograd_tpu.models.train import trainable_basicnet_params
+
+    @dataclasses.dataclass(frozen=True)
+    class _TinyS(BasicNetConfig):
+        stages = ((16, 16, 2), (32, 8, 2))
+        img: int = 32
+        stem_c: int = 16
+        num_classes: int = 16
+
+    cfg = _TinyS("tiny_streamed_train")
+    case = make_basicnet_case(cfg, seed=9)
+    params = trainable_basicnet_params(basicnet_params(case, cfg))
+    x = jnp.asarray(case["x"])
+
+    gx = _step_scalar(basicnet_forward_xla, params, x)
+    gp = _step_scalar(
+        lambda x_, p_: basicnet_forward_train(x_, p_, fused_min_channels=0),
+        params, x,
+    )
+    assert abs(gp - gx) / max(abs(gx), 1.0) < 1e-3
+    gb = _step_scalar(
+        lambda x_, p_: basicnet_forward_train(
+            x_, p_, "bf16w", fused_min_channels=0
+        ),
+        params, x,
+    )
+    assert abs(gb - gx) / max(abs(gx), 1.0) < BF16W_TRAIN_GRAD_RTOL

@@ -69,7 +69,7 @@ def weight_act_bytes(cfg) -> int | None:
         abytes = 4 * cfg.batch * cfg.hw * cfg.hw * 2 * cfg.c_io
         return wbytes + abytes
     if isinstance(cfg, BasicNetConfig):
-        total = 4 * 64 * 3 * 49  # stem 7x7 filter (s2d layout rounds up)
+        total = 4 * cfg.stem_c * 3 * 49  # stem 7x7 filter
         prev = cfg.stem_c
         hw = cfg.img // 4
         act = 4 * cfg.batch * (cfg.img ** 2 * 3 + cfg.stages[-1][0])
@@ -84,7 +84,7 @@ def weight_act_bytes(cfg) -> int | None:
         return total + act
     if isinstance(cfg, ResNet50Config):
         c_io0, c_mid0, hw0, blocks0 = cfg.stages[0]
-        total = 4 * 64 * 3 * 49
+        total = 4 * cfg.stem_c * 3 * 49
         total += 4 * (
             cfg.stem_c * c_mid0 + 9 * c_mid0 * c_mid0
             + c_mid0 * c_io0 + cfg.stem_c * c_io0

@@ -132,8 +132,17 @@ def main():
                 )
             seg("head", lambda a: head_pallas(a, params["head"], prec), h, tier)
 
+    # stem_pre is the ALTERNATIVE stem route (preprocessed-input contract),
+    # not an extra segment — totals sum the raw-stem decomposition only.
     totals = {
-        t: round(sum(v[t] for v in rows["segments"].values() if t in v), 1)
+        t: round(
+            sum(
+                v[t]
+                for name, v in rows["segments"].items()
+                if t in v and name != "stem_pre"
+            ),
+            1,
+        )
         for t in args.tiers.split(",")
     }
     rows["segment_totals_us"] = totals

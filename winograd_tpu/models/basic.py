@@ -206,7 +206,8 @@ def basicnet_forward_xla(x: jax.Array, params: Dict) -> jax.Array:
 
 
 def basicnet_forward_train(
-    x: jax.Array, params: Dict, precision: str | None = None
+    x: jax.Array, params: Dict, precision: str | None = None,
+    *, fused_min_channels: int = FUSED_STAGE_MIN_CHANNELS,
 ) -> jax.Array:
     """Differentiable forward whose convs run the SAME fused Pallas kernels
     serving uses (custom VJPs, kernels/vjp.py): the fused stem kernel, the
@@ -251,14 +252,18 @@ def basicnet_forward_train(
         if (
             blocks
             and 0 < h.shape[-2] * h.shape[-3] <= 8 * 8
-            and fused_stage_eligible(blocks, wkey="w_a")
+            and fused_stage_eligible(
+                blocks, wkey="w_a", min_channels=fused_min_channels
+            )
         ):
             # Small-map identity runs train through the fused basic-stage
             # kernel (the serving route) — one weight-streaming forward
             # instead of per-conv per-layer kernels. Gated on the SAME
             # eligibility predicate serving's artifact attach uses (map
-            # size + channel width), so trained forward == served forward
-            # holds at every geometry, not just the ImageNet ones.
+            # size + channel width) so trained forward == served forward
+            # holds at every geometry; pass the same fused_min_channels a
+            # non-default attach_fused_stage_artifacts used, so a custom
+            # serving threshold keeps the two routes in lockstep.
             h = basic_stage_train_streamed(h, blocks, precision)
         else:
             for b in blocks:
@@ -281,28 +286,37 @@ def quantize_basicnet(params: Dict) -> Dict:
         wq, sw = quantize_weights(np.asarray(w))
         return {f"{prefix}_q": jnp.asarray(wq), f"{prefix}_s": jnp.asarray(sw)}
 
-    def q_block(p):
+    def q_block(p, small_map_stage=False):
+        # small_map_stage: the stage carries the fused weight-streaming
+        # artifact, i.e. it runs at <=8x8 maps where _conv3x3_int8 always
+        # falls back to the direct w9 route — no winograd artifact needed.
         out = {
             k: jnp.asarray(p[k], jnp.float32)
             for k in ("s_a", "b_a", "s_b", "b_b")
         }
         out.update(q(p["w9_a"], "w9_a"))
         out.update(q(p["w9_b"], "w9_b"))
-        # Stride-1 3x3s also carry the F(2,3) filter in BOTH low-precision
-        # forms: per-position int8 (quantize_winograd_filter — the fastest
-        # route on 28x28/14x14 maps since the round-5 quantized V stash)
-        # and bfloat16 (the 64-ch lane-packed bf16w kernel still wins the
-        # 56x56x64 geometry). _conv3x3_int8 routes by geometry.
+        # Stride-1 3x3s also carry the F(2,3) filter in the ONE
+        # low-precision form their width can route to (_conv3x3_int8's
+        # static cout gate): bfloat16 when cout <= 64 (the lane-packed
+        # bf16w kernel wins 56x56x64) or per-position int8 otherwise
+        # (quantize_winograd_filter — fastest on 28x28/14x14 since the
+        # round-5 quantized V stash). Attaching both would ship a dead
+        # multi-MB artifact per conv, replicated per chip under DP.
         from winograd_tpu.kernels.quantized import quantize_winograd_filter
 
-        for leg in ("a", "b"):
+        for leg in ("a", "b") if not small_map_stage else ():
             if f"u2_{leg}" in p:
-                out[f"u2_{leg}_bf16"] = jnp.asarray(
-                    p[f"u2_{leg}"], jnp.float32
-                ).astype(jnp.bfloat16)
-                uq, su = quantize_winograd_filter(np.asarray(p[f"u2_{leg}"]))
-                out[f"u2_{leg}_q"] = jnp.asarray(uq)
-                out[f"u2_{leg}_s"] = jnp.asarray(su)
+                if p[f"s_{leg}"].shape[0] <= 64:
+                    out[f"u2_{leg}_bf16"] = jnp.asarray(
+                        p[f"u2_{leg}"], jnp.float32
+                    ).astype(jnp.bfloat16)
+                else:
+                    uq, su = quantize_winograd_filter(
+                        np.asarray(p[f"u2_{leg}"])
+                    )
+                    out[f"u2_{leg}_q"] = jnp.asarray(uq)
+                    out[f"u2_{leg}_s"] = jnp.asarray(su)
         if "w_proj" in p:
             out.update(q(p["w_proj"], "w_proj"))
             out["s_proj"] = jnp.asarray(p["s_proj"], jnp.float32)
@@ -313,9 +327,12 @@ def quantize_basicnet(params: Dict) -> Dict:
     from winograd_tpu.kernels.basic_stage import quantize_basic_stage_params
 
     def q_stage(st):
+        small = "fused" in st
         out = {
-            "entry": None if st.get("entry") is None else q_block(st["entry"]),
-            "blocks": [q_block(b) for b in st["blocks"]],
+            "entry": None
+            if st.get("entry") is None
+            else q_block(st["entry"], small_map_stage=small),
+            "blocks": [q_block(b, small_map_stage=small) for b in st["blocks"]],
         }
         # Mirror attach_fused_stage_artifacts: stages that serve through
         # the fused basic-stage kernel get the stacked int8 artifact too.
