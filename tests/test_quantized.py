@@ -221,6 +221,58 @@ def test_int8_direct_3x3_matches_golden():
         assert rel < 5e-2, (mode, rel)
 
 
+def test_int8_direct_3x3_banded_exact():
+    """The row-banded grid (the N=32 serving-scale VMEM fix: 56x56x64's
+    whole-image column matrix wants 20 MB of scoped VMEM against the 16 MB
+    limit) is EXACT vs the whole-image path — the per-row activation quant
+    is row-local, so banding changes staging only, not math. Checks the
+    auto band choice at the failing geometry, a forced narrower band, the
+    halo rows across band boundaries (dense input, not zeros), and the
+    tier bound vs the float64 golden."""
+    from winograd_tpu.kernels.direct import direct_filter
+    from winograd_tpu.kernels.quantized import (
+        _direct_int8_band_h,
+        conv3x3_bn_int8_pallas,
+        quantize_weights,
+    )
+    from winograd_tpu.ops import reference
+
+    h = w = 56
+    cin = cout = 64
+    assert _direct_int8_band_h(h, w, cin, cout) < h  # auto-banding triggers
+
+    rng = np.random.default_rng(27)
+    x = rng.standard_normal((2, h, w, cin), dtype=np.float32)
+    wf = (rng.random((cout, cin, 3, 3), dtype=np.float32) - 0.5) * 0.2
+    scale = rng.random(cout, dtype=np.float32) + 0.5
+    bias = rng.standard_normal(cout, dtype=np.float32) * 0.1
+    w9q, sw = quantize_weights(np.asarray(direct_filter(wf)))
+
+    whole = np.asarray(
+        conv3x3_bn_int8_pallas(x, w9q, sw, scale, bias, band_h=h)
+    )
+    auto = np.asarray(conv3x3_bn_int8_pallas(x, w9q, sw, scale, bias))
+    forced = np.asarray(
+        conv3x3_bn_int8_pallas(x, w9q, sw, scale, bias, band_h=14)
+    )
+    np.testing.assert_allclose(auto, whole, atol=1e-5)
+    np.testing.assert_allclose(forced, whole, atol=1e-5)
+
+    gold = np.stack(
+        [
+            reference.conv3x3_bn_relu(
+                x[i].astype(np.float64),
+                wf.astype(np.float64),
+                scale.astype(np.float64),
+                bias.astype(np.float64),
+            )
+            for i in range(2)
+        ]
+    )
+    rel = np.abs(auto - gold).max() / np.abs(gold).max()
+    assert rel < 5e-2, rel
+
+
 def test_int8_winograd_3x3_matches_golden():
     """The int8 Winograd F(2,3) kernel (round-4: makes int8 pay on the
     standalone 3x3 modes — no im2col staging) stays inside the 8-bit bound

@@ -180,8 +180,90 @@ def _direct_int8_kernel(
     out_ref[0] = y.reshape(h, w, tile_co)
 
 
+def _direct_int8_banded_kernel(
+    x_ref,      # (1, H, W, Cin) f32 — FULL image (the halo source)
+    w9q_ref,    # (9*Cin, TILE_CO) int8
+    w9s_ref,    # (1, TILE_CO) weight scales
+    scale_ref,  # (1, TILE_CO)
+    bias_ref,   # (1, TILE_CO)
+    out_ref,    # (1, BH, W, TILE_CO) — one row band
+    xpad_ref,   # scratch (BH+2, W+2, Cin)
+    col_ref,    # scratch (BH*W, 9*Cin)
+    *,
+    h: int,
+    w: int,
+    cin: int,
+    bh: int,
+    n_b: int,
+    relu: bool,
+):
+    """Row-banded twin of _direct_int8_kernel for geometries whose
+    whole-image im2col matrix does not fit scoped VMEM (first seen at the
+    N=32 serving mode: 56x56x64 wants a 7.2 MB column matrix plus the
+    quantization temporaries — 20 MB against the 16 MB limit). The grid
+    gains a band axis; each step stages only (BH+2, W+2) rows, reading its
+    one-row halos from the full-image block (zeros at the global border,
+    so the banded math is EXACT, not an approximation)."""
+    b = pl.program_id(1)
+    j = pl.program_id(2)
+    row0 = b * bh
+
+    @pl.when(j == 0)
+    def _stage_band():
+        # Interior rows + W borders.
+        xpad_ref[1 : bh + 1, 1 : w + 1, :] = x_ref[0, pl.ds(row0, bh), :, :]
+        xpad_ref[:, 0:1, :] = jnp.zeros((bh + 2, 1, cin), jnp.float32)
+        xpad_ref[:, w + 1 :, :] = jnp.zeros((bh + 2, 1, cin), jnp.float32)
+        # Halo rows: clamp the source index so it is always in range, then
+        # overwrite with zeros at the global top/bottom edge.
+        tsrc = jnp.maximum(row0 - 1, 0)
+        bsrc = jnp.minimum(row0 + bh, h - 1)
+        top = x_ref[0, pl.ds(tsrc, 1), :, :]
+        bot = x_ref[0, pl.ds(bsrc, 1), :, :]
+        zero_row = jnp.zeros((1, w, cin), jnp.float32)
+        xpad_ref[0:1, 1 : w + 1, :] = jnp.where(b == 0, zero_row, top)
+        xpad_ref[bh + 1 :, 1 : w + 1, :] = jnp.where(
+            b == n_b - 1, zero_row, bot
+        )
+        for r in range(3):
+            for s in range(3):
+                t = 3 * r + s
+                col_ref[:, t * cin : (t + 1) * cin] = xpad_ref[
+                    r : r + bh, s : s + w, :
+                ].reshape(bh * w, cin)
+
+    y = _qdot(col_ref[:], w9q_ref, w9s_ref[:])
+    tile_co = out_ref.shape[-1]
+    y = y * scale_ref[:] + bias_ref[:]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.reshape(bh, w, tile_co)
+
+
+def _direct_int8_band_h(h: int, w: int, cin: int, tile_co: int) -> int:
+    """Largest divisor of H whose banded footprint fits scoped VMEM.
+
+    Budget model (bytes, per grid step): the staged column matrix plus the
+    in-kernel quantization temporaries (~2.5x the column bytes: the f32
+    x/s quotient, the int8 copy, the int32 accumulator), the padded band,
+    the double-buffered full-image input and band output. 12 MB budget
+    against the 16 MB limit keeps every geometry measured whole-image in
+    round 4/5 (28x28x128 direct: ~11.1 MB) on its measured path and tiles
+    only what cannot fit (56x56x64: 22 MB whole -> 11.4 MB at BH=28)."""
+    for bh in sorted((d for d in range(1, h + 1) if h % d == 0), reverse=True):
+        est = 4 * (
+            (bh + 2) * (w + 2) * cin
+            + (bh * w * 9 * cin * 5) // 2
+            + 2 * h * w * cin
+            + 2 * bh * w * tile_co
+        )
+        if est <= 12 * 2**20:
+            return bh
+    return 1
+
+
 @functools.partial(
-    jax.jit, static_argnames=("relu", "tile_co", "interpret")
+    jax.jit, static_argnames=("relu", "tile_co", "band_h", "interpret")
 )
 def conv3x3_bn_int8_pallas(
     x: jax.Array,
@@ -192,6 +274,7 @@ def conv3x3_bn_int8_pallas(
     relu: bool = True,
     *,
     tile_co: int | None = None,
+    band_h: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Int8 fused 3x3 conv (pad 1) + BN (+ReLU): direct im2col staging, one
@@ -201,7 +284,10 @@ def conv3x3_bn_int8_pallas(
     (the Winograd algebra is not quantized: the +/-1 transform amplifies
     the per-tile dynamic range, so int8 tiles lose ~1 bit; direct im2col
     keeps activations in their natural scale). w9_q/s_w9 from
-    quantize_weights(direct_filter(w))."""
+    quantize_weights(direct_filter(w)). Geometries whose whole-image
+    column matrix exceeds scoped VMEM (56x56x64 at any batch) run the
+    exact row-banded grid (_direct_int8_banded_kernel); band_h overrides
+    the automatic band choice (tests pin both paths with it)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -216,31 +302,61 @@ def conv3x3_bn_int8_pallas(
         tile_co = cout if 9 * cin * cout <= 4 * 2**20 else mxu_lane_divisor(cout, 256)
     assert cout % tile_co == 0, (cout, tile_co)
     n_j = cout // tile_co
+    bh = band_h if band_h is not None else _direct_int8_band_h(h, w, cin, tile_co)
+    assert h % bh == 0, (h, bh)
+    n_b = h // bh
 
     def row(v, c):
         return jnp.asarray(v, jnp.float32).reshape(1, c)
 
-    kernel = functools.partial(
-        _direct_int8_kernel, h=h, w=w, cin=cin, relu=relu
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(n, n_j),
-        in_specs=[
-            pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * cin, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_co), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
+    if n_b == 1:
+        kernel = functools.partial(
+            _direct_int8_kernel, h=h, w=w, cin=cin, relu=relu
+        )
+        grid = (n, n_j)
+        in_maps = [
+            lambda i, j: (i, 0, 0, 0),
+            lambda i, j: (0, j),
+        ]
+        out_spec = pl.BlockSpec(
             (1, h, w, tile_co), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.float32),
-        scratch_shapes=[
+        )
+        scratch = [
             pltpu.VMEM((h + 2, w + 2, cin), jnp.float32),
             pltpu.VMEM((h * w, 9 * cin), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _direct_int8_banded_kernel,
+            h=h, w=w, cin=cin, bh=bh, n_b=n_b, relu=relu,
+        )
+        grid = (n, n_b, n_j)
+        in_maps = [
+            lambda i, b, j: (i, 0, 0, 0),
+            lambda i, b, j: (0, j),
+        ]
+        out_spec = pl.BlockSpec(
+            (1, bh, w, tile_co),
+            lambda i, b, j: (i, b, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = [
+            pltpu.VMEM((bh + 2, w + 2, cin), jnp.float32),
+            pltpu.VMEM((bh * w, 9 * cin), jnp.float32),
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, w, cin), in_maps[0], memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, tile_co), in_maps[1], memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), in_maps[1], memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), in_maps[1], memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_co), in_maps[1], memory_space=pltpu.VMEM),
         ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.float32),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=n * 2 * h * w * 9 * cin * cout,
             bytes_accessed=4 * n * h * w * (cin + cout) + 9 * cin * cout,
