@@ -222,6 +222,62 @@ def test_tiny_resnet50_all_tiers():
     np.testing.assert_array_equal(out_pre, out)
 
 
+def test_chunked_batch_serving_matches_single():
+    """Batches beyond SERVE_CHUNK route through the lax.map chunk loop
+    (the N=32 scoped-VMEM compile workaround, models/resnet50.py::
+    _map_batch_chunks) — logits must equal the per-image forward exactly
+    on every tier, and non-divisible / small batches must stay on the
+    native path."""
+    from winograd_tpu.datagen.generate import make_resnet50_case
+    from winograd_tpu.models.resnet50 import (
+        SERVE_CHUNK,
+        quantize_resnet50,
+        resnet50_forward_int8,
+        resnet50_forward_pallas,
+        resnet50_params,
+    )
+
+    cfg = _TinyR50("tiny_resnet50_chunk")
+    case = make_resnet50_case(cfg, seed=13)
+    params = resnet50_params(case, cfg)
+    rng = np.random.default_rng(13)
+    n = 2 * SERVE_CHUNK
+    xb = jnp.asarray(
+        rng.standard_normal((n, cfg.img, cfg.img, 3)).astype(np.float32)
+    )
+
+    # Chunked == the composition of native chunk-size calls at one-ulp
+    # tolerance (XLA fuses the lax.map body in its own context, so bitwise
+    # equality across compiles is not guaranteed), and == per-image at f32
+    # tolerance (a lone image tiles the head GEMM differently).
+    chunked = np.asarray(resnet50_forward_pallas(xb, params))
+    native = np.concatenate(
+        [
+            np.asarray(resnet50_forward_pallas(xb[k : k + SERVE_CHUNK], params))
+            for k in range(0, n, SERVE_CHUNK)
+        ]
+    )
+    np.testing.assert_allclose(chunked, native, atol=1e-6)
+    per = np.stack(
+        [np.asarray(resnet50_forward_pallas(xb[i], params)) for i in range(n)]
+    )
+    np.testing.assert_allclose(chunked, per, atol=1e-5)
+
+    qparams = quantize_resnet50(params)
+    chunked_i8 = np.asarray(resnet50_forward_int8(xb, qparams))
+    native_i8 = np.concatenate(
+        [
+            np.asarray(resnet50_forward_int8(xb[k : k + SERVE_CHUNK], qparams))
+            for k in range(0, n, SERVE_CHUNK)
+        ]
+    )
+    np.testing.assert_allclose(chunked_i8, native_i8, atol=1e-5)
+
+    # A batch that doesn't divide the chunk stays on the native path.
+    odd = np.asarray(resnet50_forward_pallas(xb[: SERVE_CHUNK + 1], params))
+    np.testing.assert_allclose(odd, per[: SERVE_CHUNK + 1], atol=1e-5)
+
+
 def test_tiny_resnet50_train_step():
     """Mode 19's subject at toy scale: the full-classifier training forward
     (every conv through the fused kernels, offline layouts derived

@@ -207,6 +207,31 @@ def head_pallas(
     return logits[..., :nc]
 
 
+SERVE_CHUNK = 8
+
+
+def _map_batch_chunks(fn, x: jax.Array, chunk: int = SERVE_CHUNK) -> jax.Array:
+    """Serve large batches in CHUNK-image slices via one lax.map loop.
+
+    A TPU compile workaround, not memory microbatching: inside a while-loop
+    body (the bench's timing scan; any pipelining loop a deployment wraps
+    the step in) XLA's memory-space assignment stack-allocates a Pallas
+    call's output in scoped VMEM when consecutive custom calls chain — and
+    at batch 32 the conv2_x activation (32,56,56,256) is 98 MiB, which it
+    attempts anyway and the compile dies ("It should not be possible to run
+    out of scoped vmem", v5e, observed 2026-08-20; plain jit of the same
+    graph compiles fine). Chunked at 8, every intermediate matches the
+    proven batch-8 regime (<= 24.5 MiB — placement succeeds and keeps the
+    chain in VMEM). Device arithmetic is identical: all these kernels are
+    image-outer grids, so weights re-stream per image either way and the
+    map adds only one loop counter."""
+    n = x.shape[0]
+    assert n > chunk and n % chunk == 0, (n, chunk)  # callers gate on this
+    xs = x.reshape(n // chunk, chunk, *x.shape[1:])
+    out = jax.lax.map(fn, xs)
+    return out.reshape(n, *out.shape[2:])
+
+
 def resnet50_forward_pallas(
     x: jax.Array, params: Dict, precision: str | None = None
 ) -> jax.Array:
@@ -214,7 +239,12 @@ def resnet50_forward_pallas(
 
     params: {"stem": ..., "proj": conv2_x entry block, "stages": the
     resnet50_stages structure, "head": ...}. precision=None is the f32
-    tier; "bf16w" streams bfloat16 weights end to end."""
+    tier; "bf16w" streams bfloat16 weights end to end. Batches beyond
+    SERVE_CHUNK run as chunked lax.map slices (_map_batch_chunks)."""
+    if x.ndim == 4 and x.shape[0] > SERVE_CHUNK and x.shape[0] % SERVE_CHUNK == 0:
+        return _map_batch_chunks(
+            lambda c: resnet50_forward_pallas(c, params, precision), x
+        )
     h = stem_pallas(x, params["stem"], precision)
     h = projection_bottleneck_block_pallas(h, params["proj"], precision)
     h = resnet50_stages(h, params["stages"], precision=precision)
@@ -245,7 +275,13 @@ def resnet50_forward_pre(
 ) -> jax.Array:
     """Full ResNet-50 forward from a PREPARED stem operand (the
     preprocessed-input contract; see stem_pallas_pre). Everything after
-    the stem is identical to resnet50_forward_pallas."""
+    the stem is identical to resnet50_forward_pallas, including the
+    chunked-batch serving loop."""
+    if xb.ndim == 4 and xb.shape[0] > SERVE_CHUNK and xb.shape[0] % SERVE_CHUNK == 0:
+        return _map_batch_chunks(
+            lambda c: resnet50_forward_pre(c, params, precision, h=h, w=w),
+            xb,
+        )
     hh = stem_pallas_pre(xb, params["stem"], precision, h=h, w=w)
     hh = projection_bottleneck_block_pallas(hh, params["proj"], precision)
     hh = resnet50_stages(hh, params["stages"], precision=precision)
@@ -365,7 +401,12 @@ def _head_int8(x: jax.Array, q: Dict) -> jax.Array:
 
 def resnet50_forward_int8(x: jax.Array, qparams: Dict) -> jax.Array:
     """Full ResNet-50 at the int8 serving tier (stem f32 — see
+    _map_batch_chunks for the chunked-batch serving loop;
     quantize_resnet50)."""
+    if x.ndim == 4 and x.shape[0] > SERVE_CHUNK and x.shape[0] % SERVE_CHUNK == 0:
+        return _map_batch_chunks(
+            lambda c: resnet50_forward_int8(c, qparams), x
+        )
     h = stem_pallas(x, qparams["stem"], precision="int8")
     h = _projection_block_int8(h, qparams["proj"])
     h = resnet50_stages_int8(h, qparams["stages"])
