@@ -189,5 +189,18 @@ def bench_scan(
     # of the constant floor (~ms through a remote-dispatch tunnel), so the
     # short leg is ~1/64 of the long one.
     l_short = max(scan_len // 64, 2)
-    times = {length: measure(length, repeats) for length in (l_short, scan_len)}
-    return (times[scan_len] - times[l_short]) / (scan_len - l_short)
+    for attempt in range(3):
+        times = {length: measure(length, repeats) for length in (l_short, scan_len)}
+        slope = (times[scan_len] - times[l_short]) / (scan_len - l_short)
+        if slope > 0:
+            return slope
+        # A non-positive slope means the short leg's wall time exceeded the
+        # long leg's — dispatch-floor jitter or a concurrent process on the
+        # chip polluted a leg (observed once in the round-5 sweep: a -82 us
+        # "device time" recorded for a 220 us op while two bench streams
+        # shared the chip). Never record it: re-measure, then hard-fail so
+        # the sweep reruns the mode rather than publish garbage.
+    raise RuntimeError(
+        f"bench_scan: non-positive slope {slope:.3f} us after 3 attempts "
+        f"(lengths {l_short}/{scan_len}; device contention?)"
+    )
