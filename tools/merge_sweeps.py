@@ -29,6 +29,17 @@ def main(argv):
         for r in json.load(open(path)):
             if not r.get("parity_ok"):
                 raise SystemExit(f"{path}: mode {r['mode']} has parity_ok=false")
+            # Rows measured before bench_scan hard-failed on non-positive
+            # slopes can carry a bogus negative latency (r05 stream-b
+            # mode 24 bf16w: -82 µs). A later input may override the row;
+            # a negative slope must never survive into the merged artifact.
+            bad = {
+                k: v
+                for k, v in r.items()
+                if k.endswith("_device_us") and v is not None and v <= 0
+            }
+            if bad:
+                r = {**r, "_bad_slopes": bad}
             prev = by_mode.get(r["mode"])
             if prev is not None and (
                 prev.get("bench_iterations") != r.get("bench_iterations")
@@ -41,6 +52,12 @@ def main(argv):
     missing = sorted(set(CASES) - set(by_mode))
     if missing:
         raise SystemExit(f"merged sweep INCOMPLETE: missing modes {missing}")
+    poisoned = {m: r["_bad_slopes"] for m, r in by_mode.items() if "_bad_slopes" in r}
+    if poisoned:
+        raise SystemExit(
+            f"non-positive timing slopes survived the merge: {poisoned} — "
+            "re-measure those modes (bench_scan now hard-fails them at source)"
+        )
     rows = [by_mode[m] for m in sorted(by_mode)]
     with open(out_path, "w") as f:
         json.dump(rows, f)

@@ -59,6 +59,20 @@ TIE_FOOTNOTE = (
     "tiers are the levers on these modes."
 )
 
+# N=32 stem-bearing modes: the raw-f32 column pays the XLA s2d/transpose/
+# concat input-relayout tax on every image (~138 µs/image at batch 32 vs
+# ~65 at N=1 — CLAUDE.md round-5; DESIGN.md §5), which the preprocessed-
+# input serving contract (the "pre" column) removes. At this batch size
+# the tax can exceed the raw column's margin over XLA, so "pre" is the
+# serving headline for these modes, not the raw column.
+STEM_RELAYOUT_MODES = {27, 28}
+RELAYOUT_FOOTNOTE = (
+    "‡ at N=32 the raw column pays the XLA stem input-relayout tax "
+    "(~138 µs/image — DESIGN.md §5) on every image; the preprocessed-input "
+    "contract (`pre` column, `engine.serve_pre`) is the serving headline "
+    "for these modes."
+)
+
 TABLE_START = "<!-- BENCH_TABLE_START -->"
 TABLE_END = "<!-- BENCH_TABLE_END -->"
 
@@ -91,6 +105,8 @@ def render_row(r: dict) -> str:
         f32 += f" ({'; '.join(alts)})"
     if mode in F32_TIE_MODES:
         f32 += "†"
+    if mode in STEM_RELAYOUT_MODES:
+        f32 += "‡"
     mfu = r.get("mfu_pallas")
     name = r["name"]
     if mode in CASE_NOTES:
@@ -116,13 +132,17 @@ def render_row(r: dict) -> str:
 
 def render(rows: list[dict]) -> str:
     lines = [HEADER]
-    tie = False
+    tie = relayout = False
     for r in sorted(rows, key=lambda r: r["mode"]):
         lines.append(render_row(r))
         tie = tie or r["mode"] in F32_TIE_MODES
-    if tie:
+        relayout = relayout or r["mode"] in STEM_RELAYOUT_MODES
+    if tie or relayout:
         lines.append("")
+    if tie:
         lines.append(TIE_FOOTNOTE)
+    if relayout:
+        lines.append(RELAYOUT_FOOTNOTE)
     return "\n".join(lines)
 
 
